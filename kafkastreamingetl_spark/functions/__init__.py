@@ -1,0 +1,94 @@
+"""Scalar / aggregate expression helpers shared across operators.
+
+All helpers are built-in-expression compositions (JVM-side, whole-stage
+codegen eligible) — no Python UDFs in the hot path. The one reference Python
+UDF (normalize_device, reference spark/app.py:66-70) is re-expressed here as
+``normalize_string`` using coalesce/lower/trim, removing the JVM<->Python
+per-row boundary identified in SURVEY.md §3.1.5.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# cleaning / normalization (reference spark/app.py:66-76)
+# ---------------------------------------------------------------------------
+
+
+def normalize_string(col: str | Column, default: str = "unknown") -> Column:
+    """null -> default, else trim+lowercase.
+
+    Built-in replacement for the reference's Python UDF ``normalize_device``
+    (reference spark/app.py:66-70): Catalyst-optimizable, codegen-friendly.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.coalesce(F.lower(F.trim(c)), F.lit(default))
+
+
+# ---------------------------------------------------------------------------
+# deterministic aggregation: decimal-summed doubles
+# ---------------------------------------------------------------------------
+# Floating-point SUM is not associative, so a distributed partial+final sum
+# can differ between engines / partitionings in the last bits. Casting each
+# value to DECIMAL(18,4) first makes the sum exact and order-independent,
+# so Spark at any parallelism and the DuckDB oracle agree bit-for-bit. The
+# final cast back to double keeps the public schema stable.
+
+DEC = "decimal(18,4)"
+
+
+def dsum(col: str | Column, alias: str | None = None) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: str | Column, alias: str | None = None) -> Column:
+    """Order-independent mean: exact decimal sum divided by count."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = (F.sum(c.cast(DEC)).cast("double") / F.count(c)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+# Matching ANSI-SQL fragments for DuckDB oracles. DuckDB's SUM over DECIMAL
+# widens to DECIMAL(38,x) / HUGEINT; the explicit double cast keeps the
+# result schema identical to Spark's.
+def sql_dsum(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+
+
+def sql_davg(expr: str) -> str:
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(18,4))) AS DOUBLE)"
+        f" / COUNT({expr}) AS DOUBLE)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# vector math over array<float> embeddings (extension surface)
+# ---------------------------------------------------------------------------
+
+
+def dot(a: str | Column, b: str | Column) -> Column:
+    """Sequential-fold dot product of two equal-length float arrays.
+
+    ``F.zip_with`` + ``F.aggregate`` keeps the computation JVM-side; the fold
+    runs in array order with double accumulation, so the result is
+    deterministic and matches an oracle that folds in the same order.
+    """
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    prods = F.zip_with(ca, cb, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm(a: str | Column) -> Column:
+    ca = F.col(a) if isinstance(a, str) else a
+    sq = F.transform(ca, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

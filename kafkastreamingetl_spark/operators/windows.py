@@ -1,0 +1,92 @@
+"""Event-time window aggregation (batch + streaming).
+
+Re-expresses the reference's windowed aggregate (reference
+spark/app.py:163-181: A1 sliding-window groupBy with sum / approx-distinct /
+max, then window-struct flatten) as a pure transform parameterized by window
+size/slide and grouping keys. The same function runs on a batch events table
+(DuckDB-oracle checkable) and on a watermarked stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dsum
+
+
+def windowed_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    slide: str | None = None,
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """Tumbling (slide=None) or sliding event-time window aggregation.
+
+    Aggregates mirror reference spark/app.py:168-173: total of the metric
+    column, distinct-count of an id column, max event time — plus a row
+    count. ``approx_distinct=True`` uses HyperLogLog++
+    (``approx_count_distinct``, the reference's streaming-safe choice,
+    spark/app.py:171); the exact variant is the DuckDB-oracle-checkable twin
+    (SURVEY.md §7.2b). Catalyst plans a partial aggregate before the exchange
+    on (window, keys), so the shuffle carries one row per group per input
+    partition — this holds at any scale.
+
+    The output flattens the window struct to ``window_start``/``window_end``
+    (reference spark/app.py:177-181) so downstream consumers and file sinks
+    see flat columns.
+    """
+    keys = keys or []
+    win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
+    distinct = (
+        F.approx_count_distinct(user_col) if approx_distinct else F.countDistinct(user_col)
+    )
+    agg = df.groupBy(win.alias("window"), *keys).agg(
+        dsum(value_col, "total_value"),
+        distinct.alias("unique_users"),
+        F.max(ts_col).alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        agg.withColumn("window_start", F.col("window.start"))
+        .withColumn("window_end", F.col("window.end"))
+        .drop("window")
+        .select("window_start", "window_end", *keys, "total_value", "unique_users", "max_ts", "n_events")
+    )
+
+
+def streaming_windowed_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+    window: str = "1 minute",
+    slide: str | None = "30 seconds",
+    keys: list[str] | None = None,
+    value_col: str = "value",
+    id_col: str = "event_id",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Streaming twin: watermark (T1) + window (T2) + HLL distinct.
+
+    Append-mode sinks emit each window once the watermark passes its end
+    (reference semantics, spark/app.py:160-197). Distinct counting must be
+    approximate in streaming append mode (SURVEY.md §2.4 note).
+    """
+    return windowed_agg(
+        df.withWatermark(ts_col, watermark),
+        ts_col=ts_col,
+        window=window,
+        slide=slide,
+        keys=keys,
+        value_col=value_col,
+        id_col=id_col,
+        user_col=user_col,
+        approx_distinct=True,
+    )

@@ -1,0 +1,79 @@
+"""SparkSession construction with the engine's default tuning profile.
+
+Derived from the reference's session bootstrap (reference spark/app.py:13-33)
+with two deliberate departures, both documented in SURVEY.md §7.0:
+
+- ``spark.sql.autoBroadcastJoinThreshold`` is left at Spark's default (10 MB)
+  instead of the reference's ``-1``: the reference disabled auto-broadcast
+  purely to demonstrate a sort-merge join (spark/app.py:25-26); at 100 TB we
+  want Catalyst + AQE picking broadcast joins for every dim-sized side.
+- shuffle partitions default to a caller-tunable value rather than the
+  reference's hard-coded 8 (spark/app.py:17), since the right number is a
+  function of cluster size and input volume.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.getenv("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "kafkastreamingetl_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuning profile.
+
+    The profile keeps every Catalyst/AQE feature the reference enables
+    (reference spark/app.py:16-28): AQE with partition coalescing and
+    skew-join handling, dynamic partition pruning, and explicit shuffle
+    parallelism. Arrow execution is enabled for the pandas-UDF extension
+    points (similarity / multimodal operators).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
+    conf = {
+        # shuffle / parallelism (reference spark/app.py:17-18)
+        "spark.sql.shuffle.partitions": str(n_shuffle),
+        "spark.default.parallelism": str(n_shuffle),
+        # Adaptive Query Execution (reference spark/app.py:20-22)
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Dynamic Partition Pruning (reference spark/app.py:24)
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+        # UTC everywhere: event-time windows / to_date must be computed on
+        # the same wall clock as oracle engines reading naive parquet ts.
+        "spark.sql.session.timeZone": "UTC",
+        # Arrow for pandas UDF extension points — the vectorized Python path
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        # Spark has no nanosecond timestamp type; read parquet
+        # TIMESTAMP(NANOS) (testdata events.ts) as long and convert in
+        # catalog.load_table.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
+        # Streaming state at scale: RocksDB bounds driver/executor heap usage
+        # where the default HDFSBackedStateStore would not (SURVEY.md §4).
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+        ),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def get_test_spark(app_name: str = "kafkastreamingetl_spark_test") -> SparkSession:
+    """Local session for tests / bench: ``local[$SPARK_GRAFT_CPUS]``."""
+    cpus = os.getenv("SPARK_GRAFT_CPUS", "32")
+    return get_spark(app_name=app_name, master=f"local[{cpus}]")
