@@ -1,0 +1,60 @@
+"""Benchmark runner: times every registered query at one scale factor.
+
+Usage: ``python bench.py`` (env: ``SPARK_GRAFT_SF_DIR`` selects the data
+directory, default /root/testdata/sf0.1; ``SPARK_GRAFT_CPUS`` sets local
+parallelism). Prints exactly ONE JSON line on stdout:
+
+    {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Every query is forced with a count-style action (``df.count()``); results are
+never collected to the driver, so the timing measures the distributed plan,
+not driver materialization. A warm-up run of the cheapest query amortizes JVM
+/ codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafkastreamingetl_spark.session import get_test_spark  # noqa: E402
+from __spark_entry__ import queries  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else 0.0
+
+    spark = get_test_spark("kafkastreamingetl_spark_bench")
+    qs = queries()
+
+    # Warm-up: trigger JVM/codegen/parquet-footer caching outside the timings.
+    first = next(iter(qs))
+    qs[first](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

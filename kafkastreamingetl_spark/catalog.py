@@ -13,6 +13,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import ensure_runtime_confs
+
 TABLES = (
     "region",
     "nation",
@@ -37,17 +39,17 @@ NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Parquet scan with partition discovery (reference analogue: S6)."""
+    """Parquet scan with partition discovery (reference analogue: S6).
+
+    NOTE: applies the engine's runtime session confs (UTC timezone,
+    nanosAsLong — see session.RUNTIME_CONFS) to the caller's session, because
+    correctness of timestamps/window boundaries depends on them even when the
+    session was built elsewhere (e.g. the driver's). This is a deliberate,
+    documented session-wide side effect.
+    """
+    ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Testdata timestamps are naive UTC instants; date/window semantics must
-    # not depend on the caller session's JVM timezone (a driver session at
-    # e.g. America/New_York would shift day boundaries vs the oracle).
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = NS_TIMESTAMP_COLS.get(name, ())
-    if ns_cols:
-        # Works on any caller-provided session (e.g. the driver's): this is a
-        # runtime SQL conf, not a static one.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":

@@ -7,10 +7,31 @@ built-in expression; the dedup becomes watermark-bounded in streaming mode.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import normalize_string
+
+
+def dedup_deterministic(
+    df: DataFrame, keys: list[str], order_by: list, *, rn_col: str = "_rn"
+) -> DataFrame:
+    """Keep exactly one row per key, chosen by an explicit total order.
+
+    ``dropDuplicates`` (reference spark/app.py:79) keeps an *arbitrary* row
+    per key — nondeterministic when duplicate keys carry different payloads.
+    This variant is reproducible (and oracle-checkable as
+    ``QUALIFY row_number() = 1``): row_number over (partition by keys, order
+    by ``order_by``), keep rank 1. Physically: one hash exchange on the keys
+    plus a per-group sort over groups of ~duplicate-count rows — same shuffle
+    volume as dropDuplicates at any scale.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn(rn_col, F.row_number().over(w))
+        .filter(F.col(rn_col) == 1)
+        .drop(rn_col)
+    )
 
 
 def clean_events(
@@ -19,20 +40,26 @@ def clean_events(
     type_col: str = "event_type",
     value_col: str = "value",
     key_col: str = "event_id",
+    ts_col: str = "ts",
 ) -> DataFrame:
     """Normalize the categorical column, fill null metrics, dedup by key.
 
     Mirrors reference spark/app.py:72-79 (P2 withColumn, P5 na.fill, P6
-    dropDuplicates, U1 normalize) on the testdata events schema:
+    dedup, U1 normalize) on the testdata events schema:
 
     - ``event_type_norm``: trim+lower, null -> 'unknown'
     - ``value``: null -> 0.0
-    - one row per ``event_id``
+    - one row per ``event_id`` — deterministic first-by-(ts, value) pick, so
+      the result is hash-stable even when duplicate keys disagree (the
+      reference's dropDuplicates pick is arbitrary).
     """
-    return (
-        df.withColumn(f"{type_col}_norm", normalize_string(type_col))
-        .na.fill({value_col: 0.0})
-        .dropDuplicates([key_col])
+    cleaned = df.withColumn(f"{type_col}_norm", normalize_string(type_col)).na.fill(
+        {value_col: 0.0}
+    )
+    return dedup_deterministic(
+        cleaned,
+        [key_col],
+        [F.asc_nulls_first(ts_col), F.asc_nulls_first(value_col)],
     )
 
 

@@ -45,10 +45,12 @@ def enrich_events(
 ) -> DataFrame:
     """The reference's enrichment stage on the testdata star schema.
 
-    events(user_id) ⋈ customer(c_custkey) [broadcast, J1 analogue: users dim,
-    reference spark/app.py:136] ⋈ nation(n_nationkey) [J2 analogue: products
-    dim, reference spark/app.py:137]. Left joins preserve unmatched facts,
-    as in the reference.
+    events(user_id) ⋈ customer(c_custkey) [J2 analogue: unhinted — customer
+    grows with scale factor (150k rows/sf), so the broadcast decision belongs
+    to AQE's runtime size estimate, not a hard-coded hint that would OOM
+    executors at 100 TB] ⋈ nation(n_nationkey) [J1 analogue, reference
+    spark/app.py:136: nation is a fixed 25-row dim — always broadcast].
+    Left joins preserve unmatched facts, as in the reference.
     """
     cust = customer.select(
         F.col("c_custkey").alias("user_id"),
@@ -59,6 +61,6 @@ def enrich_events(
     nat = nation.select(
         F.col("n_nationkey").alias("nationkey"), F.col("n_name").alias("nation_name")
     )
-    return events.join(F.broadcast(cust), "user_id", "left").join(
+    return events.join(cust, "user_id", "left").join(
         F.broadcast(nat), "nationkey", "left"
     )

@@ -35,6 +35,41 @@ def with_event_date(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.withColumn("event_date", F.to_date(F.col(ts_col)))
 
 
+def daily_aggregate(
+    events: DataFrame,
+    customer: DataFrame,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    approx_distinct: bool = False,
+) -> DataFrame:
+    """A2: per-(date, event_type, segment) revenue + distinct-event count.
+
+    The shared core of :func:`daily_segment_metrics` and
+    :func:`premium_rollup` (reference kafka_spark_etl.py:64-70). Factored out
+    so the premium rollup never pays for the rank's window sort it would
+    immediately discard. The user dim join is left unhinted — customer is a
+    scale-proportional table, not a fixed dim; AQE broadcasts it when (and
+    only when) its runtime size is under threshold.
+
+    ``approx_distinct=True`` swaps exact ``countDistinct`` (the oracle twin)
+    for ``approx_count_distinct`` (HyperLogLog++, the reference's own choice
+    at spark/app.py:171) — at 100 TB the exact distinct's expand+shuffle on
+    (group keys × event_id) is the dominant cost; production callers should
+    prefer the approximate path.
+    """
+    dim = customer.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    d = F.approx_count_distinct if approx_distinct else F.countDistinct
+    enriched = with_event_date(events, ts_col).join(dim, "user_id", "left")
+    return enriched.groupBy("event_date", "event_type", "segment").agg(
+        dsum(value_col, "daily_revenue"),
+        d("event_id").alias("daily_events"),
+    )
+
+
 def daily_segment_metrics(
     events: DataFrame,
     customer: DataFrame,
@@ -42,23 +77,12 @@ def daily_segment_metrics(
     ts_col: str = "ts",
     value_col: str = "value",
 ) -> DataFrame:
-    """A2 + W1: per-(date, event_type, segment) revenue with in-group rank.
+    """A2 + W1: daily aggregate plus in-group revenue rank.
 
-    events ⋈ broadcast(customer-as-user-dim) -> date rollup -> row_number
-    rank by revenue within (event_date, event_type). The rank's orderBy has
-    a segment tiebreaker so results are deterministic under ties
-    (SURVEY.md §7.2d).
+    row_number by revenue within (event_date, event_type), with a segment
+    tiebreaker so results are deterministic under ties (SURVEY.md §7.2d).
     """
-    dim = customer.select(
-        F.col("c_custkey").alias("user_id"),
-        F.col("c_mktsegment").alias("segment"),
-        (F.col("c_acctbal") > F.lit(PREMIUM_BALANCE_THRESHOLD)).alias("is_premium"),
-    )
-    enriched = with_event_date(events, ts_col).join(F.broadcast(dim), "user_id", "left")
-    daily = enriched.groupBy("event_date", "event_type", "segment").agg(
-        dsum(value_col, "daily_revenue"),
-        F.countDistinct("event_id").alias("daily_events"),
-    )
+    daily = daily_aggregate(events, customer, ts_col=ts_col, value_col=value_col)
     w = Window.partitionBy("event_date", "event_type").orderBy(
         F.desc("daily_revenue"), F.asc("segment")
     )
@@ -79,7 +103,7 @@ def premium_rollup(
     (max over the segment) replacing the reference's order-dependent
     ``drop_duplicates`` pick.
     """
-    daily = daily_segment_metrics(events, customer, ts_col=ts_col, value_col=value_col)
+    daily = daily_aggregate(events, customer, ts_col=ts_col, value_col=value_col)
     seg_dim = (
         customer.select(
             F.col("c_mktsegment").alias("segment"),

@@ -30,8 +30,9 @@ def windowed_agg(
     """Tumbling (slide=None) or sliding event-time window aggregation.
 
     Aggregates mirror reference spark/app.py:168-173: total of the metric
-    column, distinct-count of an id column, max event time — plus a row
-    count. ``approx_distinct=True`` uses HyperLogLog++
+    column, distinct-count of the event id (``id_col`` — the reference's
+    ``unique_events``, spark/app.py:171), distinct users, max event time,
+    and a row count. ``approx_distinct=True`` uses HyperLogLog++
     (``approx_count_distinct``, the reference's streaming-safe choice,
     spark/app.py:171); the exact variant is the DuckDB-oracle-checkable twin
     (SURVEY.md §7.2b). Catalyst plans a partial aggregate before the exchange
@@ -44,12 +45,11 @@ def windowed_agg(
     """
     keys = keys or []
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
-    distinct = (
-        F.approx_count_distinct(user_col) if approx_distinct else F.countDistinct(user_col)
-    )
+    d = F.approx_count_distinct if approx_distinct else F.countDistinct
     agg = df.groupBy(win.alias("window"), *keys).agg(
         dsum(value_col, "total_value"),
-        distinct.alias("unique_users"),
+        d(id_col).alias("unique_events"),
+        d(user_col).alias("unique_users"),
         F.max(ts_col).alias("max_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
@@ -57,7 +57,10 @@ def windowed_agg(
         agg.withColumn("window_start", F.col("window.start"))
         .withColumn("window_end", F.col("window.end"))
         .drop("window")
-        .select("window_start", "window_end", *keys, "total_value", "unique_users", "max_ts", "n_events")
+        .select(
+            "window_start", "window_end", *keys,
+            "total_value", "unique_events", "unique_users", "max_ts", "n_events",
+        )
     )
 
 

@@ -57,6 +57,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
            coalesce(lower(trim(event_type)), 'unknown') AS event_type_norm,
            coalesce(value, 0.0) AS value
     FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_id
+        ORDER BY ts ASC NULLS FIRST, coalesce(value, 0.0) ASC NULLS FIRST
+    ) = 1
     """,
 )
 def q_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -72,6 +76,7 @@ def q_clean_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' AS window_end,
            event_type,
            {sql_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS unique_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
            MAX(ts) AS max_ts,
            CAST(COUNT(*) AS BIGINT) AS n_events
@@ -100,6 +105,7 @@ def q_windowed_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
            window_start + INTERVAL '1 hour' AS window_end,
            event_type,
            {sql_dsum('value')} AS total_value,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS unique_events,
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS unique_users,
            MAX(ts) AS max_ts,
            CAST(COUNT(*) AS BIGINT) AS n_events

@@ -20,6 +20,34 @@ from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = int(os.getenv("SPARK_GRAFT_CPUS", "32"))
 
+# Runtime-settable SQL confs the engine's correctness depends on. These are
+# (re)applied after getOrCreate — Spark silently ignores builder configs when
+# a session already exists (e.g. the driver hands us its own session), so
+# anything correctness-critical must also be applied through spark.conf.set.
+RUNTIME_CONFS: dict[str, str] = {
+    # Testdata timestamps are naive UTC instants; date/window semantics must
+    # not depend on the JVM's wall clock (a session at America/New_York would
+    # shift day boundaries vs the DuckDB oracle).
+    "spark.sql.session.timeZone": "UTC",
+    # Spark has no nanosecond timestamp type; read parquet TIMESTAMP(NANOS)
+    # (testdata events.ts) as long and convert in catalog.load_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Apply :data:`RUNTIME_CONFS` to an existing session (idempotent).
+
+    Called by catalog.load_table so the engine behaves correctly on *any*
+    caller-provided session, not just ones built by :func:`get_spark`.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+
 
 def get_spark(
     app_name: str = "kafkastreamingetl_spark",
@@ -69,6 +97,10 @@ def get_spark(
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    # getOrCreate ignores builder configs on an already-running session;
+    # re-apply everything runtime-settable so the tuning profile holds.
+    ensure_runtime_confs(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
