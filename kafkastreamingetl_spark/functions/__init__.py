@@ -67,6 +67,35 @@ def sql_davg(expr: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# deterministic 60-bit string hashing (shared by dedup / fingerprint / LSH)
+# ---------------------------------------------------------------------------
+# md5 -> first 15 hex chars -> bigint. 60 bits keeps the value positive in a
+# signed 64-bit long on every engine, and the md5 hex text is identical in
+# Spark, DuckDB, and Python's hashlib, so oracle twins can reproduce the hash
+# bit-for-bit (verified cross-engine in tests/test_text_dedup.py).
+
+HASH60_HEX_CHARS = 15
+
+
+def hash60(col: str | Column) -> Column:
+    """Deterministic 60-bit non-negative hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.conv(F.substring(F.md5(c), 1, HASH60_HEX_CHARS), 16, 10).cast("bigint")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`hash60`."""
+    return f"('0x' || substr(md5({expr}), 1, {HASH60_HEX_CHARS}))::BIGINT"
+
+
+def py_hash60(s: str) -> int:
+    """Python twin of :func:`hash60` (for Pandas-UDF operators)."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:HASH60_HEX_CHARS], 16)
+
+
+# ---------------------------------------------------------------------------
 # vector math over array<float> embeddings (extension surface)
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,252 @@
+"""Deduplication operators for LLM-data-pipeline workloads over `documents`.
+
+Three tiers, all bucketed — **never all-pairs** (an O(n²) crossJoin is dead
+on arrival at 100 TB):
+
+- **exact**: content-hash groupBy — one shuffle on the 60-bit hash, keeps a
+  deterministic survivor per group.
+- **near-dup candidates**: MinHash-LSH banding — per-doc signatures are a
+  pure projection (no shuffle); candidate pairs come from a self-equi-join
+  on (band, signature), which Catalyst executes as a hash join whose build
+  side is only ever *bucket-mates*. Shuffle volume is O(n · bands), not
+  O(n²).
+- **near-dup verified**: exact n-gram Jaccard, computed only for LSH
+  candidates (the cheap set), by joining the shingle sets back on doc_id.
+
+MinHash parameters (12 hashes = 4 bands × 3 rows) target the classic LSH
+S-curve threshold (1/b)^(1/r) ≈ 0.63 Jaccard. Hash family is
+``(a·x + b) mod P`` over 60-bit shingle hashes reduced mod P; P is prime and
+> 2³², coefficients a < 2³⁰ keep every product inside a signed 64-bit long
+(no overflow on any engine). Coefficients are fixed literals so the DuckDB
+oracle twin reproduces signatures bit-for-bit.
+
+The reference's dedup surface is row-key based (``dropDuplicates`` on
+event_id, reference spark/app.py:79; pandas drop_duplicates,
+airflow/dags/kafka_spark_etl.py:93); the content-hash and LSH tiers are the
+north-star extension (BASELINE.json; SURVEY.md §7.1 step 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hash60, sql_hash60
+from .cleaning import dedup_deterministic
+from .text import SHINGLE_N, shingle_hashes, sql_shingle_hashes_over_w, sql_tokens
+
+# LSH parameters — fixed literals shared verbatim by Spark + oracle SQL.
+MINHASH_P = 4294967311  # prime > 2^32
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1064082031, 797605564),
+    (573612697, 1944694864),
+    (145609951, 861958243),
+    (703471044, 4077954476),
+    (1071644562, 4226421251),
+    (126328945, 2355650359),
+    (848272349, 461793307),
+    (879404501, 2960065950),
+    (263703426, 175932789),
+    (986599566, 1910390390),
+    (765224311, 4172901075),
+    (332297311, 1940697599),
+)
+LSH_BANDS = 4
+LSH_ROWS = 3
+assert len(MINHASH_COEFFS) == LSH_BANDS * LSH_ROWS
+
+
+# ---------------------------------------------------------------------------
+# exact dedup by content hash
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(
+    df: DataFrame, content_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one deterministic survivor (min id) per identical content.
+
+    Content equality via :func:`hash60` — the shuffle key is the 60-bit hash,
+    so the exchange carries a fixed-width key instead of full document text;
+    at 100 TB that is the difference between shuffling 8-byte keys and
+    shuffling the corpus. Survivor choice is the minimum ``id_col``
+    (reproducible, oracle-expressible as ``QUALIFY row_number() = 1``).
+    """
+    hashed = df.withColumn("_h", hash60(F.col(content_col)))
+    return dedup_deterministic(hashed, ["_h"], [F.asc(id_col)]).drop("_h")
+
+
+def sql_exact_dedup(table: str = "documents", content_col: str = "text") -> str:
+    return f"""
+    SELECT * FROM {table}
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY {sql_hash60(content_col)}
+        ORDER BY doc_id ASC NULLS FIRST
+    ) = 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_col(hs: Column, a: int, b: int) -> Column:
+    """min over the feature set of (a·(x mod P) + b) mod P; null if empty."""
+    return F.array_min(
+        F.transform(hs, lambda x: (F.lit(a) * (x % MINHASH_P) + F.lit(b)) % MINHASH_P)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, band, sig): one row per document per LSH band.
+
+    Pure projection + ``posexplode`` — embarrassingly parallel, no shuffle.
+    Documents too short to shingle (< SHINGLE_N tokens) produce null
+    signatures and are dropped: they cannot near-duplicate by this measure.
+    """
+    feats = df.select(
+        F.col(id_col), shingle_hashes(text_col).alias("_hs")
+    ).filter(F.size("_hs") > 0)
+    mh = [_minhash_col(F.col("_hs"), a, b) for a, b in MINHASH_COEFFS]
+    bands = F.array(
+        *[
+            F.concat_ws(
+                "-", *[c.cast("string") for c in mh[k * LSH_ROWS : (k + 1) * LSH_ROWS]]
+            )
+            for k in range(LSH_BANDS)
+        ]
+    )
+    return feats.select(F.col(id_col), F.posexplode(bands).alias("band", "sig"))
+
+
+def lsh_candidate_pairs(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (doc_a < doc_b) pairs sharing at least one band signature.
+
+    Self-equi-join on (band, sig): Spark shuffles both sides on the band
+    signature — each bucket only meets its own bucket-mates, so the join
+    fan-out is bounded by bucket size, not corpus size. The final
+    ``dropDuplicates`` collapses pairs that collide in multiple bands.
+    """
+    sigs = minhash_signatures(df, text_col, id_col)
+    a = sigs.select(
+        F.col(id_col).alias("doc_a"), "band", "sig"
+    )
+    b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def _sql_minhash_exprs() -> list[str]:
+    return [
+        f"list_min([({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P} for x in hs])"
+        for a, b in MINHASH_COEFFS
+    ]
+
+
+def _sql_sigs_cte(table: str, text_col: str) -> str:
+    mh = _sql_minhash_exprs()
+    sig_expr = "concat_ws('-', " + ", ".join(
+        f"mh[band * {LSH_ROWS} + {j + 1}]::VARCHAR" for j in range(LSH_ROWS)
+    ) + ")"
+    band_ids = ", ".join(str(k) for k in range(LSH_BANDS))
+    return f"""
+    toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    feats AS (
+        SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs FROM toks
+    ),
+    mhs AS (
+        SELECT doc_id, [{", ".join(mh)}] AS mh FROM feats WHERE len(hs) > 0
+    ),
+    sigs AS (
+        SELECT doc_id, band, {sig_expr} AS sig
+        FROM mhs CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+    )
+    """
+
+
+def sql_minhash_signatures(table: str = "documents", text_col: str = "text") -> str:
+    return f"WITH {_sql_sigs_cte(table, text_col)} SELECT doc_id, band::INT AS band, sig FROM sigs"
+
+
+def sql_lsh_candidate_pairs(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)}
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# verified near-dup pairs: candidates + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH candidates with exact shingle-set Jaccard similarity.
+
+    Verification joins the (small) candidate-pair set back to the per-doc
+    shingle sets twice — both joins are key-equi on doc id, and the pair
+    table is orders of magnitude smaller than all-pairs. Jaccard is
+    |A∩B| / |A∪B| over distinct shingle hashes: one double division of two
+    exact ints, bit-identical across engines.
+    """
+    cands = lsh_candidate_pairs(df, text_col, id_col)
+    feats = df.select(
+        F.col(id_col).alias("_id"), shingle_hashes(text_col).alias("_hs")
+    )
+    fa = feats.select(F.col("_id").alias("doc_a"), F.col("_hs").alias("hs_a"))
+    fb = feats.select(F.col("_id").alias("doc_b"), F.col("_hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+def sql_neardup_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = 0.0,
+) -> str:
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.hs, y.hs))::DOUBLE
+             / len(list_distinct(list_concat(x.hs, y.hs))) AS jaccard
+    FROM cands c
+    JOIN feats x ON c.doc_a = x.doc_id
+    JOIN feats y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+            / len(list_distinct(list_concat(x.hs, y.hs))) >= {min_jaccard}
+    """

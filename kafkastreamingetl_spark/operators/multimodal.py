@@ -1,0 +1,112 @@
+"""Multimodal-column plumbing: opaque binary payloads + typed metadata.
+
+Design for media at 100 TB: image/audio/video bytes ride as an opaque
+``binary`` column next to typed metadata columns; per-item work (decode,
+feature-extract, resize, frame-sample) runs as Arrow-batched Python over
+``mapInPandas`` — the sanctioned Python path, since media codecs are not
+expressible as Catalyst expressions. The Spark-side contract (schema,
+batch iteration, column pruning before the Python stage) is real and tested;
+the codec itself is STUBBED: this container has no image/audio libraries, so
+``decode_image`` raises ``NotImplementedError`` and
+:func:`extract_features` derives deterministic fake dimensions from the
+payload's md5 (which also makes the operator oracle-checkable end-to-end —
+a rare property for a Python-UDF stage).
+
+Scale notes:
+- the ``mapInPandas`` input is projected to exactly (id, payload) before the
+  Python boundary, so Arrow transfers no unrelated columns;
+- feature extraction is per-row independent → embarrassingly parallel, no
+  shuffle at any width;
+- real deployments swap ``_fake_decode`` for PIL/ffmpeg calls inside the
+  same batch loop; the plan shape does not change.
+
+No analogue in the reference (Kafka JSON events only); north-star extension
+surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, content_md5 string, fake_width int, fake_height int"
+)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Decode an image payload into pixels. STUB — no codec libs here."""
+    raise NotImplementedError(
+        "image decoding requires an image library not present in this "
+        "container; extract_features uses a deterministic fake instead"
+    )
+
+
+def _fake_decode(digest_hex: str) -> tuple[int, int]:
+    """Deterministic stand-in for decoded media dimensions.
+
+    Derived from the payload hash so tests and oracles can predict it:
+    width = 1 + (first 8 hex digits as int) mod 1920, height analogous on
+    the next 8 digits.
+    """
+    w = 1 + int(digest_hex[:8], 16) % 1920
+    h = 1 + int(digest_hex[8:16], 16) % 1080
+    return w, h
+
+
+def with_binary_payload(
+    df: DataFrame, source_col: str = "text", payload_col: str = "payload"
+) -> DataFrame:
+    """Materialize an opaque binary column (UTF-8 bytes of a string column).
+
+    Stand-in producer: the testdata has no real media, so documents' text
+    doubles as the payload. Real pipelines read media bytes from parquet
+    ``binary`` columns or ``spark.read.format("binaryFile")``.
+    """
+    return df.withColumn(payload_col, F.encode(F.col(source_col), "utf-8"))
+
+
+def extract_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched per-item feature extraction over a binary column.
+
+    Output: (doc_id, n_bytes, content_md5, fake_width, fake_height).
+    """
+    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            digests = [
+                hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+            ]
+            dims = [_fake_decode(d) for d in digests]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "content_md5": digests,
+                    "fake_width": [w for w, _ in dims],
+                    "fake_height": [h for _, h in dims],
+                }
+            )
+
+    return slim.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+def sql_extract_features(table: str = "documents", source_col: str = "text") -> str:
+    """DuckDB twin of encode→extract_features over an ASCII source column."""
+    h = f"md5({source_col})"
+    return f"""
+    SELECT doc_id,
+           length({source_col})::BIGINT AS n_bytes,
+           {h} AS content_md5,
+           (1 + ('0x' || substr({h}, 1, 8))::BIGINT % 1920)::INT AS fake_width,
+           (1 + ('0x' || substr({h}, 9, 8))::BIGINT % 1080)::INT AS fake_height
+    FROM {table}
+    """

@@ -120,3 +120,102 @@ def premium_rollup(
             F.sum("daily_events").alias("total_events"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# X2 end-to-end: run-date slice, partitioned write, guards, quality check
+# ---------------------------------------------------------------------------
+
+
+def filter_run_date(df: DataFrame, run_date: str, ts_col: str = "ts") -> DataFrame:
+    """P4/F8: keep one day of events (reference kafka_spark_etl.py:54-57).
+
+    The predicate is a half-open *timestamp range*, not
+    ``to_date(ts) == run_date``: a raw-column range comparison pushes down to
+    the parquet scan (row-group min/max pruning; PushedFilters in the plan),
+    and prunes partitions when the lake is date-partitioned — a cast wrapped
+    around the column would defeat both. Semantically identical for
+    whole-day slices.
+    """
+    start = F.lit(run_date).cast("date").cast("timestamp")
+    return df.filter(
+        (F.col(ts_col) >= start)
+        & (F.col(ts_col) < start + F.expr("INTERVAL 1 DAY"))
+    )
+
+
+def daily_segment_metrics_for_date(
+    events: DataFrame,
+    customer: DataFrame,
+    run_date: str,
+    *,
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """The reference's parameterized daily batch (X1+P4+A2+W1): one day's
+    segment metrics. The day filter sits *under* the join and aggregate, so
+    at scale the job reads one day's row groups, not the lake."""
+    return daily_segment_metrics(
+        filter_run_date(events, run_date, ts_col),
+        customer,
+        ts_col=ts_col,
+        value_col=value_col,
+    )
+
+
+def write_daily_metrics(df: DataFrame, path: str) -> None:
+    """S7 + H2 + H5: hive-partitioned parquet write of the metrics table
+    (reference kafka_spark_etl.py:102-107 single-file write; spark/app.py:184,
+    194 repartition + partitionBy).
+
+    ``repartition(event_date)`` before ``partitionBy(event_date)`` means each
+    output date directory is written by one task — without it every task
+    writes a file into every date dir (task_count × date_count small files,
+    the classic partitioned-write mistake at scale).
+    """
+    (
+        df.repartition("event_date")
+        .write.mode("overwrite")
+        .partitionBy("event_date")
+        .parquet(path)
+    )
+
+
+def is_empty(df: DataFrame) -> bool:
+    """P8: empty-input guard (reference kafka_spark_etl.py:49-61) without a
+    full count — ``limit(1)`` stops the scan at the first row found."""
+    return df.limit(1).count() == 0
+
+
+def quality_check(df: DataFrame, *, fail: bool = False) -> int:
+    """X4/A4: soft row-count check (reference kafka_spark_etl.py:127-142).
+
+    Returns the row count; warns (or raises with ``fail=True``) on 0 rows —
+    the reference's check is warn-only, so that is the default.
+    """
+    import warnings
+
+    n = df.count()
+    if n == 0:
+        msg = "quality_check: output has 0 rows"
+        if fail:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return n
+
+
+def run_daily_batch(
+    events: DataFrame,
+    customer: DataFrame,
+    run_date: str,
+    output_path: str | None = None,
+) -> int:
+    """X2 end-to-end: slice → aggregate → rank → (optionally) write →
+    quality-check. Returns the output row count, as the reference's batch
+    job does (kafka_spark_etl.py:106-109)."""
+    if is_empty(filter_run_date(events, run_date)):
+        return 0
+    metrics = daily_segment_metrics_for_date(events, customer, run_date)
+    if output_path is not None:
+        write_daily_metrics(metrics, output_path)
+    return quality_check(metrics)

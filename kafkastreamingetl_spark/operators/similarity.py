@@ -1,0 +1,244 @@
+"""Similarity search over `embeddings` (array<float> vectors).
+
+Two tiers:
+
+- :func:`cosine_topk` — brute-force exact top-k: broadcast the (small) query
+  set against the corpus, score JVM-side (``zip_with``/``aggregate`` fold —
+  no Python), then a two-stage top-k. This is the oracle-checkable baseline
+  and the correct plan when the query set is small and the corpus must be
+  fully scanned anyway.
+- :func:`ann_hyperplane_topk` — LSH-bucketed approximate search: sign-random
+  -hyperplane bucketing, candidates limited to the query's bucket. The
+  corpus never meets a query outside its bucket, so compare volume drops
+  ~2^n_planes-fold; this is the 100 TB path.
+
+Scale notes baked into the plans:
+- scores are projected down to ``(query_id, vec_id, cos)`` *before* any
+  exchange, so shuffles move ~24-byte rows, never the 256-byte vectors;
+- top-k is two-stage: rank within (query, physical partition) first —
+  parallelism ``n_queries × n_partitions``, no single-reducer-per-query
+  skew — then rank the surviving ``k × n_partitions`` rows per query;
+- the cosine fold is sequential and double-precision, bit-identical to the
+  DuckDB ``list_reduce`` twin (verified in tests), so exact-equality oracle
+  checks pass.
+
+No analogue in the reference (its only "similarity" is equi-join
+enrichment); this is the north-star extension surface (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import cosine
+
+# Deterministic ±1 hyperplanes (module-level so Spark literals and oracle SQL
+# derive from the same values; Python's Mersenne Twister is seed-stable).
+ANN_N_PLANES = 8
+ANN_DIM = 64
+_rng = random.Random(7)
+ANN_PLANES: tuple[tuple[float, ...], ...] = tuple(
+    tuple(1.0 if _rng.random() < 0.5 else -1.0 for _ in range(ANN_DIM))
+    for _ in range(ANN_N_PLANES)
+)
+del _rng
+
+
+def _sgn_dot_plane(vec: Column, plane: tuple[float, ...]) -> Column:
+    """'1'/'0' sign bit of <vec, plane> (±1 plane → exact double fold)."""
+    prods = F.zip_with(
+        vec,
+        F.array(*[F.lit(p) for p in plane]),
+        lambda x, y: x.cast("double") * y,
+    )
+    s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
+
+
+def bucket_signature(vec: Column) -> Column:
+    """Concatenated sign bits against every hyperplane → bucket id string."""
+    return F.concat(*[_sgn_dot_plane(vec, p) for p in ANN_PLANES])
+
+
+def _topk_two_stage(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k of (query_id, vec_id, cos) in two rank stages.
+
+    Stage 1 ranks within (query_id, spark_partition_id): the exchange is
+    balanced across partitions regardless of query count. Stage 2 ranks the
+    ≤ k·n_partitions survivors per query — negligible volume. Ordering is
+    total (cos DESC, vec_id ASC), so the result is deterministic.
+    """
+    local_w = Window.partitionBy("query_id", "_pid").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact cosine top-k of every corpus vector against each query vector.
+
+    ``queries`` must be small (it is broadcast — the crossJoin is map-side,
+    one corpus scan total). Self-matches (same id) are excluded.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col)
+        )
+    )
+    scored = (
+        embeddings.crossJoin(q)
+        .filter(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("vec_id"),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+    )
+    return _topk_two_stage(scored, k)
+
+
+def self_queries(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
+    """The first ``n_queries`` corpus vectors as the query set (by vec_id)."""
+    return embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def ann_hyperplane_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket.
+
+    Corpus rows are tagged with their bucket signature in the same scan that
+    computes scores; the bucket equi-join replaces the crossJoin, so each
+    corpus row meets only queries sharing its bucket (expected corpus/2^p).
+    Recall is traded for that reduction — the standard LSH deal. Result
+    schema matches :func:`cosine_topk` (ranks are within-bucket).
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            bucket_signature(F.col(query_vec_col)).alias("_bucket"),
+        )
+    )
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        bucket_signature(F.col(vec_col)).alias("_bucket"),
+    )
+    scored = (
+        corpus.join(q, "_bucket")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+    )
+    return _topk_two_stage(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracle twins
+# ---------------------------------------------------------------------------
+
+_SQL_DOT = (
+    "list_reduce([x[1]::DOUBLE * x[2]::DOUBLE for x in list_zip({a}, {b})],"
+    " (p, q) -> p + q)"
+)
+_SQL_NORM = "sqrt(list_reduce([x::DOUBLE * x::DOUBLE for x in {a}], (p, q) -> p + q))"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    return f"({dot} / ({_SQL_NORM.format(a=a)} * {_SQL_NORM.format(a=b)}))"
+
+
+def sql_cosine_topk(
+    table: str = "embeddings", k: int = 10, n_queries: int = 8
+) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM {table} WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               {sql_cosine('e.embedding', 'q.query_vec')} AS cos
+        FROM {table} e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+def _sql_bucket(vec: str) -> str:
+    bits = []
+    for plane in ANN_PLANES:
+        arr = "[" + ", ".join(str(p) for p in plane) + "]::DOUBLE[]"
+        dot = _SQL_DOT.format(a=vec, b=arr)
+        bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
+    return " || ".join(bits)
+
+
+def sql_ann_hyperplane_topk(
+    table: str = "embeddings", k: int = 10, n_queries: int = 8
+) -> str:
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec,
+               {_sql_bucket('embedding')} AS bucket
+        FROM {table} WHERE vec_id < {n_queries}
+    ),
+    corpus AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM {table}
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {sql_cosine('c.embedding', 'q.query_vec')} AS cos
+        FROM corpus c JOIN q ON c.bucket = q.bucket
+        WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """

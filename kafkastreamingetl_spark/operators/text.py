@@ -1,0 +1,246 @@
+"""Text-analysis operators for LLM-data-pipeline workloads over `documents`.
+
+Everything here is built-in-expression only (JVM-side, whole-stage codegen):
+tokenization via ``split``, shingling via ``transform``/``sequence``, hashing
+via md5-hex→bigint (:func:`kafkastreamingetl_spark.functions.hash60`), SimHash
+via nested ``aggregate`` folds. No Python UDFs — at 100 TB the per-row
+JVM↔Python boundary would dominate; these expressions scan-and-project in one
+codegen stage with no shuffle at all (aggregate variants shuffle once on the
+group keys).
+
+Each operator has a ``sql_*`` twin emitting the equivalent DuckDB expression
+so the oracle harness checks the exact same computation (hash parity is
+bit-for-bit — see functions.hash60).
+
+The reference has no text operators (it is a Kafka ETL demo); these implement
+the north-star extension surface from BASELINE.json / SURVEY.md §7.1 step 6.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dsum, hash60, sql_dsum, sql_hash60
+
+# Documents tokenize on single spaces (testdata `documents.text` is
+# single-space-separated lowercase ASCII; verified in TESTDATA probes). A
+# general corpus would split on ``\s+`` — kept literal so the DuckDB twin
+# (string_split) is exactly equivalent.
+TOKEN_SEP = " "
+
+# Tiny function-word profile for the language-guess heuristic. Deliberately
+# minimal: a real lang-id model is out of scope (no external models in this
+# container); the operator demonstrates the *shape* — per-doc token-overlap
+# scoring against per-language profiles, all in built-in expressions.
+EN_STOPWORDS = ("a", "the", "of", "and", "to", "in", "is", "it")
+
+SHINGLE_N = 3  # word n-gram width shared by SimHash + MinHash pipelines
+
+SIMHASH_BITS = 60  # matches hash60's width
+
+
+def tokens(col: str | Column) -> Column:
+    """``split`` on the token separator → array<string> (order-preserving)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, TOKEN_SEP)
+
+
+def sql_tokens(expr: str) -> str:
+    return f"string_split({expr}, '{TOKEN_SEP}')"
+
+
+def shingle_hashes(col: str | Column, n: int = SHINGLE_N) -> Column:
+    """Distinct 60-bit hashes of word ``n``-grams — the document's feature set.
+
+    ``transform(sequence(1, size-n+1))`` builds the shingles positionally
+    (1-based ``element_at``); short documents (< n tokens) yield an empty
+    set (guarded: Spark's ``sequence(1, 0)`` would *descend*). Distinct is
+    taken on the *hash* values: min/intersect/union consumers are all
+    set-semantics, so ordering differences between engines are irrelevant.
+    """
+    t = tokens(col)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            TOKEN_SEP, *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(F.transform(grams, hash60))
+
+
+def sql_shingle_hashes_over_w(n: int = SHINGLE_N) -> str:
+    """DuckDB twin of :func:`shingle_hashes`, over a tokens column named ``w``.
+
+    Callers must provide ``w`` (e.g. via a CTE ``SELECT string_split(text,
+    ' ') AS w``); DuckDB ``range`` has exclusive end and never descends, so
+    the short-document case degrades to an empty list without a guard.
+    """
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return (
+        f"list_distinct([{sql_hash60(f'({gram})')} "
+        f"for i in range(1, greatest(len(w) - {n - 2}, 1))])"
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-document quality metrics
+# ---------------------------------------------------------------------------
+
+
+def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality metrics: counts, ratios, a language guess.
+
+    Pure projection — no shuffle; at 100 TB this is a single scan that
+    Catalyst fuses with the parquet read (column pruning keeps only the
+    consumed columns). All ratios are single double divisions of exact
+    integer counts, so they are bit-identical across engines.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_distinct = F.size(F.array_distinct(t))
+    n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
+    return df.select(
+        "doc_id",
+        F.length(text_col).alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_distinct.cast("bigint").alias("n_distinct_tokens"),
+        (n_distinct.cast("double") / n_tok).alias("type_token_ratio"),
+        (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
+        # mean token length: chars minus the separators, over token count
+        ((F.length(text_col) - (n_tok - F.lit(1))).cast("double") / n_tok).alias(
+            "avg_token_len"
+        ),
+        F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
+    )
+
+
+def sql_doc_quality(table: str = "documents", text_col: str = "text") -> str:
+    stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
+    w = sql_tokens(text_col)
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {text_col} AS text, {w} AS w FROM {table}
+    )
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(w)::BIGINT AS n_tokens,
+           len(list_distinct(w))::BIGINT AS n_distinct_tokens,
+           len(list_distinct(w))::DOUBLE / len(w) AS type_token_ratio,
+           len(list_filter(w, x -> x IN ({stop})))::DOUBLE / len(w)
+               AS stopword_ratio,
+           (length(text) - (len(w) - 1))::DOUBLE / len(w) AS avg_token_len,
+           CASE WHEN len(list_filter(w, x -> x IN ({stop}))) > 0
+                THEN 'en' ELSE 'unknown' END AS lang_guess
+    FROM toks
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level token statistics
+# ---------------------------------------------------------------------------
+
+
+def doc_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-(lang, source) corpus stats: docs, tokens, chars, mean doc length.
+
+    One hash-shuffle on the (low-cardinality) group keys; token counting
+    happens map-side inside the partial aggregate, so the exchange carries
+    only pre-aggregated rows — the same plan shape at any scale.
+    """
+    n_tok = F.size(tokens(text_col)).cast("bigint")
+    return df.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).alias("total_tokens"),
+        F.sum(F.length(text_col).cast("bigint")).alias("total_chars"),
+        dsum(n_tok.cast("double"), "sum_doc_tokens"),
+        F.max(n_tok).alias("max_doc_tokens"),
+    )
+
+
+def sql_doc_token_stats(table: str = "documents", text_col: str = "text") -> str:
+    w = sql_tokens(text_col)
+    return f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(len({w})::BIGINT)::BIGINT AS total_tokens,
+           SUM(length({text_col})::BIGINT)::BIGINT AS total_chars,
+           {sql_dsum(f'len({w})::DOUBLE')} AS sum_doc_tokens,
+           MAX(len({w})::BIGINT) AS max_doc_tokens
+    FROM {table}
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash document fingerprint
+# ---------------------------------------------------------------------------
+
+
+def simhash(col: str | Column, n: int = SHINGLE_N) -> Column:
+    """60-bit SimHash fingerprint over the shingle-hash feature set.
+
+    Classic Charikar construction: for each bit position, sum +1/-1 votes
+    from every feature hash, keep the bit where the vote is positive. The
+    bit test uses pure modular arithmetic (``x % 2p >= p`` ⇔ bit set) —
+    exact in bigint, no float shifts, identical in DuckDB.
+
+    Near-duplicate texts differ in few shingles, so their fingerprints are
+    close in Hamming distance; pairing by fingerprint bands is the scalable
+    grouping (no all-pairs comparison).
+    """
+    hs = shingle_hashes(col, n)
+    pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    return F.aggregate(
+        pows,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc
+        + F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("bigint"),
+                lambda votes, x: votes
+                + F.when(x % (p * 2) >= p, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            p,
+        ).otherwise(F.lit(0)),
+    )
+
+
+def sql_simhash_over_hs() -> str:
+    """DuckDB twin of :func:`simhash`, over a shingle-hash list column ``hs``."""
+    pows = ", ".join(str(1 << b) for b in range(SIMHASH_BITS))
+    return (
+        f"COALESCE(list_sum([CASE WHEN "
+        f"list_sum([CASE WHEN x % (p * 2) >= p THEN 1 ELSE -1 END for x in hs])"
+        f" > 0 THEN p ELSE 0 END for p in [{pows}]::BIGINT[]]), 0)::BIGINT"
+    )
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash, content_hash): per-doc fingerprints in one scan."""
+    return df.select(
+        "doc_id",
+        simhash(text_col).alias("simhash"),
+        hash60(F.col(text_col)).alias("content_hash"),
+    )
+
+
+def sql_doc_fingerprint(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {text_col} AS text, {sql_tokens(text_col)} AS w
+        FROM {table}
+    ),
+    feats AS (
+        SELECT doc_id, text, {sql_shingle_hashes_over_w()} AS hs FROM toks
+    )
+    SELECT doc_id,
+           {sql_simhash_over_hs()} AS simhash,
+           {sql_hash60('text')} AS content_hash
+    FROM feats
+    """

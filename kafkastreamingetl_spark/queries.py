@@ -18,12 +18,24 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
-from .functions import sql_dsum
+from .catalog import load_table, register_views
+from .functions import dsum, sql_dsum
+from .operators import dedup as dedup_ops
+from .operators import multimodal as mm_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
 from .operators.cleaning import clean_events
 from .operators.enrichment import enrich_events
-from .operators.rollup import daily_segment_metrics, premium_rollup
+from .operators.rollup import (
+    daily_segment_metrics,
+    daily_segment_metrics_for_date,
+    premium_rollup,
+)
 from .operators.windows import windowed_agg
+
+# Fixed logical date for the parameterized daily-batch query (testdata events
+# span 2024-01-01..30; mid-range keeps the slice non-empty at every sf).
+RUN_DATE = "2024-01-15"
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLE_SQL: dict[str, str] = {}
@@ -208,3 +220,243 @@ def q_daily_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_premium_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 part 2 (P7 + J3 + A3) — reference kafka_spark_etl.py:81-100."""
     return premium_rollup(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"))
+
+
+@query(
+    "daily_metrics_run_date",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT CAST(e.ts AS DATE) AS event_date,
+               e.event_type,
+               c.c_mktsegment AS segment,
+               e.value, e.event_id
+        FROM events e
+        LEFT JOIN customer c ON e.user_id = c.c_custkey
+        WHERE e.ts >= DATE '{RUN_DATE}'
+          AND e.ts < DATE '{RUN_DATE}' + INTERVAL 1 DAY
+    ),
+    daily AS (
+        SELECT event_date, event_type, segment,
+               {sql_dsum('value')} AS daily_revenue,
+               CAST(COUNT(DISTINCT event_id) AS BIGINT) AS daily_events
+        FROM enriched
+        GROUP BY 1, 2, 3
+    )
+    SELECT event_date, event_type, segment, daily_revenue, daily_events,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY event_date, event_type
+               ORDER BY daily_revenue DESC NULLS LAST, segment ASC NULLS FIRST
+           ) AS INT) AS revenue_rank_in_type
+    FROM daily
+    """,
+)
+def q_daily_metrics_run_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/P4/F8 — the parameterized one-day batch slice (reference
+    kafka_spark_etl.py:15-78). The day predicate reaches the parquet scan
+    (PushedFilters) — asserted in tests/test_rollup_batch.py."""
+    return daily_segment_metrics_for_date(
+        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"), RUN_DATE
+    )
+
+
+# ===========================================================================
+# Relational gap-fillers: shuffle join, SQL door, wire formats
+# ===========================================================================
+
+
+@query(
+    "order_line_rollup",
+    oracle=f"""
+    SELECT o.o_orderstatus AS orderstatus,
+           l.l_returnflag AS returnflag,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS net_revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def q_order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 done honestly: a large⋈large equi-join with NO broadcast hint —
+    AQE picks the strategy (SMJ/shuffled-hash once both sides outgrow the
+    threshold; the reference forced this with autoBroadcastJoinThreshold=-1,
+    spark/app.py:25-26,137). Only the join keys + aggregated columns are
+    selected, so the exchanges carry pruned rows."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_orderstatus").alias("orderstatus"),
+            F.col("l_returnflag").alias("returnflag"),
+        )
+        .agg(
+            dsum(net, "net_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+_SQL_DOOR = """
+    SELECT e.event_id, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment, c.c_acctbal,
+           n.n_name, r.r_name
+    FROM events e
+    LEFT JOIN customer c ON e.user_id = c.c_custkey
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE e.value > 100.0
+"""
+
+
+@query("sql_projection", oracle=_SQL_DOOR)
+def q_sql_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — the SQL door (reference spark/app.py:140-156): the SAME ANSI
+    text runs through Spark's parser over registered temp views and through
+    the DuckDB oracle; Catalyst's parse→analyze→optimize pipeline is the
+    unit under test. Also a 3-level snowflake join where nation/region are
+    auto-broadcast (no hints in SQL)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_DOOR)
+
+
+@query(
+    "json_decode",
+    oracle="""
+    SELECT event_id, CAST(props->>'k' AS INT) AS k
+    FROM events
+    """,
+)
+def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/F2 — from_json against a fixed schema (reference spark/app.py:61-63
+    decodes the Kafka value envelope the same way)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+
+
+@query(
+    "json_roundtrip",
+    oracle="""
+    SELECT event_id,
+           to_json(struct_pack(
+               event_id := event_id,
+               event_type := coalesce(event_type, 'unknown'),
+               k := CAST(props->>'k' AS INT)
+           ))::VARCHAR AS payload
+    FROM events
+    """,
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 — to_json(struct(...)): the producer's wire format (reference
+    producer/producer.py:50, re-expressed as the Kafka-sink projection
+    ``to_json(struct(*))`` from SURVEY §2.1 S8). Fields are null-proofed:
+    Spark omits null struct fields where DuckDB emits ``null``, so the
+    contract requires non-null values — enforced with coalesce."""
+    ev = _t(spark, sf_dir, "events")
+    payload = F.to_json(
+        F.struct(
+            F.col("event_id"),
+            F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
+            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+        )
+    )
+    return ev.select("event_id", payload.alias("payload"))
+
+
+@query(
+    "wire_normalize",
+    oracle="""
+    SELECT event_id,
+           upper(event_type) AS event_type_uc,
+           CAST(strftime(ts, '%Y-%m-%d %H:%M:%S') AS TIMESTAMP) AS ts_sec
+    FROM events
+    """,
+)
+def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3/F4 — upper() normalization + ISO-string→timestamp parse (reference
+    spark/app.py:74-75): the timestamp is formatted to the reference's wire
+    resolution and re-parsed, exercising both directions of F4."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.upper("event_type").alias("event_type_uc"),
+        F.to_timestamp(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
+        ).alias("ts_sec"),
+    )
+
+
+# ===========================================================================
+# LLM-data-pipeline extensions: text / dedup / similarity / multimodal
+# ===========================================================================
+
+
+@query("doc_token_stats", oracle=text_ops.sql_doc_token_stats())
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per (lang, source)."""
+    return text_ops.doc_token_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_quality", oracle=text_ops.sql_doc_quality())
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics + language guess."""
+    return text_ops.doc_quality(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_fingerprint", oracle=text_ops.sql_doc_fingerprint())
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash + content-hash fingerprints per document."""
+    return text_ops.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+@query("exact_dedup_documents", oracle=dedup_ops.sql_exact_dedup())
+def q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content-hash dedup, deterministic min-doc_id survivor."""
+    return dedup_ops.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@query("minhash_signatures", oracle=dedup_ops.sql_minhash_signatures())
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH band signatures (4 bands × 3 rows, fixed hash family)."""
+    return dedup_ops.minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+@query("neardup_candidates", oracle=dedup_ops.sql_lsh_candidate_pairs())
+def q_neardup_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-banded candidate pairs — bucketed self-join, never all-pairs."""
+    return dedup_ops.lsh_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("neardup_pairs_jaccard", oracle=dedup_ops.sql_neardup_pairs())
+def q_neardup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates verified with exact shingle-set Jaccard similarity."""
+    return dedup_ops.neardup_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_topk", oracle=sim_ops.sql_cosine_topk())
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact cosine top-10 for the first 8 query vectors."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cosine_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("embedding_ann_topk", oracle=sim_ops.sql_ann_hyperplane_topk())
+def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH approximate top-10 — bucketed compare, the scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_hyperplane_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("multimodal_features", oracle=mm_ops.sql_extract_features())
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction via Arrow-batched mapInPandas
+    (decode stubbed deterministically — see operators.multimodal)."""
+    docs = _t(spark, sf_dir, "documents")
+    return mm_ops.extract_features(mm_ops.with_binary_payload(docs))
