@@ -57,6 +57,50 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def load_events(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    ts_start: str | None = None,
+    ts_end: str | None = None,
+) -> DataFrame:
+    """Events scan with an optional half-open ``[ts_start, ts_end)`` slice
+    that actually reaches the parquet reader.
+
+    The nanos→timestamp conversion in :func:`load_table` is an expression,
+    so a predicate on the *converted* column cannot push down (the scan
+    shows only ``IsNotNull``). ``timestamp_micros(ts DIV 1000)`` is
+    monotonic in the raw value, so the equivalent bounds are applied to the
+    raw int96-nanos column *before* conversion — the plan then carries
+    ``PushedFilters: [GreaterThanOrEqual(ts,...), LessThan(ts,...)]`` and
+    row-group min/max stats prune untouched days. At 100 TB this is the
+    difference between scanning one day and scanning the lake (asserted in
+    tests/test_rollup_batch.py).
+    """
+    from datetime import datetime, timezone
+
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw_ns = dict(df.dtypes).get("ts") == "bigint"
+
+    def _ns(iso: str) -> int:
+        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
+        return int(dt.timestamp()) * 1_000_000_000
+
+    for bound, cmp in ((ts_start, "__ge__"), (ts_end, "__lt__")):
+        if bound is None:
+            continue
+        if raw_ns:
+            df = df.filter(getattr(F.col("ts"), cmp)(F.lit(_ns(bound))))
+        else:
+            df = df.filter(
+                getattr(F.col("ts"), cmp)(F.lit(bound).cast("timestamp"))
+            )
+    if raw_ns:
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:

@@ -18,7 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table, register_views
+from .catalog import load_events, load_table, register_views
 from .functions import dsum, sql_dsum
 from .operators import dedup as dedup_ops
 from .operators import multimodal as mm_ops
@@ -252,11 +252,16 @@ def q_premium_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_daily_metrics_run_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2/P4/F8 — the parameterized one-day batch slice (reference
-    kafka_spark_etl.py:15-78). The day predicate reaches the parquet scan
-    (PushedFilters) — asserted in tests/test_rollup_batch.py."""
-    return daily_segment_metrics_for_date(
-        _t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"), RUN_DATE
-    )
+    kafka_spark_etl.py:15-78). The scan is range-sliced in the raw-nanos
+    domain (catalog.load_events) so the day predicate reaches the parquet
+    reader (PushedFilters; asserted in tests/test_rollup_batch.py); the
+    logical filter in daily_segment_metrics_for_date then re-asserts the
+    same bounds on the converted column."""
+    from datetime import date, timedelta
+
+    next_day = (date.fromisoformat(RUN_DATE) + timedelta(days=1)).isoformat()
+    events = load_events(spark, sf_dir, ts_start=RUN_DATE, ts_end=next_day)
+    return daily_segment_metrics_for_date(events, _t(spark, sf_dir, "customer"), RUN_DATE)
 
 
 # ===========================================================================

@@ -1,0 +1,156 @@
+"""Streaming runtime: sink policies, multi-sink fan-out, deterministic runs.
+
+Re-expresses the reference's streaming main program (reference
+spark/app.py:184-209) as composable policy functions:
+
+- S4  parquet append sink with checkpoint + trigger + hive partitioning
+- S5  console sink (update mode)
+- S8  Kafka producer sink (``to_json(struct(*))`` → value bytes)
+- T4  output modes, T5 triggers, T6 checkpointing, T8 multi-sink fan-out
+- a ``foreachBatch`` bridge so batch operators (e.g. the daily rollup) can
+  run continuously against micro-batches
+- :func:`run_available_now` — the test harness path: processes everything
+  available, then stops (deterministic; SURVEY.md §5.2), replacing
+  wall-clock triggers with replayable runs.
+
+Checkpoint policy at scale: one checkpoint dir per query (never shared),
+RocksDB state store (set in session.get_spark) so streaming state lives off
+the JVM heap, and ``dropDuplicatesWithinWatermark`` upstream keeps dedup
+state bounded (operators.cleaning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import StreamingQuery
+
+
+def write_parquet_stream(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    partition_by: str | list[str] | None = None,
+    trigger_seconds: int | None = 30,
+    available_now: bool = False,
+    output_mode: str = "append",
+) -> StreamingQuery:
+    """S4/H5/T4/T5/T6: the reference's parquet lake sink
+    (spark/app.py:189-197): append mode, checkpointed, hive-partitioned,
+    micro-batch trigger. ``available_now=True`` swaps the wall-clock trigger
+    for a process-everything-then-stop run (tests, backfills)."""
+    w = (
+        df.writeStream.outputMode(output_mode)
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+    )
+    if partition_by:
+        cols = [partition_by] if isinstance(partition_by, str) else partition_by
+        w = w.partitionBy(*cols)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def write_console_stream(
+    df: DataFrame, *, output_mode: str = "update", truncate: bool = False
+) -> StreamingQuery:
+    """S5: debug console sink, update mode, untruncated (reference
+    spark/app.py:200-205)."""
+    return (
+        df.writeStream.outputMode(output_mode)
+        .format("console")
+        .option("truncate", str(truncate).lower())
+        .start()
+    )
+
+
+def write_memory_stream(
+    df: DataFrame,
+    name: str,
+    *,
+    output_mode: str = "append",
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Memory sink for tests: results land in the temp view ``name``.
+
+    Memory sinks collect to the driver — test-sized data only, never a
+    production path.
+    """
+    w = df.writeStream.outputMode(output_mode).format("memory").queryName(name)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def write_kafka_stream(
+    df: DataFrame,
+    bootstrap_servers: str,
+    topic: str,
+    checkpoint: str,
+) -> StreamingQuery:
+    """S8: Kafka producer sink. Rows are serialized like the reference
+    producer (json.dumps → utf-8, producer/producer.py:48-51) via
+    ``to_json(struct(*))``. Requires the Kafka connector at runtime."""
+    from pyspark.sql import functions as F
+
+    payload = df.select(
+        F.to_json(F.struct(*[F.col(c) for c in df.columns])).alias("value")
+    )
+    return (
+        payload.writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+
+
+def foreach_batch_sink(
+    df: DataFrame,
+    batch_fn: Callable[[DataFrame, int], None],
+    checkpoint: str,
+    *,
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """The foreachBatch bridge: run arbitrary *batch* logic (e.g. the daily
+    rollup, multi-table writes) against each micro-batch — the idiomatic way
+    to reuse batch operators in streaming (SURVEY.md §2.1 S8 note)."""
+    w = df.writeStream.foreachBatch(batch_fn).option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif trigger_seconds is not None:
+        w = w.trigger(processingTime=f"{trigger_seconds} seconds")
+    return w.start()
+
+
+def fan_out(
+    df: DataFrame, sinks: list[Callable[[DataFrame], StreamingQuery]]
+) -> list[StreamingQuery]:
+    """T8: start several sinks off one lineage (reference spark/app.py:
+    189-209 runs parquet + console concurrently). Each sink is an
+    independent StreamingQuery with its own checkpoint/trigger; the source
+    is re-read per query (Kafka replays; file sources re-list)."""
+    return [make_sink(df) for make_sink in sinks]
+
+
+def run_available_now(queries: list[StreamingQuery], timeout_sec: int = 300) -> None:
+    """Await a set of availableNow queries (deterministic test runs).
+
+    Raises on timeout or query failure (surfacing the real streaming
+    exception instead of a silent hang).
+    """
+    for q in queries:
+        if not q.awaitTermination(timeout_sec):
+            q.stop()
+            raise TimeoutError(
+                f"streaming query {q.name or q.id} did not finish in {timeout_sec}s"
+            )
+        if q.exception() is not None:
+            raise q.exception()

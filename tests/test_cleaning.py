@@ -1,0 +1,53 @@
+"""Dirty-data cleaning tests (SURVEY.md §5.3): the synthetic generator
+reproduces the reference producer's mess (nulls, messy casing, duplicate
+ids — producer/producer.py:19-44) and the cleaning stage must fix all of it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.cleaning import clean_events, dedup_deterministic
+from kafkastreamingetl_spark.sources import EVENT_TYPES, synthetic_events_batch
+
+N = 5_000
+
+
+def _dirty(spark):
+    return synthetic_events_batch(spark, N, seed=7)
+
+
+def test_generator_is_deterministic(spark):
+    a = _dirty(spark).orderBy("event_id", "ts", "value").collect()
+    b = _dirty(spark).orderBy("event_id", "ts", "value").collect()
+    assert a == b
+
+
+def test_generator_is_dirty(spark):
+    df = _dirty(spark)
+    n = df.count()
+    assert n == N
+    n_null_value = df.filter(F.col("value").isNull()).count()
+    assert 0.05 * N < n_null_value < 0.15 * N  # ~10% null metric
+    n_messy = df.filter(F.col("event_type") != F.lower(F.trim("event_type"))).count()
+    assert n_messy > 0.5 * N  # most casings are messy variants
+    n_dup = n - df.select("event_id").distinct().count()
+    assert 0.02 * N < n_dup < 0.08 * N  # ~5% duplicate ids
+
+
+def test_clean_events_fixes_everything(spark):
+    cleaned = clean_events(_dirty(spark))
+    assert cleaned.filter(F.col("value").isNull()).count() == 0
+    assert cleaned.filter(F.col("event_type_norm").isNull()).count() == 0
+    # normalized: trimmed, lowercased, member of the canonical vocabulary
+    bad = cleaned.filter(~F.col("event_type_norm").isin(*EVENT_TYPES)).count()
+    assert bad == 0
+    # one row per key
+    assert cleaned.count() == cleaned.select("event_id").distinct().count()
+
+
+def test_dedup_deterministic_picks_by_order(spark):
+    rows = [(1, 10.0, "b"), (1, 5.0, "a"), (2, 1.0, "c")]
+    df = spark.createDataFrame(rows, ["k", "v", "tag"])
+    out = dedup_deterministic(df, ["k"], [F.asc("v")]).orderBy("k").collect()
+    assert [(r.k, r.tag) for r in out] == [(1, "a"), (2, "c")]

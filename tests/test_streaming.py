@@ -1,0 +1,153 @@
+"""Streaming semantics, deterministically (SURVEY.md §5.2): file source +
+availableNow triggers + memory/parquet sinks — no Kafka, no wall clock.
+
+These tests prove the streaming twins actually *start and run* (watermark +
+dropDuplicatesWithinWatermark + append-mode window finalization are exactly
+the constructs that look right and fail at ``.start()``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.cleaning import clean_events_streaming
+from kafkastreamingetl_spark.operators.windows import streaming_windowed_agg, windowed_agg
+from kafkastreamingetl_spark.sources import (
+    EVENT_SCHEMA,
+    decode_json_events,
+    file_events_source,
+    synthetic_events_batch,
+    synthetic_events_stream,
+)
+from kafkastreamingetl_spark.streaming import (
+    fan_out,
+    foreach_batch_sink,
+    run_available_now,
+    write_memory_stream,
+    write_parquet_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """The sf0.001 events table rewritten as a parquet *directory* (streaming
+    file sources list directories) with dirty synthetic rows appended."""
+    path = str(tmp_path_factory.mktemp("events_stream_src"))
+    synthetic_events_batch(spark, 2_000, seed=11).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _stream(spark, events_dir):
+    return file_events_source(spark, events_dir)
+
+
+def test_file_source_is_streaming(spark, events_dir):
+    assert _stream(spark, events_dir).isStreaming
+    assert synthetic_events_stream(spark).isStreaming
+
+
+def test_clean_events_streaming_matches_batch(spark, events_dir):
+    """T1/T3: watermarked streaming dedup processes everything available and
+    agrees with the batch twin on count + key uniqueness."""
+    q = write_memory_stream(
+        clean_events_streaming(_stream(spark, events_dir)), "cleaned_stream"
+    )
+    run_available_now([q])
+    got = spark.table("cleaned_stream")
+    batch_keys = (
+        spark.read.parquet(events_dir).select("event_id").distinct().count()
+    )
+    assert got.count() == batch_keys
+    assert got.select("event_id").distinct().count() == batch_keys
+    assert got.filter(F.col("value").isNull()).count() == 0
+
+
+def test_streaming_window_agg_append_mode(spark, events_dir):
+    """T2/T4: append-mode windows emitted by availableNow are exactly the
+    batch twin's rows for every finalized window (watermark semantics)."""
+    agg = streaming_windowed_agg(
+        _stream(spark, events_dir),
+        watermark="30 seconds",
+        window="1 minute",
+        slide="30 seconds",
+        keys=["event_type"],
+    )
+    q = write_memory_stream(agg, "windowed_stream", output_mode="append")
+    run_available_now([q])
+    got = spark.table("windowed_stream")
+
+    batch = windowed_agg(
+        spark.read.parquet(events_dir),
+        window="1 minute",
+        slide="30 seconds",
+        keys=["event_type"],
+        approx_distinct=True,
+    )
+    max_ts = spark.read.parquet(events_dir).agg(F.max("ts")).collect()[0][0]
+    finalized = batch.filter(
+        F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 30 SECONDS")
+    )
+    # every finalized window appears in the streamed append output with the
+    # same aggregate values
+    missing = finalized.exceptAll(
+        got.select(*[c for c in finalized.columns])
+    ).count()
+    assert missing == 0
+    # and the stream emitted at least those (it may emit a few more windows
+    # that finalized exactly at the last watermark advance)
+    assert got.count() >= finalized.count() > 0
+
+
+def test_multi_sink_fan_out(spark, events_dir, tmp_path):
+    """T8 + S4/H5/T6: one lineage, two sinks (parquet + memory), each with
+    its own checkpoint; partitioned lake layout verified on disk."""
+    cleaned = clean_events_streaming(_stream(spark, events_dir))
+    lake = str(tmp_path / "lake")
+    chk = str(tmp_path / "chk")
+    queries = fan_out(
+        cleaned,
+        [
+            lambda df: write_parquet_stream(
+                df,
+                lake,
+                chk,
+                partition_by="event_type_norm",
+                available_now=True,
+            ),
+            lambda df: write_memory_stream(df, "fanout_mem"),
+        ],
+    )
+    run_available_now(queries)
+    dirs = {d for d in os.listdir(lake) if d.startswith("event_type_norm=")}
+    assert len(dirs) >= 3  # hive layout, one dir per event type
+    n_lake = spark.read.parquet(lake).count()
+    assert n_lake == spark.table("fanout_mem").count() > 0
+
+
+def test_foreach_batch_bridge(spark, events_dir, tmp_path):
+    """The batch-reuse bridge: micro-batches land in a collecting sink."""
+    seen: list[int] = []
+    q = foreach_batch_sink(
+        _stream(spark, events_dir).select("event_id"),
+        lambda batch_df, epoch: seen.append(batch_df.count()),
+        str(tmp_path / "chk_fb"),
+        available_now=True,
+    )
+    run_available_now([q])
+    assert sum(seen) == 2_000
+
+
+def test_json_decode_roundtrip(spark):
+    """S2/F1/F2: encode rows to JSON strings (the producer's wire format),
+    decode through the envelope path, get the rows back."""
+    events = synthetic_events_batch(spark, 500, seed=3)
+    wire = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value")
+    )
+    decoded = decode_json_events(wire, EVENT_SCHEMA)
+    assert decoded.schema == EVENT_SCHEMA
+    assert decoded.count() == 500
+    assert decoded.exceptAll(events).count() == 0

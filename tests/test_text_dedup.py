@@ -1,0 +1,89 @@
+"""Unit tests for the text / dedup operator family: hash parity, edge
+cases, and that MinHash-LSH actually finds planted near-duplicates (and
+doesn't pair unrelated docs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.functions import hash60, py_hash60
+from kafkastreamingetl_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    neardup_pairs,
+)
+from kafkastreamingetl_spark.operators.text import (
+    doc_quality,
+    shingle_hashes,
+    simhash,
+)
+
+
+def test_hash60_matches_python_twin(spark):
+    vals = ["hello", "a b c", "", "Ünïcödé"]
+    rows = spark.createDataFrame([(v,) for v in vals], ["s"]).select(
+        hash60(F.col("s")).alias("h")
+    ).collect()
+    assert [r.h for r in rows] == [py_hash60(v) for v in vals]
+
+
+def test_shingle_hashes_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three four"), (2, "too short"), (3, "x")], ["doc_id", "text"]
+    ).select("doc_id", F.size(shingle_hashes("text")).alias("n"))
+    got = {r.doc_id: r.n for r in df.collect()}
+    assert got == {1: 2, 2: 0, 3: 0}  # 4 tokens -> 2 trigrams; <3 tokens -> none
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same text"), (2, "same text"), (9, "other text")],
+        ["doc_id", "text"],
+    )
+    got = sorted(r.doc_id for r in exact_dedup(df).collect())
+    assert got == [2, 9]
+
+
+def _corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    near = base.replace("today", "tonight")  # one-token edit: high Jaccard
+    other = "completely different words about spark partitions and shuffles here"
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+
+
+def test_lsh_finds_planted_neardup(spark):
+    pairs = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(_corpus(spark)).collect()}
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_neardup_jaccard_values(spark):
+    rows = neardup_pairs(_corpus(spark)).collect()
+    got = {(r.doc_a, r.doc_b): r.jaccard for r in rows}
+    assert set(got) == {(1, 2)}
+    # 13 tokens -> 11 trigrams; a last-token edit changes only the final
+    # shingle: |A∩B| = 10, |A∪B| = 12
+    assert abs(got[(1, 2)] - 10 / 12) < 1e-12
+
+
+def test_simhash_close_for_neardups(spark):
+    df = _corpus(spark).select("doc_id", simhash("text").alias("sh"))
+    got = {r.doc_id: r.sh for r in df.collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin(a ^ b).count("1")
+
+    assert hamming(got[1], got[2]) < hamming(got[1], got[3])
+    assert hamming(got[1], got[2]) < hamming(got[2], got[3])
+
+
+def test_doc_quality_ratios(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], ["doc_id", "text"])
+    row = doc_quality(df).collect()[0]
+    assert row.n_tokens == 6
+    assert row.n_distinct_tokens == 5
+    assert abs(row.stopword_ratio - 2 / 6) < 1e-12
+    assert row.lang_guess == "en"
