@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import hash60, sql_hash60
+from ..functions import ensure_parallelism, hash60, sql_hash60
 from .cleaning import dedup_deterministic
 from .text import SHINGLE_N, shingle_hashes, sql_shingle_hashes_over_w, sql_tokens
 
@@ -72,7 +72,7 @@ def exact_dedup(
     shuffling the corpus. Survivor choice is the minimum ``id_col``
     (reproducible, oracle-expressible as ``QUALIFY row_number() = 1``).
     """
-    hashed = df.withColumn("_h", hash60(F.col(content_col)))
+    hashed = ensure_parallelism(df).withColumn("_h", hash60(F.col(content_col)))
     return dedup_deterministic(hashed, ["_h"], [F.asc(id_col)]).drop("_h")
 
 
@@ -98,18 +98,60 @@ def _minhash_col(hs: Column, a: int, b: int) -> Column:
     )
 
 
-def minhash_signatures(
+def shingle_features(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _hs): per-doc shingle-hash sets, persisted (H3 cache).
+
+    Persisting here is load-bearing twice over:
+
+    - *plan quality*: Catalyst collapses projections into downstream
+      ``Generate``/join operators, re-evaluating the md5 shingle pipeline
+      once per minhash function (12×) and once per self-join side (2×) —
+      measured 5-10× slower at sf0.1. The cache is a materialization
+      barrier: shingles are hashed exactly once per document.
+    - *reuse*: candidate generation and Jaccard verification both consume
+      the same feature sets; MEMORY_AND_DISK keeps them resident across the
+      LSH join and the verify joins without recomputation, spilling
+      gracefully when executors are tight (the set is ~8 bytes × shingles
+      per doc — orders of magnitude smaller than the corpus text).
+
+    Callers composing several dedup stages should build this once and pass
+    it to each stage via the ``feats=`` parameter.
+
+    Deliberately NO filter on the feature set here: a predicate over the
+    (huge) shingle expression gets pushed below the projection by Catalyst
+    and re-evaluated as an interpreted scan-side filter — measured ~25×
+    slower than the projection itself at sf0.1. Short documents keep an
+    empty ``_hs`` and are excluded downstream by a cheap predicate on the
+    materialized signature (see :func:`minhash_signatures`).
+    """
+    from pyspark import StorageLevel
+
+    feats = ensure_parallelism(df).select(
+        F.col(id_col), shingle_hashes(text_col).alias("_hs")
+    )
+    return feats.persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """(id, band, sig): one row per document per LSH band.
 
-    Pure projection + ``posexplode`` — embarrassingly parallel, no shuffle.
-    Documents too short to shingle (< SHINGLE_N tokens) produce null
-    signatures and are dropped: they cannot near-duplicate by this measure.
+    Projection + ``posexplode`` over the cached feature sets —
+    embarrassingly parallel, no shuffle. Documents too short to shingle
+    (< SHINGLE_N tokens) are dropped: their minhashes are all null, so the
+    band signature concatenates to the empty string — filtered *after* the
+    explode, where the predicate touches a materialized small column
+    instead of re-deriving the shingle pipeline (see
+    :func:`shingle_features`).
     """
-    feats = df.select(
-        F.col(id_col), shingle_hashes(text_col).alias("_hs")
-    ).filter(F.size("_hs") > 0)
+    feats = feats if feats is not None else shingle_features(df, text_col, id_col)
     mh = [_minhash_col(F.col("_hs"), a, b) for a, b in MINHASH_COEFFS]
     bands = F.array(
         *[
@@ -119,23 +161,28 @@ def minhash_signatures(
             for k in range(LSH_BANDS)
         ]
     )
-    return feats.select(F.col(id_col), F.posexplode(bands).alias("band", "sig"))
+    return feats.select(F.col(id_col), F.posexplode(bands).alias("band", "sig")).filter(
+        F.col("sig") != ""
+    )
 
 
 def lsh_candidate_pairs(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """Distinct (doc_a < doc_b) pairs sharing at least one band signature.
 
     Self-equi-join on (band, sig): Spark shuffles both sides on the band
     signature — each bucket only meets its own bucket-mates, so the join
-    fan-out is bounded by bucket size, not corpus size. The final
+    fan-out is bounded by bucket size, not corpus size. Both sides read the
+    same cached feature sets (see :func:`shingle_features`). The final
     ``dropDuplicates`` collapses pairs that collide in multiple bands.
     """
-    sigs = minhash_signatures(df, text_col, id_col)
-    a = sigs.select(
-        F.col(id_col).alias("doc_a"), "band", "sig"
-    )
+    sigs = minhash_signatures(df, text_col, id_col, feats=feats)
+    a = sigs.select(F.col(id_col).alias("doc_a"), "band", "sig")
     b = sigs.select(F.col(id_col).alias("doc_b"), "band", "sig")
     return (
         a.join(b, ["band", "sig"])
@@ -203,17 +250,16 @@ def neardup_pairs(
     """LSH candidates with exact shingle-set Jaccard similarity.
 
     Verification joins the (small) candidate-pair set back to the per-doc
-    shingle sets twice — both joins are key-equi on doc id, and the pair
-    table is orders of magnitude smaller than all-pairs. Jaccard is
-    |A∩B| / |A∪B| over distinct shingle hashes: one double division of two
-    exact ints, bit-identical across engines.
+    shingle sets twice — both joins are key-equi on doc id against the
+    *cached* feature sets (one shingle-hash pass total for candidates +
+    verification), and the pair table is orders of magnitude smaller than
+    all-pairs. Jaccard is |A∩B| / |A∪B| over distinct shingle hashes: one
+    double division of two exact ints, bit-identical across engines.
     """
-    cands = lsh_candidate_pairs(df, text_col, id_col)
-    feats = df.select(
-        F.col(id_col).alias("_id"), shingle_hashes(text_col).alias("_hs")
-    )
-    fa = feats.select(F.col("_id").alias("doc_a"), F.col("_hs").alias("hs_a"))
-    fb = feats.select(F.col("_id").alias("doc_b"), F.col("_hs").alias("hs_b"))
+    feats = shingle_features(df, text_col, id_col)
+    cands = lsh_candidate_pairs(df, text_col, id_col, feats=feats)
+    fa = feats.select(F.col(id_col).alias("doc_a"), F.col("_hs").alias("hs_a"))
+    fb = feats.select(F.col(id_col).alias("doc_b"), F.col("_hs").alias("hs_b"))
     inter = F.size(F.array_intersect("hs_a", "hs_b"))
     union = F.size(F.array_union("hs_a", "hs_b"))
     return (

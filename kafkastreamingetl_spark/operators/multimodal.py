@@ -34,6 +34,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions import ensure_parallelism
+
 FEATURE_SCHEMA = (
     "doc_id bigint, n_bytes bigint, content_md5 string, fake_width int, fake_height int"
 )
@@ -78,7 +80,9 @@ def extract_features(
 
     Output: (doc_id, n_bytes, content_md5, fake_width, fake_height).
     """
-    slim = df.select(F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload"))
+    slim = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -33,7 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine
+from ..functions import cosine, ensure_parallelism
 
 # Deterministic ±1 hyperplanes (module-level so Spark literals and oracle SQL
 # derive from the same values; Python's Mersenne Twister is seed-stable).
@@ -106,7 +106,8 @@ def cosine_topk(
         )
     )
     scored = (
-        embeddings.crossJoin(q)
+        ensure_parallelism(embeddings)
+        .crossJoin(q)
         .filter(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
@@ -149,7 +150,7 @@ def ann_hyperplane_topk(
             bucket_signature(F.col(query_vec_col)).alias("_bucket"),
         )
     )
-    corpus = embeddings.select(
+    corpus = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col),
         bucket_signature(F.col(vec_col)).alias("_bucket"),

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import dsum, hash60, sql_dsum, sql_hash60
+from ..functions import dsum, ensure_parallelism, hash60, sql_dsum, sql_hash60
 
 # Documents tokenize on single spaces (testdata `documents.text` is
 # single-space-separated lowercase ASCII; verified in TESTDATA probes). A
@@ -222,8 +222,13 @@ def sql_simhash_over_hs() -> str:
 
 
 def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash, content_hash): per-doc fingerprints in one scan."""
-    return df.select(
+    """(doc_id, simhash, content_hash): per-doc fingerprints in one scan.
+
+    The SimHash fold is the most expression-heavy operator in the engine
+    (60 bit-votes × shingle count per row); ``ensure_parallelism`` spreads
+    it across cores when the scan is a single small file.
+    """
+    return ensure_parallelism(df).select(
         "doc_id",
         simhash(text_col).alias("simhash"),
         hash60(F.col(text_col)).alias("content_hash"),
