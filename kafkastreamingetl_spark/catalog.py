@@ -119,6 +119,33 @@ def register_views(
     return tables
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int = 32,
+    *,
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-partitioned-on-disk) table write for co-located joins.
+
+    The scale tool the flat testdata layout can't show: two tables bucketed
+    on their join key with the same bucket count join WITHOUT any Exchange —
+    at 100 TB that deletes the dominant shuffle of fact⋈fact joins (e.g.
+    orders⋈lineitem). ``sortBy`` additionally lets SortMergeJoin skip its
+    sort. Asserted shuffle-free in tests/test_plans.py.
+
+    Buckets land in the session warehouse dir via ``saveAsTable`` (bucketing
+    metadata lives in the catalog; plain ``.parquet(path)`` cannot record
+    it).
+    """
+    w = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort:
+        w = w.sortBy(*bucket_cols)
+    w.saveAsTable(table_name)
+
+
 def dim_from_rows(spark: SparkSession, rows, schema) -> DataFrame:
     """In-memory dimension table (reference spark/app.py:104,125 — S3).
 

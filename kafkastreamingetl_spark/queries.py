@@ -465,3 +465,128 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode stubbed deterministically — see operators.multimodal)."""
     docs = _t(spark, sf_dir, "documents")
     return mm_ops.extract_features(mm_ops.with_binary_payload(docs))
+
+
+@query(
+    "top_segments",
+    oracle=_DAILY_CTE
+    + """
+    SELECT event_date, event_type, segment, daily_revenue
+    FROM daily
+    ORDER BY daily_revenue DESC NULLS LAST,
+             event_date ASC NULLS FIRST,
+             event_type ASC NULLS FIRST,
+             segment ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def q_top_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1 + global top-k: standalone multi-key ordered output with LIMIT
+    (reference's only sort is W1's window input, kafka_spark_etl.py:74).
+    Spark executes orderBy+limit as TakeOrderedAndProject — per-partition
+    top-k then a single k-row merge on the driver, never a full sort at
+    scale. Total tie-break order makes the k-row cut deterministic."""
+    from .operators.rollup import daily_aggregate
+
+    daily = daily_aggregate(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "customer"))
+    return (
+        daily.select("event_date", "event_type", "segment", "daily_revenue")
+        .orderBy(
+            F.desc("daily_revenue"),
+            F.asc("event_date"),
+            F.asc("event_type"),
+            F.asc("segment"),
+        )
+        .limit(20)
+    )
+
+
+# The reference's literal in-memory users dim (spark/app.py:87-104), mapped
+# onto the testdata vocabulary: event_type -> (category, weight).
+EVENT_TYPE_DIM_ROWS = (
+    ("click", "engagement", 1.0),
+    ("view", "engagement", 0.5),
+    ("search", "intent", 2.0),
+    ("purchase", "conversion", 10.0),
+    ("refund", "conversion", -10.0),
+)
+
+
+@query(
+    "literal_dim_enrich",
+    oracle=f"""
+    WITH dim(event_type, category, weight) AS (
+        VALUES {", ".join(f"('{t}', '{c}', {w})" for t, c, w in EVENT_TYPE_DIM_ROWS)}
+    )
+    SELECT d.category,
+           {sql_dsum('e.value * d.weight')} AS weighted_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events e
+    JOIN dim d ON e.event_type = d.event_type
+    GROUP BY 1
+    """,
+)
+def q_literal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 + J1 — in-memory literal dim (reference spark/app.py:87-125)
+    broadcast-joined to the fact table; the 5-row dim is the one place a
+    broadcast hint is always right."""
+    from pyspark.sql import types as T
+
+    from .catalog import dim_from_rows
+
+    dim = dim_from_rows(
+        spark,
+        list(EVENT_TYPE_DIM_ROWS),
+        T.StructType(
+            [
+                T.StructField("event_type", T.StringType(), False),
+                T.StructField("category", T.StringType(), False),
+                T.StructField("weight", T.DoubleType(), False),
+            ]
+        ),
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            dsum(F.col("value") * F.col("weight"), "weighted_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@query(
+    "embedding_label_centroids",
+    oracle=f"""
+    SELECT label,
+           d.dim,
+           {sql_dsum('CAST(embedding[d.dim] AS DOUBLE)')} / COUNT(*) AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+    GROUP BY 1, 2
+    """,
+)
+def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped vector aggregation: per-label centroid of the 64-dim
+    embeddings in long form (label, dim, centroid). posexplode turns the
+    vector into (dim, value) pairs map-side; the aggregate shuffles only
+    partial (label, dim) sums — 64 rows per label per input partition —
+    so the plan is a textbook partial-agg pipeline at any scale. Decimal
+    partial sums keep the mean bit-identical across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("long").alias("dim"),
+        # float -> double BEFORE the decimal quantization: both engines then
+        # round the identical double, avoiding float-vs-double half-way
+        # disagreements in the decimal cast
+        F.col("v").cast("double").alias("v"),
+    )
+    return exploded.groupBy("label", "dim").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

@@ -1,0 +1,113 @@
+"""Physical-plan assertions: the plans we designed are the plans we get.
+
+Correctness tests prove the answers match; these prove the *shape* survives
+— pushdown reaches the scan, dims broadcast, large joins sort-merge when
+broadcast is off, bucketing deletes the join shuffle, and no query smuggles
+a row-at-a-time Python UDF into a hot path.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.catalog import load_table, write_bucketed
+from kafkastreamingetl_spark.queries import QUERIES
+
+
+def plan_of(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+@contextlib.contextmanager
+def conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
+    try:
+        yield
+    finally:
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    plan = plan_of(QUERIES["enrich_events"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan  # nation: fixed 25-row dim
+
+
+def test_large_join_sort_merges_without_broadcast(spark, sf_dir):
+    """J2: with auto-broadcast disabled (the reference's own demo conf,
+    spark/app.py:25-26), the unhinted orders⋈lineitem join becomes a
+    sort-merge join — proof the query does not depend on a hint."""
+    with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        with conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"):
+            plan = plan_of(QUERIES["order_line_rollup"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_windowed_agg_has_partial_aggregate(spark, sf_dir):
+    """Map-side partial aggregation before the exchange: the shuffle carries
+    one row per (window, key) per input partition, not raw events."""
+    plan = plan_of(QUERIES["windowed_agg_tumbling"](spark, sf_dir))
+    ix_agg = plan.find("HashAggregate")
+    ix_exchange = plan.find("Exchange")
+    assert 0 < ix_agg, plan
+    # formatted plans list operators leaves-first: the partial aggregate
+    # must appear as an operator id smaller than the final one; cheap proxy:
+    # at least two HashAggregates and one Exchange exist
+    assert plan.count("HashAggregate") >= 2 and ix_exchange > 0
+
+
+def test_no_python_udf_in_any_hot_path(spark, sf_dir):
+    """Every registered query is JVM-side except the explicitly-Python
+    multimodal stage (Arrow-batched mapInPandas, never row-at-a-time)."""
+    for name, fn in QUERIES.items():
+        plan = plan_of(fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+        if name != "multimodal_features":
+            assert "PythonUDF" not in plan, f"{name} uses a Python UDF"
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 2-column consumer reads a 2-column schema off a 5-column table."""
+    docs = load_table(spark, sf_dir, "documents")
+    two = docs.select("doc_id", F.length("text").alias("n"))
+    read_schema = [
+        line for line in plan_of(two).splitlines() if "ReadSchema" in line
+    ][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+@pytest.mark.usefixtures("spark")
+def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
+    """H-surface at scale: orders/lineitem bucketed on the join key join
+    with zero Exchange operators — the co-located-join design for 100 TB
+    fact⋈fact joins."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    lineitem = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    write_bucketed(orders, "orders_b", ["o_orderkey"], 8)
+    write_bucketed(lineitem, "lineitem_b", ["l_orderkey"], 8)
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        with conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+            with conf(spark, "spark.sql.adaptive.autoBroadcastJoinThreshold", "-1"):
+                joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+                plan = plan_of(joined)
+                n = joined.count()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert n == lineitem.count()  # every line item matches one order
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
