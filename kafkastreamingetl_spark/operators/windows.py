@@ -64,6 +64,99 @@ def windowed_agg(
     )
 
 
+def session_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    gap: str = "2 hours",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Session windows: per-key activity bursts separated by ≥ ``gap``.
+
+    ``F.session_window`` (not in the reference — SURVEY.md §2.8 T2 notes it
+    as the natural extension): a session starts at its first event and ends
+    ``gap`` after its last; an event joins the session iff it arrives within
+    ``gap`` of the previous one. One shuffle on (key), then per-key merge —
+    the same cost shape as any keyed aggregation. DuckDB oracle twin: the
+    classic gaps-and-islands (lag → new-session flag → running sum id).
+    """
+    w = F.session_window(ts_col, gap)
+    agg = df.groupBy(w.alias("w"), key).agg(
+        dsum(value_col, "total_value"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        key,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        "total_value",
+        "n_events",
+    )
+
+
+def sql_session_agg(
+    table: str = "events",
+    *,
+    ts_col: str = "ts",
+    gap_sql: str = "INTERVAL 2 HOUR",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> str:
+    """DuckDB gaps-and-islands twin of :func:`session_agg`.
+
+    New-session predicate is ``diff >= gap`` to match Spark exactly: a
+    session's window ends ``gap`` after its last event, and an event at
+    precisely the boundary starts a NEW session.
+    """
+    from ..functions import sql_dsum
+
+    return f"""
+    WITH marked AS (
+        SELECT {key}, {ts_col}, {value_col},
+               CASE WHEN LAG({ts_col}) OVER w IS NULL
+                      OR {ts_col} - LAG({ts_col}) OVER w >= {gap_sql}
+                    THEN 1 ELSE 0 END AS is_new
+        FROM {table}
+        WINDOW w AS (PARTITION BY {key} ORDER BY {ts_col} ASC NULLS FIRST)
+    ),
+    sess AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY {key} ORDER BY {ts_col} ASC NULLS FIRST
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS sid
+        FROM marked
+    )
+    SELECT {key},
+           MIN({ts_col}) AS session_start,
+           MAX({ts_col}) + {gap_sql} AS session_end,
+           {sql_dsum(value_col)} AS total_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY {key}, sid
+    """
+
+
+def streaming_session_agg(
+    df: DataFrame,
+    *,
+    ts_col: str = "ts",
+    watermark: str = "30 seconds",
+    gap: str = "5 minutes",
+    key: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming session windows: watermark bounds how long an open session
+    can wait for its next event before the state store finalizes it."""
+    return session_agg(
+        df.withWatermark(ts_col, watermark),
+        ts_col=ts_col,
+        gap=gap,
+        key=key,
+        value_col=value_col,
+    )
+
+
 def streaming_windowed_agg(
     df: DataFrame,
     *,

@@ -31,7 +31,7 @@ from .operators.rollup import (
     daily_segment_metrics_for_date,
     premium_rollup,
 )
-from .operators.windows import windowed_agg
+from .operators.windows import session_agg, sql_session_agg, windowed_agg
 
 # Fixed logical date for the parameterized daily-batch query (testdata events
 # span 2024-01-01..30; mid-range keeps the slice non-empty at every sf).
@@ -135,6 +135,13 @@ def q_windowed_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
         slide="30 minutes",
         keys=["event_type"],
     )
+
+
+@query("session_agg", oracle=sql_session_agg())
+def q_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows per user (2-hour inactivity gap) — the streaming-
+    native window family the reference lacks (SURVEY.md §2.8 T2 note)."""
+    return session_agg(_t(spark, sf_dir, "events"))
 
 
 @query(

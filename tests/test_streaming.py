@@ -140,6 +140,76 @@ def test_foreach_batch_bridge(spark, events_dir, tmp_path):
     assert sum(seen) == 2_000
 
 
+def test_late_data_dropped_after_watermark(spark, tmp_path):
+    """T1/T4 end-to-end: a finalized window is emitted exactly once, and an
+    event arriving behind the checkpointed watermark is dropped — the
+    reference's append-sink semantics (spark/app.py:160,189-197), made
+    deterministic with two availableNow runs over one checkpoint."""
+    import pandas as pd
+
+    src, out, chk = (str(tmp_path / d) for d in ("src", "out", "chk"))
+
+    def write_batch(name, rows):
+        pdf = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value"]
+        )
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        pdf["props"] = "{}"
+        df = spark.createDataFrame(pdf, schema=EVENT_SCHEMA)
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    def run_once():
+        agg = streaming_windowed_agg(
+            file_events_source(spark, src),
+            watermark="30 seconds",
+            window="1 minute",
+            slide=None,
+        )
+        q = write_parquet_stream(agg, out, chk, available_now=True, trigger_seconds=None)
+        run_available_now([q])
+
+    # run 1: window [10:00,10:01) gets 2 events; watermark ends at
+    # 10:04:30 >> 10:01, so that window is finalized and emitted
+    write_batch("b1", [
+        (1, "2024-03-01 10:00:10", 1, "click", 1.0),
+        (2, "2024-03-01 10:00:50", 1, "click", 2.0),
+        (3, "2024-03-01 10:05:00", 2, "view", 4.0),
+    ])
+    run_once()
+    first = spark.read.parquet(out).toPandas()
+    w1 = first[first.window_start == pd.Timestamp("2024-03-01 10:00:00")]
+    assert len(w1) == 1 and float(w1.total_value.iloc[0]) == 3.0
+
+    # run 2: one LATE event for the closed window (behind the checkpointed
+    # watermark) and one fresh event that finalizes more windows
+    write_batch("b2", [
+        (4, "2024-03-01 10:00:30", 3, "click", 100.0),  # late -> dropped
+        (5, "2024-03-01 10:09:00", 2, "view", 8.0),     # advances watermark
+    ])
+    run_once()
+    final = spark.read.parquet(out).toPandas()
+    w1 = final[final.window_start == pd.Timestamp("2024-03-01 10:00:00")]
+    # still exactly one emission, late value NOT folded in
+    assert len(w1) == 1 and float(w1.total_value.iloc[0]) == 3.0
+    # the fresh 10:05 window was finalized by run 2's watermark advance
+    w5 = final[final.window_start == pd.Timestamp("2024-03-01 10:05:00")]
+    assert len(w5) == 1 and float(w5.total_value.iloc[0]) == 4.0
+
+
+def test_streaming_session_agg_runs(spark, events_dir):
+    from kafkastreamingetl_spark.operators.windows import streaming_session_agg
+
+    q = write_memory_stream(
+        streaming_session_agg(_stream(spark, events_dir)), "sessions_stream"
+    )
+    run_available_now([q])
+    got = spark.table("sessions_stream")
+    assert got.count() > 0
+    assert set(got.columns) == {
+        "user_id", "session_start", "session_end", "total_value", "n_events",
+    }
+
+
 def test_json_decode_roundtrip(spark):
     """S2/F1/F2: encode rows to JSON strings (the producer's wire format),
     decode through the envelope path, get the rows back."""
