@@ -1,12 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
 ``entry(spark)`` smoke-runs the flagship query; ``queries()`` maps every
-implemented operator from SURVEY.md §2 (+ extensions) to a
+implemented operator from SURVEY.md §2 (+ the LLM-data-pipeline extensions:
+text stats/quality/SimHash, exact + MinHash-LSH dedup, cosine/hyperplane-LSH/
+IVF similarity search, multimodal binary extraction) to a
 ``(spark, sf_dir) -> DataFrame`` callable; ``oracle_sql()`` gives the
-DuckDB-equivalent ANSI SQL for each. Column names/types are aligned on both
-sides; float aggregates go through DECIMAL(18,4) so sums are
-order-independent and bit-identical across engines (see
-kafkastreamingetl_spark/functions).
+DuckDB-equivalent ANSI SQL for each — every registered query is
+oracle-checked, none are rows-only. Column names/types are aligned on both
+sides; float aggregates go through DECIMAL(18,4) and hashes through
+md5-hex→bigint so values are order-independent and bit-identical across
+engines (see kafkastreamingetl_spark/functions).
 """
 
 from __future__ import annotations

@@ -33,7 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine, ensure_parallelism
+from ..functions import cosine, dsum, ensure_parallelism
 
 # Deterministic ±1 hyperplanes (module-level so Spark literals and oracle SQL
 # derive from the same values; Python's Mersenne Twister is seed-stable).
@@ -168,6 +168,112 @@ def ann_hyperplane_topk(
 
 
 # ---------------------------------------------------------------------------
+# IVF-style ANN: coarse-quantizer buckets + probe join
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist_to_lit(vec: Column, centroid: list[float]) -> Column:
+    """Squared L2 distance of a vector column to a literal centroid
+    (sequential double fold — bit-identical to the DuckDB twin)."""
+    c = F.array(*[F.lit(float(v)) for v in centroid])
+    diffs = F.zip_with(
+        vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+    """"Train" the IVF coarse quantizer: per-label mean vectors.
+
+    Decimal partial sums (order-independent) make the centroids bit-stable,
+    so the collected model is reproducible and the oracle can re-derive it.
+    The collect is model-sized (n_labels × dim doubles), not data-sized —
+    the same boundary as broadcasting fitted cluster centers in any IVF
+    build.
+    """
+    long = embeddings.select(
+        "label", F.posexplode("embedding").alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    cent = long.groupBy("label", "dim").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("c")
+    )
+    rows = (
+        cent.groupBy("label")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
+            ).alias("cv")
+        )
+        .collect()
+    )
+    return sorted((r.label, list(r.cv)) for r in rows)
+
+
+def ann_ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    nprobe: int = 2,
+    centroids: list[tuple[int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF search: assign corpus vectors to their nearest centroid bucket
+    (pure projection against the literal model — no shuffle), probe each
+    query's ``nprobe`` nearest buckets, score only within probed buckets.
+
+    Compare volume drops from |corpus| to ~|corpus|·nprobe/n_buckets per
+    query; recall is bounded by how well the quantizer partitions the space
+    — the standard IVF trade. Ties in centroid distance break by label, so
+    assignment is total and deterministic.
+    """
+    cents = centroids if centroids is not None else fit_label_centroids(embeddings)
+
+    def dist_structs(vec: Column) -> Column:
+        return F.array(
+            *[
+                F.struct(
+                    _sq_dist_to_lit(vec, cv).alias("d"),
+                    F.lit(int(lbl)).alias("label"),
+                )
+                for lbl, cv in cents
+            ]
+        )
+
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.element_at(F.sort_array(dist_structs(F.col(vec_col))), 1)
+        .getField("label")
+        .alias("_bucket"),
+    )
+    probes = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(
+                F.slice(F.sort_array(dist_structs(F.col(query_vec_col))), 1, nprobe)
+            ).alias("_probe"),
+        ).select(
+            query_id_col, query_vec_col, F.col("_probe").getField("label").alias("_bucket")
+        )
+    )
+    scored = (
+        corpus.join(probes, "_bucket")
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+    )
+    return _topk_two_stage(scored, k)
+
+
+# ---------------------------------------------------------------------------
 # DuckDB oracle twins
 # ---------------------------------------------------------------------------
 
@@ -234,6 +340,70 @@ def sql_ann_hyperplane_topk(
                {sql_cosine('c.embedding', 'q.query_vec')} AS cos
         FROM corpus c JOIN q ON c.bucket = q.bucket
         WHERE c.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
+
+
+_SQL_SQDIST = (
+    "list_reduce([(x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])"
+    " for x in list_zip({a}, {b})], (p, q) -> p + q)"
+)
+
+
+def sql_ann_ivf_topk(
+    table: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    nprobe: int = 2,
+    dim: int = 64,
+) -> str:
+    """DuckDB twin of the full IVF pipeline: re-fits the label centroids
+    (bit-identical decimal means), re-derives assignments and probes, and
+    ranks within probed buckets — no values are smuggled from the Spark
+    side, so the oracle validates training + assignment + search together."""
+    return f"""
+    WITH cent_long AS (
+        SELECT label, d.dim,
+               CAST(SUM(CAST(CAST(embedding[d.dim] AS DOUBLE) AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(*) AS c
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range(1, {dim + 1})) AS dim) d
+        GROUP BY 1, 2
+    ),
+    cents AS (
+        SELECT label, list(c ORDER BY dim ASC) AS cv FROM cent_long GROUP BY 1
+    ),
+    corpus AS (
+        SELECT e.vec_id, e.embedding, c.label AS bucket
+        FROM {table} e CROSS JOIN cents c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {_SQL_SQDIST.format(a='e.embedding', b='c.cv')} ASC,
+                     c.label ASC
+        ) = 1
+    ),
+    probes AS (
+        SELECT q.vec_id AS query_id, q.embedding AS query_vec, c.label AS bucket
+        FROM {table} q CROSS JOIN cents c
+        WHERE q.vec_id < {n_queries}
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY q.vec_id
+            ORDER BY {_SQL_SQDIST.format(a='q.embedding', b='c.cv')} ASC,
+                     c.label ASC
+        ) <= {nprobe}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id,
+               {sql_cosine('a.embedding', 'p.query_vec')} AS cos
+        FROM corpus a JOIN probes p ON a.bucket = p.bucket
+        WHERE a.vec_id != p.query_id
     )
     SELECT query_id, vec_id, cos,
            CAST(ROW_NUMBER() OVER (

@@ -1,0 +1,79 @@
+"""Skew tools: salted two-phase aggregation and salted broadcast joins.
+
+AQE's skew-join splitting (enabled in session.py) handles skewed *sort-merge
+joins* automatically, but two hot spots remain at 100 TB:
+
+- a groupBy whose key distribution is dominated by a few heavy keys sends
+  every row of a hot key to one reducer. :func:`salted_agg` splits each key
+  into ``n_salts`` sub-keys (phase 1: partial aggregate on (key, salt)),
+  then combines the ≤ ``n_salts`` partials per key (phase 2) — reducer load
+  for a hot key drops by the salt factor while total shuffle volume stays
+  one row per (key, salt) per input partition.
+- exact distinct counts cannot be salted this way (a value seen under two
+  salts would double-count); :func:`salted_agg` therefore accepts only
+  decomposable aggregates (sum/count/min/max). Distincts stay on the
+  regular path (exact for oracles, HLL for production — see
+  operators.rollup).
+
+The reference has no skew handling (its dims are 5 rows); this is
+engine-side scale tooling (SURVEY.md §4 AQE notes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import dsum
+
+DECOMPOSABLE = {
+    "sum": (lambda c, a: dsum(c, a), lambda c, a: dsum(c, a)),
+    "count": (
+        lambda c, a: F.count(F.lit(1)).alias(a),
+        lambda c, a: F.sum(c).cast("bigint").alias(a),
+    ),
+    "min": (lambda c, a: F.min(c).alias(a), lambda c, a: F.min(c).alias(a)),
+    "max": (lambda c, a: F.max(c).alias(a), lambda c, a: F.max(c).alias(a)),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    *,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-proof aggregation.
+
+    ``aggs`` maps output column -> (agg_name, input_col) with agg_name in
+    {sum, count, min, max}. Phase 1 groups by (keys..., salt) where salt is
+    a uniform [0, n_salts) int — a hot key's rows spread over ``n_salts``
+    reducers; phase 2 re-aggregates the per-salt partials by the true keys.
+    Results are identical to a direct groupBy for decomposable aggregates
+    (decimal-exact for sums), verified in tests/test_skew.py.
+    """
+    unknown = {a for a, _ in aggs.values()} - set(DECOMPOSABLE)
+    if unknown:
+        raise ValueError(f"non-decomposable aggregates cannot be salted: {unknown}")
+    salt = (F.rand() * n_salts).cast("int").alias("_salt")
+    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+        *[DECOMPOSABLE[name][0](col, out) for out, (name, col) in aggs.items()]
+    )
+    return phase1.groupBy(*keys).agg(
+        *[DECOMPOSABLE[name][1](out, out) for out, (name, _) in aggs.items()]
+    )
+
+
+def salted_broadcast_join(
+    skewed: DataFrame,
+    small: DataFrame,
+    key: str,
+    how: str = "left",
+) -> Column | DataFrame:
+    """Join a skewed fact table to a small dim without a skewed shuffle:
+    broadcast the dim — no shuffle of the fact side at all, so key skew is
+    irrelevant. (When the dim is too big to broadcast, prefer AQE's
+    skew-join split over manual salting; both are configured in
+    session.get_spark.)"""
+    return skewed.join(F.broadcast(small), key, how)

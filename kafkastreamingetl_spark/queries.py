@@ -383,6 +383,37 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_map_extract",
+    oracle="""
+    WITH kv AS (
+        SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(CAST(json_extract_string(props, '$.' || prop_key) AS INT)) AS INT) AS min_v,
+           CAST(MAX(CAST(json_extract_string(props, '$.' || prop_key) AS INT)) AS INT) AS max_v
+    FROM kv
+    GROUP BY 1
+    """,
+)
+def q_props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 as schemaless decode: ``from_json`` to MapType + explode — the
+    path for ragged/evolving JSON payloads where a fixed struct schema
+    (q_json_decode) cannot be declared up front."""
+    ev = _t(spark, sf_dir, "events")
+    kv = ev.select(
+        F.explode(F.from_json(F.col("props"), "map<string,int>")).alias(
+            "prop_key", "v"
+        )
+    )
+    return kv.groupBy("prop_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("v").alias("min_v"),
+        F.max("v").alias("max_v"),
+    )
+
+
+@query(
     "wire_normalize",
     oracle="""
     SELECT event_id,
@@ -464,6 +495,17 @@ def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hyperplane-LSH approximate top-10 — bucketed compare, the scale path."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.ann_hyperplane_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("embedding_ivf_topk", oracle=sim_ops.sql_ann_ivf_topk())
+def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: fit label centroids (decimal-exact means), assign
+    corpus vectors to nearest-centroid buckets as a pure projection, probe
+    each query's 2 nearest buckets, rank within probes. The oracle re-fits
+    the quantizer itself, so training + assignment + search are all
+    validated."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_ivf_topk(emb, sim_ops.self_queries(emb))
 
 
 @query("multimodal_features", oracle=mm_ops.sql_extract_features())
