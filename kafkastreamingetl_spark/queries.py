@@ -30,6 +30,7 @@ from .operators.rollup import (
     daily_segment_metrics,
     daily_segment_metrics_for_date,
     premium_rollup,
+    with_event_date,
 )
 from .operators.windows import session_agg, sql_session_agg, windowed_agg
 
@@ -433,6 +434,159 @@ def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp(
             F.date_format("ts", "yyyy-MM-dd HH:mm:ss"), "yyyy-MM-dd HH:mm:ss"
         ).alias("ts_sec"),
+    )
+
+
+# ===========================================================================
+# General-OLAP surface beyond the reference (semi/anti joins, frames,
+# percentiles, cube) — capabilities any analytics-engine user expects
+# ===========================================================================
+
+
+@query(
+    "orphan_events",
+    oracle="""
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_orphans
+    FROM events e
+    ANTI JOIN (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 1000.0
+    ) c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_orphan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_anti join: events whose user is not a high-balance customer
+    (the dedup-then-join pattern from SURVEY §2.3 done with the right join
+    family — no payload columns cross the shuffle, only existence)."""
+    ev = _t(spark, sf_dir, "events")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 1000.0)
+        .select(F.col("c_custkey").alias("user_id"))
+    )
+    return (
+        ev.join(cust, "user_id", "left_anti")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+
+
+@query(
+    "active_customers",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_active
+    FROM customer c
+    SEMI JOIN events e ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+)
+def q_active_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi join: customers with ≥1 event — existence check without
+    duplicating customer rows per event (what an inner join + distinct
+    would cost)."""
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        cust.join(ev, cust.c_custkey == ev.user_id, "left_semi")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+
+
+@query(
+    "user_running_totals",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS running_value,
+           CAST(ROW_NUMBER() OVER w AS INT) AS event_seq,
+           epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs the reference never used (SURVEY §2.5): running
+    decimal-exact sum, sequence number, and lag-gap per user ordered by
+    event time. One exchange on user_id; frames evaluate within the sorted
+    partition."""
+    from pyspark.sql import Window
+
+    from .functions import DEC
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("running_value"),
+        F.row_number().over(wo).alias("event_seq"),
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(wo)).alias("gap_us"),
+    )
+
+
+@query(
+    "value_percentiles",
+    oracle="""
+    SELECT event_type,
+           CAST(quantile_cont(value, 0.5) AS DOUBLE) AS p50,
+           CAST(quantile_cont(value, 0.95) AS DOUBLE) AS p95,
+           CAST(quantile_cont(value, 0.99) AS DOUBLE) AS p99,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share linear-interpolation semantics. The
+    exact form is the oracle twin; at 100 TB swap to
+    ``approx_percentile`` (t-digest) exactly as distincts swap to HLL."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("p50"),
+        F.percentile("value", F.lit(0.95)).alias("p95"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "revenue_cube",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           {sql_dsum('value')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_date,
+           CAST(GROUPING(event_type) AS INT) AS g_type
+    FROM events
+    GROUP BY CUBE (1, 2)
+    """,
+)
+def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all four grouping-set combinations of (date, type) in one
+    pass — Spark expands grouping sets map-side, so the shuffle carries
+    partial aggregates per set, not four scans. GROUPING() flags
+    disambiguate real nulls from subtotal rows."""
+    ev = with_event_date(_t(spark, sf_dir, "events"))
+    return ev.cube("event_date", "event_type").agg(
+        dsum("value", "revenue"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.grouping("event_date").cast("int").alias("g_date"),
+        F.grouping("event_type").cast("int").alias("g_type"),
     )
 
 
