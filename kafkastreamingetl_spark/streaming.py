@@ -58,16 +58,23 @@ def write_parquet_stream(
 
 
 def write_console_stream(
-    df: DataFrame, *, output_mode: str = "update", truncate: bool = False
+    df: DataFrame,
+    *,
+    output_mode: str = "update",
+    truncate: bool = False,
+    available_now: bool = False,
 ) -> StreamingQuery:
     """S5: debug console sink, update mode, untruncated (reference
-    spark/app.py:200-205)."""
-    return (
+    spark/app.py:200-205). Default trigger is as-fast-as-possible, as the
+    reference leaves it."""
+    w = (
         df.writeStream.outputMode(output_mode)
         .format("console")
         .option("truncate", str(truncate).lower())
-        .start()
     )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
 
 
 def write_memory_stream(

@@ -87,6 +87,26 @@ def test_column_pruning_reaches_scan(spark, sf_dir):
     assert "lang" not in read_schema and "source" not in read_schema
 
 
+def test_partitioned_lake_prunes_on_read(spark, sf_dir, tmp_path):
+    """H5 payoff: a date predicate over hive-partitioned output becomes a
+    PartitionFilter (directory pruning), not a data filter — the layout the
+    daily rollup writes is the layout its consumers prune on."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.rollup import (
+        daily_segment_metrics, write_daily_metrics,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "lake")
+    write_daily_metrics(daily_segment_metrics(events, customer), out)
+    back = spark.read.parquet(out).filter(F.col("event_date") == "2024-01-05")
+    plan = plan_of(back)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "event_date" in part_lines[0], plan
+    assert back.count() > 0
+
+
 @pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """H-surface at scale: orders/lineitem bucketed on the join key join

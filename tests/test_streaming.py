@@ -127,6 +127,18 @@ def test_multi_sink_fan_out(spark, events_dir, tmp_path):
     assert n_lake == spark.table("fanout_mem").count() > 0
 
 
+def test_console_sink_starts(spark, events_dir):
+    """S5: the debug console sink (update mode) starts and drains — its
+    output goes to driver stdout, so liveness (clean availableNow
+    termination, no exception) is the assertable contract."""
+    from kafkastreamingetl_spark.streaming import write_console_stream
+
+    agg = streaming_windowed_agg(_stream(spark, events_dir), keys=["event_type"])
+    q = write_console_stream(agg, available_now=True)
+    run_available_now([q])
+    assert q.exception() is None
+
+
 def test_foreach_batch_bridge(spark, events_dir, tmp_path):
     """The batch-reuse bridge: micro-batches land in a collecting sink."""
     seen: list[int] = []
