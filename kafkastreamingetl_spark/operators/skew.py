@@ -70,7 +70,7 @@ def salted_broadcast_join(
     small: DataFrame,
     key: str,
     how: str = "left",
-) -> Column | DataFrame:
+) -> DataFrame:
     """Join a skewed fact table to a small dim without a skewed shuffle:
     broadcast the dim — no shuffle of the fact side at all, so key skew is
     irrelevant. (When the dim is too big to broadcast, prefer AQE's

@@ -1,0 +1,65 @@
+"""The production approximate paths are real, run, and land near exact.
+
+Oracle queries use exact distinct/percentile so DuckDB can hash-match; at
+100 TB the documented swaps are HyperLogLog++ (approx_count_distinct) and
+t-digest (approx_percentile). These tests run the approximate variants and
+bound their error against the exact answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.catalog import load_table
+from kafkastreamingetl_spark.operators.rollup import daily_aggregate
+from kafkastreamingetl_spark.operators.windows import windowed_agg
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def customer(spark, sf_dir):
+    return load_table(spark, sf_dir, "customer")
+
+
+def test_windowed_agg_hll_within_tolerance(spark, events):
+    exact = {
+        (r.window_start, r.event_type): r.unique_users
+        for r in windowed_agg(events, window="6 hours", keys=["event_type"]).collect()
+    }
+    approx = windowed_agg(
+        events, window="6 hours", keys=["event_type"], approx_distinct=True
+    ).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[(r.window_start, r.event_type)]
+        assert abs(r.unique_users - e) <= max(2, 0.1 * e), (r, e)
+
+
+def test_daily_aggregate_hll_within_tolerance(spark, events, customer):
+    exact = {
+        (r.event_date, r.event_type, r.segment): r.daily_events
+        for r in daily_aggregate(events, customer).collect()
+    }
+    approx = daily_aggregate(events, customer, approx_distinct=True).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[(r.event_date, r.event_type, r.segment)]
+        assert abs(r.daily_events - e) <= max(2, 0.1 * e)
+
+
+def test_approx_percentile_within_tolerance(spark, events):
+    exact = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.95)).alias("p95")
+    )
+    approx = events.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("p95a")
+    )
+    joined = exact.join(approx, "event_type").collect()
+    assert joined
+    for r in joined:
+        assert abs(r.p95a - r.p95) <= 0.05 * abs(r.p95) + 1e-9
