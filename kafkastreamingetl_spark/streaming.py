@@ -147,6 +147,73 @@ def fan_out(
     return [make_sink(df) for make_sink in sinks]
 
 
+def reference_pipeline(
+    events_stream: DataFrame,
+    user_dim: DataFrame,
+    *,
+    lake_path: str,
+    checkpoint_dir: str,
+    watermark: str = "30 seconds",
+    window: str = "1 minute",
+    slide: str | None = "30 seconds",
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+    with_console: bool = False,
+) -> list[StreamingQuery]:
+    """The reference's complete streaming program (spark/app.py:main,
+    53-209) as one composition: decoded events → clean (normalize/fill/
+    watermarked dedup) → enrich (stream⋈static dim join) → sliding window
+    aggregate → parquet lake sink (+ optional console), fan-out off one
+    lineage.
+
+    ``events_stream`` is any decoded event stream (Kafka via
+    sources.kafka_source + decode_json_events, file source, or the rate
+    generator); ``user_dim`` is a static dim joined stream-static (J1 —
+    broadcast by AQE when dim-sized). Each sink gets its own checkpoint
+    subdirectory (T6: never share checkpoints between queries).
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.cleaning import clean_events_streaming
+    from .operators.windows import windowed_agg
+
+    cleaned = clean_events_streaming(events_stream, watermark=watermark)
+    dim = user_dim.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = cleaned.join(dim, "user_id", "left")
+    # the stream already carries the cleaning stage's watermark — redefining
+    # one on the same lineage is an error with chained stateful operators,
+    # so the window aggregate reuses it (HLL distinct, append-safe)
+    agg = windowed_agg(
+        enriched,
+        window=window,
+        slide=slide,
+        keys=["event_type_norm", "segment"],
+        approx_distinct=True,
+    )
+    sinks: list[Callable[[DataFrame], StreamingQuery]] = [
+        lambda df: write_parquet_stream(
+            df,
+            lake_path,
+            os.path.join(checkpoint_dir, "lake"),
+            # hive layout by the dim attribute, as the reference partitions
+            # its lake by the joined country column (spark/app.py:194)
+            partition_by="segment",
+            available_now=available_now,
+            trigger_seconds=trigger_seconds,
+        )
+    ]
+    if with_console:
+        sinks.append(
+            lambda df: write_console_stream(df, available_now=available_now)
+        )
+    return fan_out(agg, sinks)
+
+
 def run_available_now(queries: list[StreamingQuery], timeout_sec: int = 300) -> None:
     """Await a set of availableNow queries (deterministic test runs).
 

@@ -222,6 +222,35 @@ def test_streaming_session_agg_runs(spark, events_dir):
     }
 
 
+def test_reference_pipeline_end_to_end(spark, events_dir, tmp_path, sf_dir):
+    """The reference's whole main program (spark/app.py:53-209) through the
+    engine: decoded stream → clean → stream-static dim join → sliding
+    window agg → hive-partitioned parquet lake, deterministically."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.streaming import reference_pipeline
+
+    customer = load_table(spark, sf_dir, "customer")
+    lake = str(tmp_path / "ref_lake")
+    queries = reference_pipeline(
+        _stream(spark, events_dir),
+        customer,
+        lake_path=lake,
+        checkpoint_dir=str(tmp_path / "ref_chk"),
+        available_now=True,
+        trigger_seconds=None,
+    )
+    run_available_now(queries)
+    out = spark.read.parquet(lake)
+    assert out.count() > 0
+    assert {"window_start", "window_end", "event_type_norm", "segment",
+            "total_value", "unique_events", "n_events"} <= set(out.columns)
+    # hive layout by the joined dim attribute (reference spark/app.py:194)
+    assert any(d.startswith("segment=") for d in os.listdir(lake))
+    # normalization happened upstream of the aggregate
+    bad = out.filter(F.col("event_type_norm") != F.lower(F.trim("event_type_norm")))
+    assert bad.count() == 0
+
+
 def test_json_decode_roundtrip(spark):
     """S2/F1/F2: encode rows to JSON strings (the producer's wire format),
     decode through the envelope path, get the rows back."""
