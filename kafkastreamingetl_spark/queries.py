@@ -444,6 +444,48 @@ def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "supplier_region_revenue",
+    oracle=f"""
+    SELECT r.r_name AS region,
+           p.p_brand AS brand,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1, 2
+    """,
+)
+def q_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-hop snowflake join over the remaining star-schema tables
+    (lineitem⋈supplier⋈part⋈nation⋈region): the scale-proportional sides
+    (part) are unhinted for AQE; the fixed geo dims broadcast. Classic
+    TPC-H join-ordering territory — Catalyst reorders from the declared
+    plan freely."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_partkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    nat = F.broadcast(_t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey"))
+    reg = F.broadcast(_t(spark, sf_dir, "region").select("r_regionkey", "r_name"))
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .join(reg, F.col("n_regionkey") == reg.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("p_brand").alias("brand"))
+        .agg(
+            dsum(net, "revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
     "orphan_events",
     oracle="""
     SELECT e.event_type,
