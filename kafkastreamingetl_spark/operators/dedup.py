@@ -86,6 +86,32 @@ def sql_exact_dedup(table: str = "documents", content_col: str = "text") -> str:
     """
 
 
+def exact_dedup_streaming(
+    df: DataFrame,
+    content_col: str = "text",
+    *,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of :func:`exact_dedup`: drop content-duplicates
+    arriving within the watermark horizon.
+
+    The dedup key is the 60-bit content hash, so the state store keeps
+    8-byte keys instead of document text — at corpus scale that is the
+    difference between state that fits RocksDB and state that doesn't.
+    Horizon semantics follow ``dropDuplicatesWithinWatermark`` (the
+    engine's standard bounded-state choice, operators/cleaning.py): a
+    duplicate arriving later than the watermark horizon is NOT caught —
+    cross-horizon exactness needs the batch pass.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .withColumn("_h", hash60(F.col(content_col)))
+        .dropDuplicatesWithinWatermark(["_h"])
+        .drop("_h")
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash signatures + LSH banding
 # ---------------------------------------------------------------------------

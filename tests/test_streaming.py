@@ -208,6 +208,30 @@ def test_late_data_dropped_after_watermark(spark, tmp_path):
     assert len(w5) == 1 and float(w5.total_value.iloc[0]) == 4.0
 
 
+def test_exact_dedup_streaming_by_content(spark, tmp_path):
+    """LLM-pipeline streaming: duplicate document *content* (different ids)
+    is dropped within the watermark horizon; the dedup key is the 8-byte
+    content hash, not the text."""
+    from kafkastreamingetl_spark.operators.dedup import exact_dedup_streaming
+
+    src = str(tmp_path / "docs_src")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "alpha beta gamma"),
+            (2, "2024-01-01 10:00:05", "alpha beta gamma"),   # dup content
+            (3, "2024-01-01 10:00:10", "totally different"),
+            (4, "2024-01-01 10:00:15", "alpha beta gamma"),   # dup again
+        ],
+        "doc_id long, ts string, text string",
+    ).withColumn("ts", F.to_timestamp("ts")).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, ts timestamp, text string").parquet(src)
+    q = write_memory_stream(exact_dedup_streaming(stream), "docs_dedup")
+    run_available_now([q])
+    got = spark.table("docs_dedup").toPandas()
+    assert len(got) == 2
+    assert sorted(got.text) == ["alpha beta gamma", "totally different"]
+
+
 def test_streaming_session_agg_runs(spark, events_dir):
     from kafkastreamingetl_spark.operators.windows import streaming_session_agg
 
