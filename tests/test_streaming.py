@@ -275,6 +275,39 @@ def test_reference_pipeline_end_to_end(spark, events_dir, tmp_path, sf_dir):
     assert bad.count() == 0
 
 
+def test_streaming_feeds_daily_rollup(spark, events_dir, tmp_path, sf_dir):
+    """The reference's full DAG: the streaming stage lands cleaned events in
+    the lake; the daily batch stage (X2) rolls the lake up — here bridged in
+    one process via foreachBatch running the batch operator per micro-batch
+    (SURVEY §3.3: entry point C becomes a normal Spark batch query)."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.rollup import daily_aggregate
+
+    customer = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "rollup_lake")
+
+    def rollup_batch(batch_df, epoch):
+        daily_aggregate(batch_df, customer).write.mode("append").parquet(out)
+
+    cleaned = clean_events_streaming(_stream(spark, events_dir))
+    q = foreach_batch_sink(
+        cleaned, rollup_batch, str(tmp_path / "chk_rollup"), available_now=True
+    )
+    run_available_now([q])
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    assert {"event_date", "event_type", "segment", "daily_revenue"} <= set(got.columns)
+    # invariant: every deduped event lands in exactly one rollup group in
+    # exactly one micro-batch, so summing the per-group distinct counts
+    # recovers the source's distinct-key count (revenue totals are NOT
+    # comparable: streaming dedup keeps the first arrival, batch dedup the
+    # deterministic (ts, value) pick — a documented semantic difference)
+    stream_events = got.agg(F.sum("daily_events")).collect()[0][0]
+    distinct_keys = spark.read.parquet(events_dir).select("event_id").distinct().count()
+    assert stream_events == distinct_keys
+
+
 def test_json_decode_roundtrip(spark):
     """S2/F1/F2: encode rows to JSON strings (the producer's wire format),
     decode through the envelope path, get the rows back."""
