@@ -632,6 +632,59 @@ def q_revenue_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PIVOT_TYPES = ("click", "view", "purchase", "refund", "search")
+_PIVOT_COLS = ", ".join(
+    sql_dsum("CASE WHEN event_type = '" + t + "' THEN value END")
+    + f" AS {t}_revenue"
+    for t in _PIVOT_TYPES
+)
+
+
+@query(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date, {_PIVOT_COLS}
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per day, one revenue column per event type. The pivot
+    value list is FIXED (not inferred) — at scale an inferred pivot costs an
+    extra distinct-scan job and produces nondeterministic column sets."""
+    from .functions import DEC
+
+    ev = with_event_date(_t(spark, sf_dir, "events"))
+    pivoted = (
+        ev.groupBy("event_date")
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .agg(F.sum(F.col("value").cast(DEC)).cast("double"))
+    )
+    return pivoted.select(
+        "event_date", *[F.col(t).alias(f"{t}_revenue") for t in _PIVOT_TYPES]
+    )
+
+
+@query(
+    "weekend_vs_weekday_types",
+    oracle="""
+    SELECT event_type FROM events WHERE dayofweek(ts) IN (0, 6)
+    INTERSECT
+    SELECT event_type FROM events WHERE dayofweek(ts) NOT IN (0, 6)
+    """,
+)
+def q_weekend_vs_weekday_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (none exist in the reference — SURVEY §2.6): event
+    types active on both weekends and weekdays via INTERSECT (hash-dedup
+    semantics on both engines). DuckDB dayofweek is 0=Sunday..6=Saturday;
+    Spark dayofweek is 1=Sunday..7 — the predicate translates accordingly."""
+    ev = _t(spark, sf_dir, "events")
+    wk = F.dayofweek("ts")  # 1 = Sunday ... 7 = Saturday
+    weekend = ev.filter(wk.isin(1, 7)).select("event_type")
+    weekday = ev.filter(~wk.isin(1, 7)).select("event_type")
+    return weekend.intersect(weekday)
+
+
 # ===========================================================================
 # LLM-data-pipeline extensions: text / dedup / similarity / multimodal
 # ===========================================================================
