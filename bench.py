@@ -9,8 +9,11 @@ parallelism). Prints exactly ONE JSON line on stdout:
 
 Every query is forced with a count-style action (``df.count()``); results are
 never collected to the driver, so the timing measures the distributed plan,
-not driver materialization. A warm-up run of the cheapest query amortizes JVM
-/ codegen startup out of the per-query numbers.
+not driver materialization. Every query is warm-run once at the smallest
+scale factor first, so whole-stage-codegen JIT compilation (seconds for the
+md5/SimHash expression trees) stays out of the timings; the cache is cleared
+between queries so persisted intermediates (dedup shingle features) neither
+leak across queries nor accumulate.
 """
 
 from __future__ import annotations
@@ -39,13 +42,17 @@ def main() -> None:
     # JIT compilation (seconds for the md5/SimHash expression trees) is paid
     # outside the timings — the bench measures data processing, not javac.
     warm_dir = "/root/testdata/sf0.001"
-    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    if not os.path.isdir(warm_dir):
+        warm_dir = sf_dir
+        print(f"bench: no sf0.001 testdata; warming at {sf_dir}", file=sys.stderr)
     for fn in qs.values():
         fn(spark, warm_dir).count()
-    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        # clear persisted intermediates (e.g. dedup shingle features) so no
+        # query benefits from a predecessor's cache and nothing accumulates
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)

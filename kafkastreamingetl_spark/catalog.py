@@ -84,8 +84,16 @@ def load_events(
     raw_ns = dict(df.dtypes).get("ts") == "bigint"
 
     def _ns(iso: str) -> int:
-        dt = datetime.fromisoformat(iso).replace(tzinfo=timezone.utc)
-        return int(dt.timestamp()) * 1_000_000_000
+        # exact to the microsecond: whole seconds via integer epoch plus the
+        # parsed microseconds (float timestamp() would round above 2^53 ns).
+        # Naive inputs are UTC by convention (testdata timestamps are naive
+        # UTC instants — see session.RUNTIME_CONFS); explicit offsets are
+        # honored, not overwritten.
+        dt = datetime.fromisoformat(iso)
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        whole = int(dt.replace(microsecond=0).timestamp())
+        return whole * 1_000_000_000 + dt.microsecond * 1_000
 
     for bound, cmp in ((ts_start, "__ge__"), (ts_end, "__lt__")):
         if bound is None:

@@ -49,17 +49,22 @@ def clean_events(
 
     - ``event_type_norm``: trim+lower, null -> 'unknown'
     - ``value``: null -> 0.0
-    - one row per ``event_id`` — deterministic first-by-(ts, value) pick, so
-      the result is hash-stable even when duplicate keys disagree (the
-      reference's dropDuplicates pick is arbitrary).
+    - one row per ``event_id`` — survivor chosen by a TOTAL order: (ts,
+      value) first, then every remaining column as tiebreaker. Without the
+      full-column tail, duplicates tying on (ts, value) but differing
+      elsewhere would surface an arbitrary row (partition-order dependent,
+      and divergent from the oracle); with it, the pick is hash-stable for
+      any input (the reference's dropDuplicates pick is arbitrary).
     """
     cleaned = df.withColumn(f"{type_col}_norm", normalize_string(type_col)).na.fill(
         {value_col: 0.0}
     )
+    lead = [ts_col, value_col]
+    tail = [c for c in cleaned.columns if c not in (*lead, key_col)]
     return dedup_deterministic(
         cleaned,
         [key_col],
-        [F.asc_nulls_first(ts_col), F.asc_nulls_first(value_col)],
+        [F.asc_nulls_first(c) for c in (*lead, *tail)],
     )
 
 

@@ -66,21 +66,24 @@ def exact_dedup(
 ) -> DataFrame:
     """Keep one deterministic survivor (min id) per identical content.
 
-    Content equality via :func:`hash60` — the shuffle key is the 60-bit hash,
-    so the exchange carries a fixed-width key instead of full document text;
-    at 100 TB that is the difference between shuffling 8-byte keys and
-    shuffling the corpus. Survivor choice is the minimum ``id_col``
-    (reproducible, oracle-expressible as ``QUALIFY row_number() = 1``).
+    The hash routes rows to reducers (fixed-width shuffle KEY), but the
+    dedup group is ``(hash, content)`` — a 60-bit birthday collision between
+    two *different* documents (expected in the thousands at 10¹¹ docs)
+    therefore cannot merge them; colliding-but-distinct texts form separate
+    groups on the same reducer. The full row crosses the exchange either
+    way, so the extra grouping column costs nothing. Survivor choice is the
+    minimum ``id_col`` (reproducible, oracle-expressible as
+    ``QUALIFY row_number() = 1``).
     """
     hashed = ensure_parallelism(df).withColumn("_h", hash60(F.col(content_col)))
-    return dedup_deterministic(hashed, ["_h"], [F.asc(id_col)]).drop("_h")
+    return dedup_deterministic(hashed, ["_h", content_col], [F.asc(id_col)]).drop("_h")
 
 
 def sql_exact_dedup(table: str = "documents", content_col: str = "text") -> str:
     return f"""
     SELECT * FROM {table}
     QUALIFY ROW_NUMBER() OVER (
-        PARTITION BY {sql_hash60(content_col)}
+        PARTITION BY {sql_hash60(content_col)}, {content_col}
         ORDER BY doc_id ASC NULLS FIRST
     ) = 1
     """
@@ -99,8 +102,12 @@ def exact_dedup_streaming(
     The dedup key is the 60-bit content hash, so the state store keeps
     8-byte keys instead of document text — at corpus scale that is the
     difference between state that fits RocksDB and state that doesn't.
-    Horizon semantics follow ``dropDuplicatesWithinWatermark`` (the
-    engine's standard bounded-state choice, operators/cleaning.py): a
+    Unlike batch :func:`exact_dedup` (which groups by (hash, content) and
+    is collision-proof), the state key here is the hash alone — a
+    deliberate trade: state only spans one watermark horizon, so n is
+    events-per-horizon rather than corpus size, and the 60-bit collision
+    odds within a horizon are negligible (~n²/2⁶¹). Horizon semantics
+    follow ``dropDuplicatesWithinWatermark`` (operators/cleaning.py): a
     duplicate arriving later than the watermark horizon is NOT caught —
     cross-horizon exactness needs the batch pass.
     """
@@ -143,7 +150,10 @@ def shingle_features(
       per doc — orders of magnitude smaller than the corpus text).
 
     Callers composing several dedup stages should build this once and pass
-    it to each stage via the ``feats=`` parameter.
+    it to each stage via the ``feats=`` parameter — and own its lifecycle:
+    nothing here unpersists, so long-lived sessions running many dedup
+    passes should ``feats.unpersist()`` (or ``spark.catalog.clearCache()``,
+    as bench.py does between queries) once the pass completes.
 
     Deliberately NO filter on the feature set here: a predicate over the
     (huge) shingle expression gets pushed below the projection by Catalyst

@@ -24,12 +24,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import dsum
+from ..functions import DEC
 
+# (phase1, phase2) builders. Phase-1 sums stay DECIMAL (Spark widens the
+# accumulator to decimal(28,4)) — casting the partial back to double between
+# phases would re-quantize values above ~2^53/10^4 and break the
+# "identical to direct groupBy" guarantee exactly on the hot keys this
+# operator exists for. The double cast happens once, after phase 2.
+# count honors SQL COUNT(col) semantics (non-null only).
 DECOMPOSABLE = {
-    "sum": (lambda c, a: dsum(c, a), lambda c, a: dsum(c, a)),
+    "sum": (
+        lambda c, a: F.sum(F.col(c).cast(DEC)).alias(a),
+        lambda c, a: F.sum(c).cast("double").alias(a),
+    ),
     "count": (
-        lambda c, a: F.count(F.lit(1)).alias(a),
+        lambda c, a: F.count(c).alias(a),
         lambda c, a: F.sum(c).cast("bigint").alias(a),
     ),
     "min": (lambda c, a: F.min(c).alias(a), lambda c, a: F.min(c).alias(a)),

@@ -72,7 +72,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     FROM events
     QUALIFY ROW_NUMBER() OVER (
         PARTITION BY event_id
-        ORDER BY ts ASC NULLS FIRST, coalesce(value, 0.0) ASC NULLS FIRST
+        ORDER BY ts ASC NULLS FIRST,
+                 coalesce(value, 0.0) ASC NULLS FIRST,
+                 user_id ASC NULLS FIRST,
+                 event_type ASC NULLS FIRST,
+                 props ASC NULLS FIRST,
+                 coalesce(lower(trim(event_type)), 'unknown') ASC NULLS FIRST
     ) = 1
     """,
 )

@@ -51,3 +51,22 @@ def test_dedup_deterministic_picks_by_order(spark):
     df = spark.createDataFrame(rows, ["k", "v", "tag"])
     out = dedup_deterministic(df, ["k"], [F.asc("v")]).orderBy("k").collect()
     assert [(r.k, r.tag) for r in out] == [(1, "a"), (2, "c")]
+
+
+def test_clean_events_survivor_total_order(spark):
+    """Duplicate keys tying on (ts, value) must still yield a deterministic
+    survivor via the full-column tiebreaker — same answer regardless of
+    input order or partitioning."""
+    base = [
+        (1, "2024-01-01 00:00:00", 7, "zz", 5.0, "{}"),
+        (1, "2024-01-01 00:00:00", 3, "aa", 5.0, "{}"),  # ties on ts+value
+    ]
+    for perm in (base, base[::-1]):
+        df = spark.createDataFrame(
+            perm,
+            "event_id long, ts string, user_id long, event_type string, "
+            "value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts")).repartition(8)
+        out = clean_events(df).collect()
+        assert len(out) == 1
+        assert out[0].user_id == 3  # min user_id breaks the tie, always
