@@ -197,16 +197,16 @@ def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     cent = long.groupBy("label", "dim").agg(
         (dsum("v") / F.count(F.lit(1))).alias("c")
     )
-    rows = (
-        cent.groupBy("label")
-        .agg(
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("dim", "c"))), lambda s: s["c"]
-            ).alias("cv")
-        )
-        .collect()
+    # one Spark job: collect the (n_labels × dim) long-form rows and
+    # assemble vectors driver-side — a second distributed groupBy to pack
+    # 640 rows into arrays would cost a full extra stage for nothing
+    rows = cent.collect()
+    by_label: dict[int, dict[int, float]] = {}
+    for r in rows:
+        by_label.setdefault(r.label, {})[r.dim] = r.c
+    return sorted(
+        (lbl, [dims[d] for d in sorted(dims)]) for lbl, dims in by_label.items()
     )
-    return sorted((r.label, list(r.cv)) for r in rows)
 
 
 def ann_ivf_topk(
