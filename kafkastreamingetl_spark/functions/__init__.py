@@ -23,8 +23,23 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     split count is below the session's parallelism; at real scale (100 TB =
     thousands of row groups) the condition is false and this is a no-op, so
     it never introduces a shuffle where data is already wide.
+
+    Two-tier check, cheap path first: a file-backed plan with ≥ n input
+    files always splits into ≥ n scan partitions, so the scan's file list
+    (logical-plan metadata — no physical planning) decides the common
+    at-scale case without touching ``df.rdd``. Only plans that *might* be
+    narrow (few/no input files: single-file test tables, in-memory ranges)
+    pay the accurate ``rdd.getNumPartitions()`` probe — a many-files scan
+    may still split one large file into many partitions, which the file
+    count alone can't see, so the file gate only ever short-circuits the
+    no-op direction.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= n:
+            return df
+    except Exception:  # non-file-backed plans: fall through to the probe
+        pass
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

@@ -55,6 +55,14 @@ LSH_BANDS = 4
 LSH_ROWS = 3
 assert len(MINHASH_COEFFS) == LSH_BANDS * LSH_ROWS
 
+# Memo of persisted shingle-feature DataFrames keyed by
+# (applicationId, plan semanticHash, text_col, id_col) — see
+# :func:`shingle_features`. OrderedDict for LRU eviction.
+from collections import OrderedDict  # noqa: E402
+
+_FEATS_CACHE: OrderedDict[tuple[str, int, str, str], DataFrame] = OrderedDict()
+_FEATS_CACHE_MAX = 8
+
 
 # ---------------------------------------------------------------------------
 # exact dedup by content hash
@@ -150,10 +158,15 @@ def shingle_features(
       per doc — orders of magnitude smaller than the corpus text).
 
     Callers composing several dedup stages should build this once and pass
-    it to each stage via the ``feats=`` parameter — and own its lifecycle:
-    nothing here unpersists, so long-lived sessions running many dedup
-    passes should ``feats.unpersist()`` (or ``spark.catalog.clearCache()``,
-    as bench.py does between queries) once the pass completes.
+    it to each stage via the ``feats=`` parameter. Repeated calls for the
+    SAME (session, input plan, columns) return the SAME memoized DataFrame
+    instead of persisting a fresh identical plan each time — long-lived
+    sessions registering many dedup queries over one corpus hold exactly
+    one cached feature set, not one per call ('Asked to cache already
+    cached data' accumulation). The memo is bounded (LRU, `_FEATS_CACHE_MAX`
+    entries); evicted or superseded entries are unpersisted. An external
+    ``spark.catalog.clearCache()`` (bench.py between queries) simply drops
+    the cached blocks — the memoized plan re-persists on next use.
 
     Deliberately NO filter on the feature set here: a predicate over the
     (huge) shingle expression gets pushed below the projection by Catalyst
@@ -164,10 +177,29 @@ def shingle_features(
     """
     from pyspark import StorageLevel
 
-    feats = ensure_parallelism(df).select(
-        F.col(id_col), shingle_hashes(text_col).alias("_hs")
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        text_col,
+        id_col,
     )
-    return feats.persist(StorageLevel.MEMORY_AND_DISK)
+    feats = _FEATS_CACHE.get(key)
+    if feats is None:
+        feats = ensure_parallelism(df).select(
+            F.col(id_col), shingle_hashes(text_col).alias("_hs")
+        )
+        _FEATS_CACHE[key] = feats
+        while len(_FEATS_CACHE) > _FEATS_CACHE_MAX:
+            _, evicted = _FEATS_CACHE.popitem(last=False)
+            evicted.unpersist()
+    else:
+        _FEATS_CACHE.move_to_end(key)
+    # persist only when not currently cached (re-persisting an already
+    # cached plan logs a CacheManager warning); re-arms after clearCache
+    sl = feats.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        feats.persist(StorageLevel.MEMORY_AND_DISK)
+    return feats
 
 
 def minhash_signatures(

@@ -172,6 +172,12 @@ def write_daily_metrics(df: DataFrame, path: str) -> None:
     output date directory is written by one task — without it every task
     writes a file into every date dir (task_count × date_count small files,
     the classic partitioned-write mistake at scale).
+
+    Overwrite is per-partition, not per-table:
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.
+    RUNTIME_CONFS) makes mode('overwrite') replace only the date partitions
+    present in ``df`` — re-running day N is idempotent and days 1..N-1
+    survive (asserted in tests/test_rollup_batch.py::test_incremental_daily_writes).
     """
     (
         df.repartition("event_date")
@@ -228,7 +234,14 @@ def run_daily_batch(
     metrics = daily_segment_metrics_for_date(events, customer, run_date)
     if output_path is not None:
         write_daily_metrics(metrics, output_path)
-        n = metrics.sparkSession.read.parquet(output_path).count()
+        # QC counts THIS run's partition only (partition-pruned directory
+        # read) — the table holds every prior day under incremental
+        # dynamic-overwrite writes
+        n = (
+            metrics.sparkSession.read.parquet(output_path)
+            .where(F.col("event_date") == F.lit(run_date).cast("date"))
+            .count()
+        )
     else:
         n = metrics.count()
     if n == 0:

@@ -366,7 +366,7 @@ def q_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
            to_json(struct_pack(
                event_id := event_id,
                event_type := coalesce(event_type, 'unknown'),
-               k := CAST(props->>'k' AS INT)
+               k := coalesce(CAST(props->>'k' AS INT), -1)
            ))::VARCHAR AS payload
     FROM events
     """,
@@ -376,13 +376,18 @@ def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     producer/producer.py:50, re-expressed as the Kafka-sink projection
     ``to_json(struct(*))`` from SURVEY §2.1 S8). Fields are null-proofed:
     Spark omits null struct fields where DuckDB emits ``null``, so the
-    contract requires non-null values — enforced with coalesce."""
+    contract requires non-null values — enforced with coalesce on EVERY
+    field (``k`` included: a props payload missing the key must serialize
+    identically on both engines, not only on data where k happens to be
+    present)."""
     ev = _t(spark, sf_dir, "events")
     payload = F.to_json(
         F.struct(
             F.col("event_id"),
             F.coalesce(F.col("event_type"), F.lit("unknown")).alias("event_type"),
-            F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+            F.coalesce(
+                F.from_json(F.col("props"), "k INT").getField("k"), F.lit(-1)
+            ).alias("k"),
         )
     )
     return ev.select("event_id", payload.alias("payload"))

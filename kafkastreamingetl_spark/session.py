@@ -35,6 +35,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Incremental daily batches: mode('overwrite') + partitionBy must replace
+    # only the partitions present in THIS write. Spark's default ('static')
+    # truncates the whole table root first, so a nightly job for day N would
+    # silently delete days 1..N-1 (the reference's batch writes a fresh
+    # per-date file each run — kafka_spark_etl.py:102-107 — and never
+    # destroys prior days).
+    "spark.sql.sources.partitionOverwriteMode": "dynamic",
 }
 
 

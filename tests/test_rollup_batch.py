@@ -75,6 +75,25 @@ def test_run_daily_batch_end_to_end(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == n
 
 
+def test_incremental_daily_writes_preserve_prior_dates(spark, sf_dir, tmp_path):
+    """partitionOverwriteMode=dynamic: a later run_date's overwrite must not
+    destroy earlier date partitions, and re-running the SAME date must be
+    idempotent (replace, not append) — the reference's nightly batch writes
+    one day per run and never truncates history (kafka_spark_etl.py:102-107)."""
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    out = str(tmp_path / "metrics")
+    n1 = run_daily_batch(events, customer, "2024-01-15", output_path=out)
+    n2 = run_daily_batch(events, customer, "2024-01-16", output_path=out)
+    assert n1 > 0 and n2 > 0
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("event_date="))
+    assert dirs == ["event_date=2024-01-15", "event_date=2024-01-16"]
+    assert spark.read.parquet(out).count() == n1 + n2
+    # idempotent re-run of day 16: same total, no duplicated rows
+    assert run_daily_batch(events, customer, "2024-01-16", output_path=out) == n2
+    assert spark.read.parquet(out).count() == n1 + n2
+
+
 def test_empty_input_guard(spark, sf_dir):
     events = load_table(spark, sf_dir, "events")
     customer = load_table(spark, sf_dir, "customer")
