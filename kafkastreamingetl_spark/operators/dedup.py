@@ -364,3 +364,188 @@ def sql_neardup_pairs(
     WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
             / len(list_distinct(list_concat(x.hs, y.hs))) >= {min_jaccard}
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster resolution: verified pairs -> connected components -> dedup corpus
+# ---------------------------------------------------------------------------
+
+# Default verification threshold for treating an LSH-verified pair as a true
+# duplicate edge. Above the LSH S-curve midpoint (~0.63 for 4x3 banding), so
+# the candidate generator has decent recall at this strength.
+NEARDUP_MIN_JACCARD = 0.6
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, cluster_id): connected components by iterative min-label
+    propagation; ``cluster_id`` is the component's minimum node id.
+
+    Each iteration joins the (symmetrized) edge list against the current
+    labels and takes the per-node min — one shuffle on node id per round.
+    Labels decrease monotonically, so the total label sum is a strictly
+    decreasing convergence witness: one cheap scalar agg per round, no
+    row-level diff join. Iterations needed = graph diameter; LSH near-dup
+    graphs are overwhelmingly 2-3 node clusters (diameter ≤ 2), so this
+    converges in 2-3 rounds where the alternating large-star/small-star
+    construction (O(log n) worst case, Kiveris et al.) would pay its extra
+    joins for nothing. ``max_iter`` guards adversarial chains; raise it (or
+    switch to star-contraction) for graphs with long paths.
+
+    ``localCheckpoint(eager=True)`` after every round truncates the logical
+    plan — without it the self-referential lineage doubles per iteration
+    and Catalyst re-analysis dominates. On a real cluster with executor
+    loss concerns, swap for reliable ``checkpoint()`` on a durable dir
+    (same call shape).
+
+    Only nodes with ≥ 1 edge appear in the output — singletons are their
+    own cluster by definition and callers (``neardup_dedup``) treat absence
+    as survival, so the label table stays proportional to the *duplicate*
+    set, not the corpus.
+    """
+    fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iter):
+        prop = sym.join(labels, sym.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        new_labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        new_total = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        labels, prev, total = new_labels, total, new_total
+        if new_total == prev:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations"
+        )
+    return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def neardup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every document in ≥ 1 verified near-dup
+    pair; cluster_id = min doc id of the connected component.
+
+    Completes the dedup pipeline's semantics: LSH candidates → Jaccard
+    verification → transitive closure. A≈B and B≈C land A, B, C in one
+    cluster even if A and C never shared a band.
+    """
+    pairs = neardup_pairs(df, text_col, id_col, min_jaccard=min_jaccard).select(
+        "doc_a", "doc_b"
+    )
+    return connected_components(pairs).select(
+        F.col("node").alias(id_col), "cluster_id"
+    )
+
+
+def neardup_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """The deduplicated corpus at near-dup strength: one canonical survivor
+    (the min-id member) per duplicate cluster, all singletons untouched.
+
+    End-to-end twin of the reference's row-dropping dedup (reference
+    spark/app.py:79 drops rows, it doesn't report pairs) at near-duplicate
+    strength. The anti-join's right side is only the *non-survivors* —
+    proportional to the duplicate fraction, not the corpus — so AQE
+    broadcasts it in the common case and the corpus never reshuffles.
+    """
+    clusters = neardup_clusters(df, text_col, id_col, min_jaccard=min_jaccard)
+    losers = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(id_col)
+    return df.join(losers, id_col, "left_anti")
+
+
+def _sql_components_ctes(
+    table: str, text_col: str, min_jaccard: float
+) -> str:
+    """Shared recursive-CTE chain: pairs → symmetric edges → min-label
+    closure (``reach`` enumerates every (node, reachable node); MIN over it
+    is the component min — the same fixpoint the Spark loop computes)."""
+    jac = (
+        "len(list_intersect(x.hs, y.hs))::DOUBLE"
+        " / len(list_distinct(list_concat(x.hs, y.hs)))"
+    )
+    return f"""
+    {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cands c
+        JOIN feats x ON c.doc_a = x.doc_id
+        JOIN feats y ON c.doc_b = y.doc_id
+        WHERE {jac} >= {min_jaccard}
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r
+        FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    clusters AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    """
+
+
+def sql_neardup_clusters(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)}
+    SELECT node AS doc_id, cluster_id FROM clusters
+    """
+
+
+def sql_neardup_dedup(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)}
+    SELECT d.* FROM {table} d
+    ANTI JOIN (
+        SELECT node FROM clusters WHERE node <> cluster_id
+    ) l ON d.doc_id = l.node
+    """

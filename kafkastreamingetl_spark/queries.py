@@ -742,6 +742,24 @@ def q_neardup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("neardup_clusters", oracle=dedup_ops.sql_neardup_clusters())
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution: verified pairs → connected components
+    (iterative min-label propagation) → (doc_id, cluster_id). The oracle
+    recomputes the transitive closure with a recursive CTE, so the fixpoint
+    itself is validated, not just the pair set."""
+    return dedup_ops.neardup_clusters(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_documents_neardup", oracle=dedup_ops.sql_neardup_dedup())
+def q_dedup_documents_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end deduplicated corpus at near-dup strength: one
+    canonical (min-id) survivor per duplicate cluster, singletons
+    untouched — the row-dropping semantics of the reference's dedup
+    (spark/app.py:79) at near-duplicate strength."""
+    return dedup_ops.neardup_dedup(_t(spark, sf_dir, "documents"))
+
+
 @query("embedding_topk", oracle=sim_ops.sql_cosine_topk())
 def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-10 for the first 8 query vectors."""

@@ -9,8 +9,11 @@ from pyspark.sql import functions as F
 
 from kafkastreamingetl_spark.functions import hash60, py_hash60
 from kafkastreamingetl_spark.operators.dedup import (
+    connected_components,
     exact_dedup,
     lsh_candidate_pairs,
+    neardup_clusters,
+    neardup_dedup,
     neardup_pairs,
 )
 from kafkastreamingetl_spark.operators.text import (
@@ -78,6 +81,38 @@ def test_simhash_close_for_neardups(spark):
 
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
     assert hamming(got[1], got[2]) < hamming(got[2], got[3])
+
+
+def test_connected_components_chain_and_triangle(spark):
+    # components: {1,2,3,4} (a path — transitivity beyond direct edges),
+    # {7,9}, and 5 appears in no edge (absent from output by contract)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (9, 7)], ["doc_a", "doc_b"]
+    )
+    got = {r.node: r.cluster_id for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_connected_components_empty_edges(spark):
+    edges = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(edges).count() == 0
+
+
+def test_neardup_cluster_collapses_planted_triple(spark):
+    # A(1) ≈ B(2) ≈ C(3): one-token edits at opposite ends, so A and C are
+    # two edits apart — they may never share a band, but transitive closure
+    # must still collapse all three to cluster 1. Doc 4 is unrelated.
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    b = base.replace("today", "tonight")
+    c = b.replace("quick", "swift")
+    other = "completely different words about spark partitions and shuffles here"
+    df = spark.createDataFrame(
+        [(1, base), (2, b), (3, c), (4, other)], ["doc_id", "text"]
+    )
+    clusters = {r.doc_id: r.cluster_id for r in neardup_clusters(df).collect()}
+    assert clusters == {1: 1, 2: 1, 3: 1}
+    survivors = sorted(r.doc_id for r in neardup_dedup(df).collect())
+    assert survivors == [1, 4]
 
 
 def test_doc_quality_ratios(spark):
