@@ -33,7 +33,13 @@ from pyspark.sql import functions as F
 
 from ..functions import ensure_parallelism, hash60, sql_hash60
 from .cleaning import dedup_deterministic
-from .text import SHINGLE_N, shingle_hashes, sql_shingle_hashes_over_w, sql_tokens
+from .text import (
+    SHINGLE_N,
+    shingle_hashes,
+    simhash_from_hashes,
+    sql_shingle_hashes_over_w,
+    sql_tokens,
+)
 
 # LSH parameters — fixed literals shared verbatim by Spark + oracle SQL.
 MINHASH_P = 4294967311  # prime > 2^32
@@ -363,6 +369,117 @@ def sql_neardup_pairs(
     JOIN feats y ON c.doc_b = y.doc_id
     WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
             / len(list_distinct(list_concat(x.hs, y.hs))) >= {min_jaccard}
+    """
+
+
+# ---------------------------------------------------------------------------
+# SimHash banding: the second (cheaper) near-dup path
+# ---------------------------------------------------------------------------
+
+# 60-bit fingerprint split into 4 bands x 15 bits. With max_hamming = bands-1
+# the pigeonhole principle makes banding EXACT, not approximate: any pair
+# within Hamming distance 3 differs in at most 3 bands, so at least one band
+# matches and the pair is guaranteed to surface. The candidate join therefore
+# returns precisely {pairs : hamming(simhash_a, simhash_b) <= max_hamming} —
+# oracle-checkable with no recall caveat.
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = 15
+SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+assert SIMHASH_BANDS * SIMHASH_BAND_BITS == 60  # hash60 width
+_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, hamming): pairs within ``max_hamming`` SimHash bits.
+
+    The cheap near-dup path: one 8-byte fingerprint per document (vs 12
+    minhashes + shingle sets), banded self-equi-join on (band, band value)
+    exactly like the MinHash LSH join — shuffle O(n · bands), never
+    all-pairs. The Hamming filter (``bit_count(a XOR b)``) runs after the
+    bucket join on fingerprints already in hand, so verification costs one
+    integer op per candidate — no second join back to feature sets, which
+    is what makes this tier cheaper than MinHash+Jaccard.
+
+    With the default ``max_hamming = SIMHASH_BANDS - 1`` the result is
+    EXACT (pigeonhole — see the constants above). Raising ``max_hamming``
+    beyond that trades recall for reach: more-distant pairs surface only
+    when their differing bits cluster into few bands. Empty-shingle
+    documents (< SHINGLE_N tokens) are excluded — their all-zero
+    fingerprints would otherwise pairwise-collide every short doc into one
+    giant skewed bucket.
+    """
+    feats = feats if feats is not None else shingle_features(df, text_col, id_col)
+    fps = feats.filter(F.size("_hs") > 0).select(
+        F.col(id_col), simhash_from_hashes(F.col("_hs")).alias("simhash")
+    )
+    band_vals = F.array(
+        *[
+            F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS).bitwiseAND(
+                F.lit(_BAND_MASK)
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bands = fps.select(
+        id_col, "simhash", F.posexplode(band_vals).alias("band", "bval")
+    )
+    a = bands.select(
+        F.col(id_col).alias("doc_a"), F.col("simhash").alias("sh_a"), "band", "bval"
+    )
+    b = bands.select(
+        F.col(id_col).alias("doc_b"), F.col("simhash").alias("sh_b"), "band", "bval"
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(hamming <= max_hamming)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+def sql_simhash_candidate_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    max_hamming: int = SIMHASH_MAX_HAMMING,
+) -> str:
+    from .text import sql_simhash_over_hs
+
+    band_ids = ", ".join(str(b) for b in range(SIMHASH_BANDS))
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    feats AS (
+        SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs FROM toks
+    ),
+    fps AS (
+        SELECT doc_id, {sql_simhash_over_hs()} AS simhash
+        FROM feats WHERE len(hs) > 0
+    ),
+    bands AS (
+        SELECT doc_id, simhash, b.band,
+               (simhash >> (b.band * {SIMHASH_BAND_BITS})) & {_BAND_MASK} AS bval
+        FROM fps CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                        a.simhash AS sh_a, b.simhash AS sh_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sh_a, sh_b))::INT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {max_hamming}
     """
 
 

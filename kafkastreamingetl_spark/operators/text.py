@@ -190,9 +190,16 @@ def simhash(col: str | Column, n: int = SHINGLE_N) -> Column:
 
     Near-duplicate texts differ in few shingles, so their fingerprints are
     close in Hamming distance; pairing by fingerprint bands is the scalable
-    grouping (no all-pairs comparison).
+    grouping (no all-pairs comparison) — see
+    ``operators.dedup.simhash_candidate_pairs``.
     """
-    hs = shingle_hashes(col, n)
+    return simhash_from_hashes(shingle_hashes(col, n))
+
+
+def simhash_from_hashes(hs: Column) -> Column:
+    """The SimHash fold over an already-computed shingle-hash array column —
+    the reuse point for pipelines that share one persisted feature set
+    across MinHash and SimHash stages (dedup.shingle_features)."""
     pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
     return F.aggregate(
         pows,

@@ -742,6 +742,14 @@ def q_neardup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query("simhash_candidates", oracle=dedup_ops.sql_simhash_candidate_pairs())
+def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-banded near-dup pairs: 4×15-bit bands, Hamming ≤ 3 — exact
+    by pigeonhole at this (bands, max_hamming) setting, verified with one
+    bit_count per candidate instead of a join back to shingle sets."""
+    return dedup_ops.simhash_candidate_pairs(_t(spark, sf_dir, "documents"))
+
+
 @query("neardup_clusters", oracle=dedup_ops.sql_neardup_clusters())
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-cluster resolution: verified pairs → connected components

@@ -15,6 +15,7 @@ from kafkastreamingetl_spark.operators.dedup import (
     neardup_clusters,
     neardup_dedup,
     neardup_pairs,
+    simhash_candidate_pairs,
 )
 from kafkastreamingetl_spark.operators.text import (
     doc_quality,
@@ -81,6 +82,49 @@ def test_simhash_close_for_neardups(spark):
 
     assert hamming(got[1], got[2]) < hamming(got[1], got[3])
     assert hamming(got[1], got[2]) < hamming(got[2], got[3])
+
+
+def _long_neardup_corpus(spark):
+    """120-token doc + its append-one-token near-dup + an unrelated doc.
+
+    Seeded so the near pair's SimHash Hamming distance is 1 (probed
+    offline; Python's Mersenne Twister is seed-stable) — inside the
+    banding guarantee AND found by MinHash-LSH, so both near-dup paths
+    must surface the same planted pair.
+    """
+    import random
+
+    rng = random.Random(1)
+    vocab = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+        "lima mike november oscar papa quebec romeo sierra tango uniform "
+        "victor whiskey"
+    ).split()
+    base = " ".join(rng.choice(vocab) for _ in range(120))
+    near = base + " appended"
+    other = " ".join(reversed([rng.choice(vocab) for _ in range(120)]))
+    return spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+
+
+def test_simhash_banding_finds_what_minhash_finds(spark):
+    df = _long_neardup_corpus(spark)
+    mh = {(r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()}
+    sh = {(r.doc_a, r.doc_b): r.hamming for r in simhash_candidate_pairs(df).collect()}
+    assert (1, 2) in mh  # MinHash path finds the planted pair
+    assert set(sh) == {(1, 2)}  # SimHash path finds it too, nothing else
+    assert sh[(1, 2)] <= 3
+
+
+def test_simhash_banding_excludes_short_docs(spark):
+    # two <3-token docs would share the all-zero fingerprint; neither may
+    # appear (skew guard), and the pair must not be reported
+    df = spark.createDataFrame(
+        [(1, "tiny"), (2, "also tiny"), (3, "x y z w v u t s r q p o n m")],
+        ["doc_id", "text"],
+    )
+    assert simhash_candidate_pairs(df).count() == 0
 
 
 def test_connected_components_chain_and_triangle(spark):
