@@ -125,31 +125,65 @@ def self_queries(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
     )
 
 
+def _flip_bit(bucket: Column, i: int) -> Column:
+    """The bucket signature with character ``i`` (0-based) inverted."""
+    ch = F.substring(bucket, i + 1, 1)
+    return F.concat(
+        F.substring(bucket, 1, i),
+        F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
+        F.substring(bucket, i + 2, ANN_N_PLANES),
+    )
+
+
 def ann_hyperplane_topk(
     embeddings: DataFrame,
     queries: DataFrame,
     k: int = 10,
     *,
+    hamming_probes: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's hyperplane bucket.
+    """Approximate top-k: compare only within the query's hyperplane
+    bucket(s).
 
     Corpus rows are tagged with their bucket signature in the same scan that
     computes scores; the bucket equi-join replaces the crossJoin, so each
-    corpus row meets only queries sharing its bucket (expected corpus/2^p).
-    Recall is traded for that reduction — the standard LSH deal. Result
-    schema matches :func:`cosine_topk` (ranks are within-bucket).
+    corpus row meets only queries probing its bucket (expected corpus/2^p
+    per probe). Recall is traded for that reduction — the standard LSH deal.
+    Result schema matches :func:`cosine_topk` (ranks are within probed
+    buckets).
+
+    ``hamming_probes=1`` is multi-probe: each query also probes the
+    ``ANN_N_PLANES`` buckets one bit-flip away (9 probes at 8 planes) —
+    near-boundary neighbors whose sign flipped on exactly one hyperplane
+    are recovered. The explosion happens on the BROADCAST query side only
+    (n_queries × 9 rows); the corpus keeps one bucket per vector and never
+    grows, so the compare volume scales with probes while the scan does
+    not. Probe buckets are distinct, so each (query, vector) pair meets at
+    most once — no post-join dedup. Recall@10 strictly above single-probe
+    is asserted on real data in tests/test_lsh_recall.py.
     """
-    q = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
-            bucket_signature(F.col(query_vec_col)).alias("_bucket"),
-        )
+    if hamming_probes not in (0, 1):
+        raise ValueError("hamming_probes supports 0 (single) or 1 (multi-probe)")
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(query_vec_col),
+        bucket_signature(F.col(query_vec_col)).alias("_bucket"),
     )
+    if hamming_probes == 1:
+        probe_arr = F.array(
+            F.col("_bucket"),
+            *[_flip_bit(F.col("_bucket"), i) for i in range(ANN_N_PLANES)],
+        )
+        q = q.select(
+            query_id_col,
+            query_vec_col,
+            F.explode(probe_arr).alias("_bucket"),
+        )
+    q = F.broadcast(q)
     corpus = ensure_parallelism(embeddings).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col),
@@ -323,23 +357,42 @@ def _sql_bucket(vec: str) -> str:
 
 
 def sql_ann_hyperplane_topk(
-    table: str = "embeddings", k: int = 10, n_queries: int = 8
+    table: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    *,
+    hamming_probes: int = 0,
 ) -> str:
+    if hamming_probes == 0:
+        probes_cte = "probes AS (SELECT query_id, query_vec, bucket FROM q)"
+    else:
+        flip = (
+            "substr(bucket, 1, i) || "
+            "(CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END)"
+            f" || substr(bucket, i + 2, {ANN_N_PLANES})"
+        )
+        probes_cte = f"""probes AS (
+        SELECT query_id, query_vec, bucket FROM q
+        UNION ALL
+        SELECT query_id, query_vec, {flip} AS bucket
+        FROM q CROSS JOIN (SELECT unnest(range(0, {ANN_N_PLANES})) AS i) b
+    )"""
     return f"""
     WITH q AS (
         SELECT vec_id AS query_id, embedding AS query_vec,
                {_sql_bucket('embedding')} AS bucket
         FROM {table} WHERE vec_id < {n_queries}
     ),
+    {probes_cte},
     corpus AS (
         SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
         FROM {table}
     ),
     scored AS (
-        SELECT q.query_id, c.vec_id,
-               {sql_cosine('c.embedding', 'q.query_vec')} AS cos
-        FROM corpus c JOIN q ON c.bucket = q.bucket
-        WHERE c.vec_id != q.query_id
+        SELECT p.query_id, c.vec_id,
+               {sql_cosine('c.embedding', 'p.query_vec')} AS cos
+        FROM corpus c JOIN probes p ON c.bucket = p.bucket
+        WHERE c.vec_id != p.query_id
     )
     SELECT query_id, vec_id, cos,
            CAST(ROW_NUMBER() OVER (

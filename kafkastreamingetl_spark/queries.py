@@ -782,6 +782,20 @@ def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_hyperplane_topk(emb, sim_ops.self_queries(emb))
 
 
+@query(
+    "embedding_ann_multiprobe",
+    oracle=sim_ops.sql_ann_hyperplane_topk(hamming_probes=1),
+)
+def q_embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe hyperplane LSH: each query also searches the 8
+    Hamming-1 bucket flips (9 probes) — same bucketed-join shape, the
+    query side explodes (broadcast, 9 rows per query), the corpus side
+    never grows. Recall@10 strictly above single-probe is asserted in
+    tests/test_lsh_recall.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_hyperplane_topk(emb, sim_ops.self_queries(emb), hamming_probes=1)
+
+
 @query("embedding_ivf_topk", oracle=sim_ops.sql_ann_ivf_topk())
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: fit label centroids (decimal-exact means), assign

@@ -13,6 +13,7 @@ import random
 import pytest
 
 from kafkastreamingetl_spark.operators.dedup import neardup_pairs
+from kafkastreamingetl_spark.operators import similarity as sim_ops
 
 VOCAB = [f"w{i:03d}" for i in range(600)]
 N_BASE = 400
@@ -61,3 +62,26 @@ def test_unrelated_docs_rarely_pair(spark, corpus):
     # band collisions should be rare and any that survive carry the
     # evidence of a genuinely high jaccard
     assert len(false_pairs) <= 0.05 * len(pairs) + 5, false_pairs[:10]
+
+
+def test_multiprobe_ann_recall_beats_single_probe(spark):
+    """Recall@10 vs exact cosine top-10 on the real sf0.01 embeddings:
+    probing the 8 Hamming-1 bucket flips must strictly improve on the
+    single-bucket path (measured ~0.01 -> ~0.10 on this data)."""
+    from kafkastreamingetl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = sim_ops.self_queries(emb, n_queries=32)
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    exact = pairs(sim_ops.cosine_topk(emb, q))
+    single = pairs(sim_ops.ann_hyperplane_topk(emb, q))
+    multi = pairs(sim_ops.ann_hyperplane_topk(emb, q, hamming_probes=1))
+    recall_single = len(single & exact) / len(exact)
+    recall_multi = len(multi & exact) / len(exact)
+    # NOT a superset assertion: multi-probe's top-10 legitimately displaces
+    # weak single-bucket members with better neighbors from flipped buckets
+    assert recall_multi > recall_single, (recall_multi, recall_single)
+    assert recall_multi >= 0.05, recall_multi
