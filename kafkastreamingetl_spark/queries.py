@@ -22,6 +22,7 @@ from .catalog import load_events, load_table, register_views
 from .functions import dsum, sql_dsum
 from .operators import dedup as dedup_ops
 from .operators import multimodal as mm_ops
+from .operators import pipeline as pipe_ops
 from .operators import similarity as sim_ops
 from .operators import text as text_ops
 from .operators.cleaning import clean_events
@@ -805,6 +806,16 @@ def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     validated."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.ann_ivf_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("training_set_sample", oracle=pipe_ops.sql_training_set_sample())
+def q_training_set_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed training-data pipeline: inline quality filter →
+    near-dup cluster removal → label join → per-label top-k sample, one
+    declarative plan (operators/pipeline.py)."""
+    return pipe_ops.training_set_sample(
+        _t(spark, sf_dir, "documents"), _t(spark, sf_dir, "embeddings")
+    )
 
 
 @query("multimodal_features", oracle=mm_ops.sql_extract_features())

@@ -131,3 +131,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_training_set_sample_scans_documents_once(spark, sf_dir):
+    """The composed pipeline (quality → dedup → label join → sample) must
+    not rescan `documents` per stage: quality metrics are inline on the
+    main projection and the cluster branch consumes the persisted shingle
+    features, so the final plan holds exactly one documents scan (and one
+    embeddings scan), with zero Python UDFs."""
+    from kafkastreamingetl_spark.operators.pipeline import training_set_sample
+
+    df = training_set_sample(
+        load_table(spark, sf_dir, "documents"),
+        load_table(spark, sf_dir, "embeddings"),
+    )
+    plan = plan_of(df)
+    assert plan.count("documents.parquet") == 1, plan
+    assert plan.count("embeddings.parquet") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
