@@ -514,11 +514,20 @@ def connected_components(
     joins for nothing. ``max_iter`` guards adversarial chains; raise it (or
     switch to star-contraction) for graphs with long paths.
 
-    ``localCheckpoint(eager=True)`` after every round truncates the logical
-    plan — without it the self-referential lineage doubles per iteration
-    and Catalyst re-analysis dominates. On a real cluster with executor
-    loss concerns, swap for reliable ``checkpoint()`` on a durable dir
-    (same call shape).
+    Materialization discipline (this is where iterative graph algorithms
+    on Spark go wrong):
+
+    - the symmetrized edge list is ``localCheckpoint``-ed ONCE before the
+      loop — otherwise every iteration's join re-executes the edges'
+      upstream plan (here: the entire LSH candidate + Jaccard-verify
+      pipeline), multiplying the dominant cost by the iteration count;
+    - per-round labels use a LAZY ``localCheckpoint``: the convergence
+      agg is the action that materializes them, so each round costs one
+      job, and lineage is still truncated (without truncation the
+      self-referential plan doubles per iteration and Catalyst
+      re-analysis dominates). On a real cluster with executor-loss
+      concerns, swap for reliable ``checkpoint()`` on a durable dir
+      (same call shape).
 
     Only nodes with ≥ 1 edge appear in the output — singletons are their
     own cluster by definition and callers (``neardup_dedup``) treat absence
@@ -526,14 +535,17 @@ def connected_components(
     set, not the corpus.
     """
     fwd = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    sym = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    sym = fwd.union(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint(eager=True)
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)"))
     labels = (
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    total = labels.agg(F.sum(F.col("label").cast("decimal(38,0)"))).collect()[0][0]
+    total = labels.agg(label_sum).collect()[0][0]
     for _ in range(max_iter):
         prop = sym.join(labels, sym.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -542,11 +554,9 @@ def connected_components(
             labels.unionByName(prop)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        new_total = new_labels.agg(
-            F.sum(F.col("label").cast("decimal(38,0)"))
-        ).collect()[0][0]
+        new_total = new_labels.agg(label_sum).collect()[0][0]
         labels, prev, total = new_labels, total, new_total
         if new_total == prev:
             break
