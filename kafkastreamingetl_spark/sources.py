@@ -11,8 +11,8 @@ Covers the reference's source surface (SURVEY.md §2.1):
   re-expressed as Spark-native column expressions over ``range`` (batch,
   seed-deterministic) or the ``rate`` source (streaming). The reference's
   dirty-data features are preserved: messy casing/padding on the categorical
-  column, 10% null metric, 5% duplicate event ids, occasional unmatched
-  user ids.
+  column, ~1/6 null categorical, 10% null metric, 5% duplicate event ids,
+  occasional unmatched user ids.
 
 All generators stay JVM-side (``F.rand(seed)`` + array lookups) — the
 reference's Python loop at 5 msg/s becomes millions of rows/s per core, and
@@ -110,7 +110,9 @@ def _event_columns(df: DataFrame, *, seed: int, n_users: int, base_ts: str) -> D
 
     Mirrors the reference producer's distributions
     (producer/producer.py:19-44): 5% duplicate event ids (consecutive seq
-    collapsed), messy-cased/padded categorical values, 10% null metric,
+    collapsed), messy-cased/padded categorical values, ~1/6 null
+    categorical (the producer's null-country rate, producer.py:30-36 —
+    exercising the normalize null→'unknown' branch), 10% null metric,
     ~5% of user ids outside the dim range (unmatched in enrichment joins).
     Fully deterministic for a given (seed, row count, partitioning of
     ``df``): every random column derives from seeded ``rand``.
@@ -127,7 +129,9 @@ def _event_columns(df: DataFrame, *, seed: int, n_users: int, base_ts: str) -> D
         F.when(r(3) < 0.05, F.lit(10_000_000))
         .otherwise((r(4) * n_users).cast("long"))
         .alias("user_id"),
-        _pick(MESSY_EVENT_TYPES, r(5)).alias("event_type"),
+        F.when(r(9) < 1.0 / 6, F.lit(None).cast("string"))
+        .otherwise(_pick(MESSY_EVENT_TYPES, r(5)))
+        .alias("event_type"),
         F.when(r(6) < 0.10, F.lit(None).cast("double"))
         .otherwise(F.round(r(7) * 195 + 5, 2))
         .alias("value"),

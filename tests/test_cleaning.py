@@ -5,6 +5,7 @@ ids — producer/producer.py:19-44) and the cleaning stage must fix all of it.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from kafkastreamingetl_spark.operators.cleaning import clean_events, dedup_deterministic
@@ -31,6 +32,8 @@ def test_generator_is_dirty(spark):
     assert 0.05 * N < n_null_value < 0.15 * N  # ~10% null metric
     n_messy = df.filter(F.col("event_type") != F.lower(F.trim("event_type"))).count()
     assert n_messy > 0.5 * N  # most casings are messy variants
+    n_null_type = df.filter(F.col("event_type").isNull()).count()
+    assert 0.10 * N < n_null_type < 0.25 * N  # ~1/6 null categorical
     n_dup = n - df.select("event_id").distinct().count()
     assert 0.02 * N < n_dup < 0.08 * N  # ~5% duplicate ids
 
@@ -40,10 +43,29 @@ def test_clean_events_fixes_everything(spark):
     assert cleaned.filter(F.col("value").isNull()).count() == 0
     assert cleaned.filter(F.col("event_type_norm").isNull()).count() == 0
     # normalized: trimmed, lowercased, member of the canonical vocabulary
-    bad = cleaned.filter(~F.col("event_type_norm").isin(*EVENT_TYPES)).count()
+    # (+ 'unknown' — null event types map there, and the generator now
+    # actually produces them, so the branch is exercised end-to-end)
+    bad = cleaned.filter(
+        ~F.col("event_type_norm").isin(*EVENT_TYPES, "unknown")
+    ).count()
     assert bad == 0
+    assert cleaned.filter(F.col("event_type_norm") == "unknown").count() > 0
     # one row per key
     assert cleaned.count() == cleaned.select("event_id").distinct().count()
+
+
+@pytest.mark.parametrize("seed", [7, 11, 42])
+def test_generator_to_clean_pipeline_invariants(spark, seed):
+    """Generator → clean_events invariants hold at any seed: unique keys,
+    zero nulls in filled columns, canonical (trim+lower fixpoint) types."""
+    cleaned = clean_events(synthetic_events_batch(spark, 2_000, seed=seed))
+    pdf = cleaned.toPandas()
+    assert pdf.event_id.is_unique
+    assert pdf.value.notna().all()
+    assert pdf.event_type_norm.notna().all()
+    assert (
+        pdf.event_type_norm == pdf.event_type_norm.str.strip().str.lower()
+    ).all()
 
 
 def test_dedup_deterministic_picks_by_order(spark):
