@@ -64,8 +64,44 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
     }
+    out.update(_regression_report(timings, sf))
     print(json.dumps(out))
     spark.stop()
+
+
+def _regression_report(timings: dict[str, float], sf: float) -> dict:
+    """Round-over-round regression gate: compare per-query times against the
+    newest prior round's recorded bench at the SAME scale factor
+    (BENCH_r{N}.json, written by the driver). A query is flagged when it
+    runs > 2x its floor and the floor is above the noise threshold (tiny
+    sub-100ms timings flap with JIT/GC, not plans). Extra keys ride along
+    on the single JSON line; the driver's contract keys are untouched.
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    floors: dict[str, float] = {}
+    base_round = None
+    for fname in sorted(os.listdir(here)):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if not m:
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                parsed = json.load(f).get("parsed")
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not parsed or parsed.get("sf") != sf or "queries" not in parsed:
+            continue
+        if base_round is None or int(m.group(1)) > base_round:
+            base_round = int(m.group(1))
+            floors = parsed["queries"]
+    if base_round is None:
+        return {"baseline_round": None, "regressions": {}}
+    regressions = {
+        name: {"now": t, "floor": floors[name]}
+        for name, t in timings.items()
+        if name in floors and floors[name] >= 0.1 and t > 2 * floors[name]
+    }
+    return {"baseline_round": base_round, "regressions": regressions}
 
 
 if __name__ == "__main__":
