@@ -1,0 +1,50 @@
+"""sf0.1 scale-stress differentials for the dedup/ANN tier.
+
+The driver's oracle gate runs at sf0.01; bucket skew, LSH recall cliffs,
+and candidate-volume blowups surface an order of magnitude later. This
+suite re-runs the Spark-vs-DuckDB differential for the LSH/ANN/cluster
+queries at sf0.1 (5k docs / 5k vectors) behind the ``slow`` marker —
+``pytest -m "not slow"`` skips it for quick iteration; the full run keeps
+it green.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from kafkastreamingetl_spark.oracle import run_compare
+
+SF_STRESS = "/root/testdata/sf0.1"
+
+# The queries whose cost/skew profile changes qualitatively with scale:
+# banded self-joins (candidate volume), iterative closure (cluster count),
+# bucketed ANN (bucket occupancy), and the composed pipeline.
+STRESS_QUERIES = [
+    "minhash_signatures",
+    "neardup_candidates",
+    "neardup_pairs_jaccard",
+    "simhash_candidates",
+    "neardup_clusters",
+    "dedup_documents_neardup",
+    "training_set_sample",
+    "embedding_topk",
+    "embedding_ann_topk",
+    "embedding_ann_multiprobe",
+    "embedding_ivf_topk",
+]
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.mark.skipif(
+    not os.path.isdir(SF_STRESS), reason="sf0.1 testdata not present"
+)
+def test_dedup_ann_tier_matches_oracle_at_sf01(spark):
+    results = run_compare(spark, SF_STRESS, STRESS_QUERIES)
+    assert len(results) == len(STRESS_QUERIES)
+    failures = [str(r) for r in results if not r.ok]
+    assert not failures, "\n".join(failures)
+    # the tier must actually produce work at this scale, not vacuous greens
+    assert all(r.rows_spark > 0 for r in results)
