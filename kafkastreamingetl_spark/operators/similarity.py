@@ -202,6 +202,102 @@ def ann_hyperplane_topk(
 
 
 # ---------------------------------------------------------------------------
+# embedding near-dup pairs: Hamming-1 bucket blocking + exact cosine verify
+# ---------------------------------------------------------------------------
+
+# Verification threshold for the embedding near-dup tier. Tuned to the
+# testdata's cosine distribution (max off-diagonal cosine ≈ 0.51; 59 pairs
+# ≥ 0.4 at sf0.01) so the query exercises real verification volume.
+EMB_NEARDUP_MIN_COS = 0.4
+
+
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    min_cos: float = EMB_NEARDUP_MIN_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_a, vec_b, cos): near-duplicate vector pairs by cosine — the
+    embedding-space member of the dedup family (exact hash / MinHash text /
+    SimHash text / THIS), same blocked-self-join shape throughout.
+
+    Blocking: one side emits its hyperplane signature plus all 8 Hamming-1
+    flips (9 probe rows/vector), the other keeps its single signature; the
+    equi-join on the probe admits exactly the pairs whose signatures are
+    within Hamming 1 — each qualifying unordered pair surfaces exactly once
+    (a vector's 9 probes are distinct, and the ``vec_a < vec_b`` filter
+    keeps one direction), so no post-join dedup. Verification is the exact
+    cosine fold on the candidates only. Never all-pairs: compare volume is
+    E[bucket occupancy] · 9 per vector, vs n²/2.
+
+    Recall follows the hyperplane S-curve (P[sign match] = 1 − θ/π per
+    plane, Hamming ≤ 1 over 8 planes); raise recall by lowering
+    ``ANN_N_PLANES`` (bigger buckets) or adding independent signature
+    tables — the standard LSH dials, same trade as dedup.LSH_BANDS/ROWS.
+
+    The candidate join moves both vectors (2 × dim × 4 B per row) — this
+    is inherent to single-pass verify-in-join; at extreme scale, verify
+    against a persisted (id → vector) feature table instead, exactly as
+    dedup.neardup_pairs re-joins its cached shingle sets.
+    """
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_signature(F.col(vec_col)).alias("_bucket"),
+    )
+    probe_arr = F.array(
+        F.col("_bucket"), *[_flip_bit(F.col("_bucket"), i) for i in range(ANN_N_PLANES)]
+    )
+    a = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("_va"),
+        F.explode(probe_arr).alias("_bucket"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("vec_b"), F.col(vec_col).alias("_vb"), "_bucket"
+    )
+    cos = cosine(F.col("_va"), F.col("_vb"))
+    return (
+        a.join(b, "_bucket")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(min_cos))
+    )
+
+
+def sql_embedding_neardup_pairs(
+    table: str = "embeddings", *, min_cos: float = EMB_NEARDUP_MIN_COS
+) -> str:
+    flip = (
+        "substr(bucket, 1, i) || "
+        "(CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, i + 2, {ANN_N_PLANES})"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM {table}
+    ),
+    probes AS (
+        SELECT vec_id, embedding, bucket AS probe FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding, {flip} AS probe
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, {ANN_N_PLANES})) AS i) f
+    ),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               a.embedding AS ea, b.embedding AS eb
+        FROM probes a JOIN corpus b ON a.probe = b.bucket
+        WHERE a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, {sql_cosine('ea', 'eb')} AS cos
+    FROM cand
+    WHERE {sql_cosine('ea', 'eb')} >= {min_cos}
+    """
+
+
+# ---------------------------------------------------------------------------
 # IVF-style ANN: coarse-quantizer buckets + probe join
 # ---------------------------------------------------------------------------
 

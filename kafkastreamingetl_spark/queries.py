@@ -797,6 +797,14 @@ def q_embedding_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_hyperplane_topk(emb, sim_ops.self_queries(emb), hamming_probes=1)
 
 
+@query("embedding_neardup_pairs", oracle=sim_ops.sql_embedding_neardup_pairs())
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: Hamming-1 hyperplane-bucket
+    blocking + exact cosine verification — the vector-space member of the
+    dedup family (operators/similarity.py)."""
+    return sim_ops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
+
+
 @query("embedding_ivf_topk", oracle=sim_ops.sql_ann_ivf_topk())
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: fit label centroids (decimal-exact means), assign

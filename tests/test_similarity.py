@@ -12,6 +12,7 @@ from kafkastreamingetl_spark.catalog import load_table
 from kafkastreamingetl_spark.operators.similarity import (
     ann_hyperplane_topk,
     cosine_topk,
+    embedding_neardup_pairs,
     self_queries,
 )
 
@@ -63,3 +64,32 @@ def test_ann_scores_match_exact_and_respect_k(spark, emb):
         # same scoring function as the exact path
         assert abs(r.cos - exact[(r.query_id, r.vec_id)]) < 1e-12
     assert all(n <= K for n in per_query.values())
+
+
+def test_embedding_neardup_finds_planted_duplicate(spark):
+    """An exact-duplicate vector pair (Hamming 0 — always blocked together)
+    must surface with cos == 1; near-orthogonal vectors must not pair."""
+    import random
+
+    rng = random.Random(9)
+    v = [rng.uniform(-1, 1) for _ in range(64)]
+    w = [rng.uniform(-1, 1) for _ in range(64)]
+    rows = [(1, v), (2, list(v)), (3, w)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r.vec_a, r.vec_b): r.cos for r in embedding_neardup_pairs(df).collect()}
+    assert (1, 2) in got and abs(got[(1, 2)] - 1.0) < 1e-12
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_embedding_neardup_pair_surfaces_once(spark):
+    """The probe construction must emit each qualifying pair exactly once
+    (distinct probes + one-direction filter), not once per matching probe."""
+    import random
+
+    rng = random.Random(9)
+    v = [rng.uniform(-1, 1) for _ in range(64)]
+    df = spark.createDataFrame(
+        [(i, list(v)) for i in range(4)], "vec_id long, embedding array<double>"
+    )
+    pairs = [(r.vec_a, r.vec_b) for r in embedding_neardup_pairs(df).collect()]
+    assert sorted(pairs) == [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
