@@ -1,0 +1,123 @@
+"""Point-in-time (as-of) join — a time-series operator Spark lacks natively.
+
+``asof_join(left, right, keys)`` attaches, to every left row, the newest
+right row with the same keys and ``right.ts <= left.ts`` (inclusive).
+
+Spark-first construction — the union + running-last trick, NOT a range
+join: tag both inputs, union them, and take ``last(_r, ignorenulls=True)``
+over a (keys)-partitioned window ordered by (ts, side). Right rows sort
+before left rows at equal timestamps, so the inclusive semantics fall out
+of the sort order. Cost: ONE hash shuffle on the keys plus a per-partition
+sort — the same plan as any windowed aggregate, linear in |left| + |right|.
+The naive alternatives explode at scale: an inequality (theta) join is a
+per-key cross product, and Spark's range-join support would still shuffle
+both sides per bucket. The union form also inherits AQE skew handling for
+hot keys.
+
+No analogue in the reference (its joins are all equi-joins); this is
+extension surface for event-stream enrichment (last login before purchase,
+price as of trade time, config as of event time). The DuckDB oracle twin
+uses the native ``ASOF LEFT JOIN`` — a different algorithm reaching the
+same answer, which is exactly what makes the differential meaningful.
+
+Right-side contract: at most one row per (keys, ts) — pre-dedupe with
+``cleaning.dedup_deterministic`` (the query wrapper does); with duplicate
+right timestamps the "newest row" is ill-defined and both engines would be
+free to disagree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    *,
+    ts_col: str = "ts",
+    prefix: str = "asof_",
+) -> DataFrame:
+    """Left as-of join: every left row + the newest right row at or before
+    its timestamp (per key group); right payload columns come back
+    ``{prefix}``-renamed, null when no right row precedes the left row.
+    """
+    rpayload = [c for c in right.columns if c not in keys and c != ts_col]
+    rstruct = F.struct(
+        F.col(ts_col).alias(f"{prefix}{ts_col}"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in rpayload],
+    )
+    rstruct_type = right.select(rstruct.alias("_r")).schema["_r"].dataType
+
+    lpayload = [c for c in left.columns if c not in keys and c != ts_col]
+    l_tagged = left.select(
+        *keys,
+        ts_col,
+        F.lit(1).alias("_is_left"),
+        F.lit(None).cast(rstruct_type).alias("_r"),
+        *lpayload,
+    )
+    r_tagged = right.select(
+        *keys,
+        ts_col,
+        F.lit(0).alias("_is_left"),
+        rstruct.alias("_r"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lpayload
+        ],
+    )
+    # right before left at equal ts => inclusive (<=) as-of semantics
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.asc(ts_col), F.asc("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = l_tagged.unionByName(r_tagged).withColumn(
+        "_last_r", F.last("_r", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_is_left") == 1).select(
+        *keys,
+        ts_col,
+        *lpayload,
+        F.col(f"_last_r.{prefix}{ts_col}").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_last_r.{prefix}{c}").alias(f"{prefix}{c}") for c in rpayload],
+    )
+
+
+def events_last_purchase(events: DataFrame) -> DataFrame:
+    """Every event enriched with the user's most recent purchase at or
+    before its timestamp — the canonical as-of enrichment over the events
+    table. Purchases are deduped to one per (user_id, ts) (max event_id)
+    to satisfy the right-side contract.
+    """
+    from .cleaning import dedup_deterministic
+
+    purchases = dedup_deterministic(
+        events.filter(F.col("event_type") == "purchase").select(
+            "user_id", "ts", "event_id", "value"
+        ),
+        ["user_id", "ts"],
+        [F.desc("event_id")],
+    ).select("user_id", "ts", F.col("value").alias("purchase_value"))
+    left = events.select("user_id", "ts", "event_id", "event_type", "value")
+    return asof_join(left, purchases, ["user_id"], prefix="last_")
+
+
+def sql_events_last_purchase(table: str = "events") -> str:
+    return f"""
+    WITH purch AS (
+        SELECT user_id, ts, value AS purchase_value
+        FROM {table}
+        WHERE event_type = 'purchase'
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY user_id, ts ORDER BY event_id DESC NULLS LAST
+        ) = 1
+    )
+    SELECT e.user_id, e.ts, e.event_id, e.event_type, e.value,
+           p.ts AS last_ts, p.purchase_value AS last_purchase_value
+    FROM {table} e
+    ASOF LEFT JOIN purch p ON e.user_id = p.user_id AND e.ts >= p.ts
+    """

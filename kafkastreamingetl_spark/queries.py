@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_events, load_table, register_views
 from .functions import dsum, sql_dsum
+from .operators import asof as asof_ops
 from .operators import dedup as dedup_ops
 from .operators import multimodal as mm_ops
 from .operators import pipeline as pipe_ops
@@ -832,6 +833,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode stubbed deterministically — see operators.multimodal)."""
     docs = _t(spark, sf_dir, "documents")
     return mm_ops.extract_features(mm_ops.with_binary_payload(docs))
+
+
+@query("events_last_purchase", oracle=asof_ops.sql_events_last_purchase())
+def q_events_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event + the user's newest purchase at or before its
+    timestamp (operators/asof.py — union + running-last, one shuffle). The
+    oracle uses DuckDB's native ASOF LEFT JOIN: different algorithm, same
+    answer."""
+    return asof_ops.events_last_purchase(_t(spark, sf_dir, "events"))
 
 
 @query(

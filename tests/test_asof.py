@@ -1,0 +1,54 @@
+"""Unit semantics of the as-of join: inclusive matching, null before any
+right row, per-key isolation, and left-row preservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.asof import asof_join, events_last_purchase
+
+
+def _ts(s: str):
+    return f"2024-01-01 {s}"
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("00:10:00"), "a"),   # after r1 -> matches r1
+            (1, _ts("00:20:00"), "b"),   # exactly at r2 -> inclusive match
+            (1, _ts("00:05:00"), "c"),   # before any right row -> null
+            (2, _ts("00:30:00"), "d"),   # other key: only its own rights
+        ],
+        "user_id long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, _ts("00:08:00"), 100.0),  # r1
+            (1, _ts("00:20:00"), 200.0),  # r2
+            (2, _ts("00:29:00"), 300.0),
+        ],
+        "user_id long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {r.tag: r for r in asof_join(left, right, ["user_id"]).collect()}
+    assert len(out) == 4  # every left row preserved
+    assert out["a"].asof_px == 100.0
+    assert out["b"].asof_px == 200.0  # inclusive: right at equal ts wins
+    assert out["c"].asof_px is None and out["c"].asof_ts is None
+    assert out["d"].asof_px == 300.0  # key 2 never sees key 1's rows
+
+
+def test_events_last_purchase_row_count_and_monotonicity(spark, sf_dir):
+    from kafkastreamingetl_spark.catalog import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = events_last_purchase(events)
+    # as-of is an enrichment: exactly one output row per input row
+    assert out.count() == events.count()
+    # the matched purchase never post-dates the event
+    assert out.filter(F.col("last_ts") > F.col("ts")).count() == 0
+    # purchase events match themselves (inclusive semantics) or an earlier
+    # same-ts duplicate: last_ts is never null and equals ts when no
+    # earlier purchase exists for the user
+    purch = out.filter(F.col("event_type") == "purchase")
+    assert purch.filter(F.col("last_ts").isNull()).count() == 0
