@@ -1,0 +1,95 @@
+"""Custom stateful sessionizer (applyInPandasWithState) vs the batch twin.
+
+The batch ``session_agg`` is oracle-checked against DuckDB; proving the
+custom streaming operator emits the same sessions transitively anchors it
+to the oracle. Sessions still open when the stream ends (watermark never
+passed session_end, no later event closed them) legitimately stay in
+state — the comparison excludes exactly those.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.stateful import sessionize_stream
+from kafkastreamingetl_spark.operators.windows import session_agg
+from kafkastreamingetl_spark.sources import EVENT_SCHEMA, synthetic_events_batch
+from kafkastreamingetl_spark.streaming import run_available_now, write_memory_stream
+
+GAP_S = 600
+WATERMARK_S = 10
+
+
+@pytest.fixture()
+def events_path(spark, tmp_path) -> str:
+    path = str(tmp_path / "events")
+    # one file -> one micro-batch -> per-user event-time order is guaranteed
+    # by the in-batch sort, matching the operator's cross-batch contract
+    synthetic_events_batch(spark, 3_000, seed=21).coalesce(1).write.parquet(path)
+    return path
+
+
+def test_stateful_sessionizer_matches_batch_twin(spark, events_path):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_path)
+    sessions = sessionize_stream(
+        stream, gap_seconds=GAP_S, watermark=f"{WATERMARK_S} seconds"
+    )
+    q = write_memory_stream(sessions, "custom_sessions")
+    run_available_now([q])
+    got = {
+        (r.user_id, r.session_start, r.session_end): (r.n_events, r.total_value)
+        for r in spark.table("custom_sessions").collect()
+    }
+
+    batch_df = spark.read.parquet(events_path)
+    expected_all = session_agg(batch_df, gap=f"{GAP_S} seconds").collect()
+    max_ts = batch_df.agg(F.max("ts")).collect()[0][0]
+    # a session is provably closed iff a later same-user event exceeded the
+    # gap (in-batch close) or the final watermark passed session_end
+    # (timeout close); the final watermark is max_ts - delay
+    last_start = {}
+    for r in expected_all:
+        k = r.user_id
+        if k not in last_start or r.session_start > last_start[k]:
+            last_start[k] = r.session_start
+    import datetime
+
+    final_wm = max_ts - datetime.timedelta(seconds=WATERMARK_S)
+    expected = {
+        # operator fills null metrics with 0 (P5 contract) where SQL SUM
+        # over an all-null session yields NULL — normalize for comparison
+        (r.user_id, r.session_start, r.session_end): (
+            r.n_events,
+            r.total_value if r.total_value is not None else 0.0,
+        )
+        for r in expected_all
+        if r.session_start < last_start[r.user_id] or r.session_end < final_wm
+    }
+    assert set(got) == set(expected)
+    for k, (n, total) in expected.items():
+        gn, gt = got[k]
+        assert gn == n, k
+        assert abs(gt - total) < 1e-9, k  # scaled-int sum == decimal sum
+    # and the run must have exercised both closure paths at this scale
+    assert len(expected) > 50
+
+
+def test_stateful_sessionizer_emits_nothing_before_closure(spark, tmp_path):
+    """A single user's single burst (no gap exceeded, watermark never past
+    session_end) must remain in state — zero rows emitted."""
+    path = str(tmp_path / "burst")
+    rows = [(i, f"2024-01-01 00:0{i}:00", 1, "click", 1.0, "{}") for i in range(3)]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(path)
+    q = write_memory_stream(
+        sessionize_stream(stream, gap_seconds=GAP_S, watermark="10 seconds"),
+        "burst_sessions",
+    )
+    run_available_now([q])
+    assert spark.table("burst_sessions").count() == 0
