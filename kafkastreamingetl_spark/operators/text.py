@@ -176,6 +176,52 @@ def sql_doc_token_stats(table: str = "documents", text_col: str = "text") -> str
 
 
 # ---------------------------------------------------------------------------
+# BPE-ish regex tokenization
+# ---------------------------------------------------------------------------
+
+# Letter runs / digit runs / single other-symbols — the pre-tokenization
+# split every BPE-family tokenizer applies before merges (GPT-2's pattern,
+# simplified to this corpus's lowercase-ASCII domain). The character class
+# is deliberately regex-dialect-neutral: identical semantics in Java regex
+# (Spark) and RE2 (DuckDB).
+BPE_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def regex_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-doc token counts under the BPE-ish regex split — the
+    token-budget accounting pass of a training-data pipeline (whitespace
+    counting over-merges 'foo,bar' into one token; a BPE pre-tokenizer
+    does not). Pure projection: ``regexp_extract_all`` + higher-order
+    filters, one scan, no shuffle, no Python.
+    """
+    toks = F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), F.lit(0))
+    alpha = F.filter(toks, lambda x: x.rlike("^[a-z]+$"))
+    num = F.filter(toks, lambda x: x.rlike("^[0-9]+$"))
+    return df.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_re_tokens"),
+        F.size(alpha).cast("bigint").alias("n_alpha_tokens"),
+        F.size(num).cast("bigint").alias("n_num_tokens"),
+    )
+
+
+def sql_regex_token_stats(table: str = "documents", text_col: str = "text") -> str:
+    toks = f"regexp_extract_all({text_col}, '{BPE_TOKEN_RE}')"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM {table})
+    SELECT doc_id,
+           len(toks)::BIGINT AS n_re_tokens,
+           len(list_distinct(toks))::BIGINT AS n_distinct_re_tokens,
+           len(list_filter(toks, x -> regexp_full_match(x, '[a-z]+')))::BIGINT
+               AS n_alpha_tokens,
+           len(list_filter(toks, x -> regexp_full_match(x, '[0-9]+')))::BIGINT
+               AS n_num_tokens
+    FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
 # SimHash document fingerprint
 # ---------------------------------------------------------------------------
 

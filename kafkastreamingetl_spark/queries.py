@@ -678,6 +678,91 @@ def q_event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "revenue_rollup_hierarchy",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS event_date,
+           event_type,
+           {sql_dsum('value')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(GROUPING(CAST(ts AS DATE)) AS INT) AS g_date,
+           CAST(GROUPING(event_type) AS INT) AS g_type
+    FROM events
+    GROUP BY ROLLUP (1, 2)
+    """,
+)
+def q_revenue_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: the hierarchical subset of CUBE — (date, type), (date),
+    grand total — for drill-down reports where the (type)-only subtotal
+    is meaningless. Same one-pass grouping-sets expansion as CUBE with
+    3 sets instead of 4."""
+    ev = with_event_date(_t(spark, sf_dir, "events"))
+    return ev.rollup("event_date", "event_type").agg(
+        dsum("value", "revenue"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.grouping("event_date").cast("int").alias("g_date"),
+        F.grouping("event_type").cast("int").alias("g_type"),
+    )
+
+
+@query(
+    "churned_purchasers",
+    oracle="""
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-08 00:00:00'
+    EXCEPT
+    SELECT user_id FROM events
+    WHERE event_type = 'purchase'
+     AND ts >= TIMESTAMP '2024-01-08 00:00:00'
+     AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+    """,
+)
+def q_churned_purchasers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference, dedup semantics — Spark ``subtract``)
+    completes the set-op family next to INTERSECT: users who purchased in
+    week 1 but not week 2 (non-empty at every sf — raw any-event activity
+    is too dense to churn). Both branches are pushed-down range scans."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    wk1 = purchases.filter(
+        F.col("ts") < F.lit("2024-01-08").cast("timestamp")
+    ).select("user_id")
+    wk2 = purchases.filter(
+        (F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-15").cast("timestamp"))
+    ).select("user_id")
+    return wk1.subtract(wk2)
+
+
+@query(
+    "salted_type_rollup",
+    oracle=f"""
+    SELECT event_type,
+           {sql_dsum('value')} AS total_value,
+           CAST(COUNT(event_id) AS BIGINT) AS n_events,
+           MAX(ts) AS max_ts
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation (operators/skew.py) vs a PLAIN GROUP BY
+    oracle: the differential proves salting is result-invariant — the
+    whole point of the operator. event_type is exactly the hot-key shape
+    (5 values over millions of rows) salting exists for."""
+    from .operators.skew import salted_agg
+
+    return salted_agg(
+        _t(spark, sf_dir, "events"),
+        ["event_type"],
+        {
+            "total_value": ("sum", "value"),
+            "n_events": ("count", "event_id"),
+            "max_ts": ("max", "ts"),
+        },
+    )
+
+
+@query(
     "weekend_vs_weekday_types",
     oracle="""
     SELECT event_type FROM events WHERE dayofweek(ts) IN (0, 6)
@@ -712,6 +797,14 @@ def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality metrics + language guess."""
     return text_ops.doc_quality(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_regex_token_stats", oracle=text_ops.sql_regex_token_stats())
+def q_doc_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting under the BPE-ish regex pre-tokenizer (letter runs /
+    digit runs / symbols) — the whitespace counter's training-pipeline
+    sibling (operators/text.py)."""
+    return text_ops.regex_token_stats(_t(spark, sf_dir, "documents"))
 
 
 @query("doc_fingerprint", oracle=text_ops.sql_doc_fingerprint())
