@@ -22,6 +22,7 @@ from .catalog import load_events, load_table, register_views
 from .functions import dsum, sql_dsum
 from .operators import asof as asof_ops
 from .operators import dedup as dedup_ops
+from .operators import rangejoin as range_ops
 from .operators import multimodal as mm_ops
 from .operators import pipeline as pipe_ops
 from .operators import similarity as sim_ops
@@ -926,6 +927,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (decode stubbed deterministically — see operators.multimodal)."""
     docs = _t(spark, sf_dir, "documents")
     return mm_ops.extract_features(mm_ops.with_binary_payload(docs))
+
+
+@query("error_impact_windows", oracle=range_ops.sql_error_impact_windows())
+def q_error_impact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval containment) join with no equi-key: activity inside
+    each high-value error's [-2 min, +5 min) window via time-bucket quantize +
+    hash join + exact filter (operators/rangejoin.py). Oracle runs the
+    same logic as a native DuckDB inequality join."""
+    return range_ops.error_impact_windows(_t(spark, sf_dir, "events"))
 
 
 @query("events_last_purchase", oracle=asof_ops.sql_events_last_purchase())

@@ -1,11 +1,13 @@
-"""Unit semantics of the as-of join: inclusive matching, null before any
-right row, per-key isolation, and left-row preservation."""
+"""Unit semantics of the time joins: as-of (inclusive matching, null
+before any right row, per-key isolation, left-row preservation) and
+interval containment (half-open bounds, bucket-boundary spans, emit-once)."""
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
 from kafkastreamingetl_spark.operators.asof import asof_join, events_last_purchase
+from kafkastreamingetl_spark.operators.rangejoin import interval_join
 
 
 def _ts(s: str):
@@ -52,3 +54,30 @@ def test_events_last_purchase_row_count_and_monotonicity(spark, sf_dir):
     # earlier purchase exists for the user
     purch = out.filter(F.col("event_type") == "purchase")
     assert purch.filter(F.col("last_ts").isNull()).count() == 0
+
+
+def test_interval_join_half_open_and_bucket_spans(spark):
+    """Containment is [start, end); intervals spanning a bucket boundary
+    still meet rows in every covered bucket exactly once."""
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:04:59"),  # inside iv A (bucket 0)
+            (2, "2024-01-01 00:05:01"),  # inside iv A (bucket 1 — crossed)
+            (3, "2024-01-01 00:08:00"),  # == A's end -> excluded (half-open)
+            (4, "2024-01-01 00:03:00"),  # == A's start -> included
+            (5, "2024-01-01 01:00:00"),  # in no interval
+        ],
+        "row_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    ivs = spark.createDataFrame(
+        [("A", "2024-01-01 00:03:00", "2024-01-01 00:08:00"),
+         ("deg", "2024-01-01 00:07:00", "2024-01-01 00:07:00")],  # empty
+        "iv_id string, w_start string, w_end string",
+    ).withColumn("w_start", F.to_timestamp("w_start")).withColumn(
+        "w_end", F.to_timestamp("w_end")
+    )
+    got = [
+        (r.row_id, r.iv_id)
+        for r in interval_join(left, ivs, bucket_seconds=300).collect()
+    ]
+    assert sorted(got) == [(1, "A"), (2, "A"), (4, "A")]
