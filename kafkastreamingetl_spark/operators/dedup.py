@@ -69,6 +69,11 @@ from collections import OrderedDict  # noqa: E402
 _FEATS_CACHE: OrderedDict[tuple[str, int, str, str], DataFrame] = OrderedDict()
 _FEATS_CACHE_MAX = 8
 
+# Memo of resolved cluster-label DataFrames (checkpoint-backed) keyed by
+# (applicationId, plan semanticHash, text_col, id_col, threshold) — see
+# :func:`neardup_clusters`.
+_CLUSTERS_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+
 
 # ---------------------------------------------------------------------------
 # exact dedup by content hash
@@ -580,13 +585,35 @@ def neardup_clusters(
     Completes the dedup pipeline's semantics: LSH candidates → Jaccard
     verification → transitive closure. A≈B and B≈C land A, B, C in one
     cluster even if A and C never shared a band.
+
+    The resolved label table is memoized per (session, input plan,
+    columns, threshold), exactly like ``shingle_features``: the closure is
+    an eager iterative computation (checkpointed — ``clearCache`` does not
+    drop it), and a session composing clusters + dedup corpus + downstream
+    pipelines over one corpus should resolve components once, not once per
+    consumer.
     """
-    pairs = neardup_pairs(df, text_col, id_col, min_jaccard=min_jaccard).select(
-        "doc_a", "doc_b"
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        text_col,
+        id_col,
+        round(min_jaccard, 9),
     )
-    return connected_components(pairs).select(
-        F.col("node").alias(id_col), "cluster_id"
-    )
+    labels = _CLUSTERS_CACHE.get(key)
+    if labels is None:
+        pairs = neardup_pairs(df, text_col, id_col, min_jaccard=min_jaccard).select(
+            "doc_a", "doc_b"
+        )
+        labels = connected_components(pairs).select(
+            F.col("node").alias(id_col), "cluster_id"
+        )
+        _CLUSTERS_CACHE[key] = labels
+        while len(_CLUSTERS_CACHE) > _FEATS_CACHE_MAX:
+            _CLUSTERS_CACHE.popitem(last=False)  # checkpoint RDD freed by GC
+    else:
+        _CLUSTERS_CACHE.move_to_end(key)
+    return labels
 
 
 def neardup_dedup(
