@@ -312,6 +312,16 @@ def _sq_dist_to_lit(vec: Column, centroid: list[float]) -> Column:
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
 
 
+from collections import OrderedDict
+
+# Fitted-quantizer memo keyed by (applicationId, input plan semanticHash) —
+# a session answering many IVF queries over one corpus fits the model once
+# (the standard train-once/serve-many model boundary). Bounded LRU; entries
+# are plain Python lists (model-sized), nothing to unpersist.
+_CENTROIDS_CACHE: OrderedDict[tuple[str, int], list] = OrderedDict()
+_CENTROIDS_CACHE_MAX = 8
+
+
 def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     """"Train" the IVF coarse quantizer: per-label mean vectors.
 
@@ -319,8 +329,17 @@ def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     so the collected model is reproducible and the oracle can re-derive it.
     The collect is model-sized (n_labels × dim doubles), not data-sized —
     the same boundary as broadcasting fitted cluster centers in any IVF
-    build.
+    build. Memoized per (session, input plan): refitting an identical
+    model for every query in a session is wasted jobs.
     """
+    key = (
+        embeddings.sparkSession.sparkContext.applicationId,
+        embeddings.semanticHash(),
+    )
+    hit = _CENTROIDS_CACHE.get(key)
+    if hit is not None:
+        _CENTROIDS_CACHE.move_to_end(key)
+        return hit
     long = embeddings.select(
         "label", F.posexplode("embedding").alias("dim", "v")
     ).select("label", "dim", F.col("v").cast("double").alias("v"))
@@ -334,9 +353,13 @@ def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
     by_label: dict[int, dict[int, float]] = {}
     for r in rows:
         by_label.setdefault(r.label, {})[r.dim] = r.c
-    return sorted(
+    model = sorted(
         (lbl, [dims[d] for d in sorted(dims)]) for lbl, dims in by_label.items()
     )
+    _CENTROIDS_CACHE[key] = model
+    while len(_CENTROIDS_CACHE) > _CENTROIDS_CACHE_MAX:
+        _CENTROIDS_CACHE.popitem(last=False)
+    return model
 
 
 def ann_ivf_topk(
