@@ -114,3 +114,144 @@ def sql_extract_features(table: str = "documents", source_col: str = "text") -> 
            (1 + ('0x' || substr({h}, 9, 8))::BIGINT % 1080)::INT AS fake_height
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# resize: per-item payload transformation (binary in -> binary out)
+# ---------------------------------------------------------------------------
+
+RESIZE_TARGET_BYTES = 64
+
+
+def resize_payloads(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    target_bytes: int = RESIZE_TARGET_BYTES,
+) -> DataFrame:
+    """The resize/downsample plumbing: binary in → smaller binary out, 1:1.
+
+    The transformation is a deterministic byte-truncation stand-in (no
+    image libs here — a real deployment calls PIL's ``Image.resize`` on
+    the decoded pixels inside the same batch loop; the Arrow batch shape,
+    output schema, and 1:1 row contract are what this operator pins down).
+    """
+    slim = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [bytes(p) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload_resized": [p[:target_bytes] for p in payloads],
+                    "n_bytes_in": [len(p) for p in payloads],
+                    "n_bytes_out": [min(len(p), target_bytes) for p in payloads],
+                }
+            )
+
+    return slim.mapInPandas(
+        resize,
+        schema=(
+            "doc_id bigint, payload_resized binary, "
+            "n_bytes_in bigint, n_bytes_out bigint"
+        ),
+    )
+
+
+def sql_resize_payloads(
+    table: str = "documents",
+    source_col: str = "text",
+    *,
+    target_bytes: int = RESIZE_TARGET_BYTES,
+) -> str:
+    return f"""
+    SELECT doc_id,
+           base64(encode(substr({source_col}, 1, {target_bytes})))
+               AS payload_b64,
+           length({source_col})::BIGINT AS n_bytes_in,
+           least(length({source_col}), {target_bytes})::BIGINT AS n_bytes_out
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# frame sampling: one payload -> N frame rows (the 1->N batch shape)
+# ---------------------------------------------------------------------------
+
+FRAME_BYTES = 32
+FRAME_STRIDE = 4  # keep every 4th frame
+
+
+def sample_frames(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    *,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> DataFrame:
+    """Video-style frame sampling: each payload explodes into every
+    ``stride``-th fixed-width chunk — the 1→N ``mapInPandas`` shape
+    (output rows ≠ input rows), which ``pandas_udf`` cannot express.
+    Chunking stands in for ffmpeg keyframe extraction; frame_idx keeps the
+    original frame position so downstream work can reconstruct timing.
+    """
+    slim = ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, blobs, totals = [], [], [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(p)
+                n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
+                for i in range(0, n_frames, stride):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    blobs.append(raw[i * frame_bytes : (i + 1) * frame_bytes])
+                    totals.append(n_frames)
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "frame_bytes": blobs,
+                    "n_frames_total": totals,
+                }
+            )
+
+    return slim.mapInPandas(
+        frames,
+        schema=(
+            "doc_id bigint, frame_idx int, frame_bytes binary, n_frames_total int"
+        ),
+    )
+
+
+def sql_sample_frames(
+    table: str = "documents",
+    source_col: str = "text",
+    *,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+) -> str:
+    n_frames = f"((length({source_col}) + {frame_bytes - 1}) // {frame_bytes})"
+    return f"""
+    WITH exploded AS (
+        SELECT doc_id, {source_col} AS src,
+               {n_frames}::INT AS n_frames_total,
+               unnest(range(0, {n_frames})) AS frame_idx
+        FROM {table}
+    )
+    SELECT doc_id,
+           frame_idx::INT AS frame_idx,
+           base64(encode(substr(src, frame_idx::INT * {frame_bytes} + 1,
+                                {frame_bytes}))) AS frame_b64,
+           n_frames_total
+    FROM exploded
+    WHERE frame_idx % {stride} = 0
+    """

@@ -56,6 +56,12 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
                     df[c] = pd.to_datetime(s, errors="coerce").astype("datetime64[us]")
                 elif isinstance(first, (bool, np.bool_)):
                     df[c] = s.astype("boolean")
+                elif isinstance(first, (bytes, bytearray, memoryview)):
+                    # binary columns: Spark yields bytes, DuckDB bytearray —
+                    # normalize to bytes so repr comparison is type-blind
+                    df[c] = s.apply(
+                        lambda v: str(bytes(v)) if v is not None else None
+                    )
                 elif isinstance(first, (list, np.ndarray)):
                     df[c] = s.apply(lambda v: str(list(v)) if v is not None else None)
                 else:

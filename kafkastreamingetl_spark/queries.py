@@ -947,6 +947,40 @@ def q_events_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_ops.events_last_purchase(_t(spark, sf_dir, "events"))
 
 
+@query("multimodal_resize", oracle=mm_ops.sql_resize_payloads())
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary resize plumbing: 1:1 payload transformation through the
+    Arrow batch boundary (codec stand-in is byte truncation —
+    operators/multimodal.py). The query projects the binary out to base64
+    so the comparison harness hashes a type-stable string."""
+    docs = _t(spark, sf_dir, "documents")
+    out = mm_ops.resize_payloads(mm_ops.with_binary_payload(docs))
+    # Spark's base64 is MIME-chunked (CRLF every 76 chars); strip to the
+    # canonical unwrapped form DuckDB emits
+    b64 = F.regexp_replace(F.base64("payload_resized"), "[\\r\\n]", "")
+    return out.select(
+        "doc_id",
+        b64.alias("payload_b64"),
+        "n_bytes_in",
+        "n_bytes_out",
+    )
+
+
+@query("multimodal_frame_sample", oracle=mm_ops.sql_sample_frames())
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: each payload explodes into every 4th fixed-width
+    chunk — the 1→N mapInPandas shape pandas_udf cannot express. Binary
+    frames project to base64 for type-stable hashing."""
+    docs = _t(spark, sf_dir, "documents")
+    out = mm_ops.sample_frames(mm_ops.with_binary_payload(docs))
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        F.base64("frame_bytes").alias("frame_b64"),
+        "n_frames_total",
+    )
+
+
 @query(
     "top_segments",
     oracle=_DAILY_CTE

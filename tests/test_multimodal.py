@@ -11,6 +11,8 @@ from kafkastreamingetl_spark.operators.multimodal import (
     _fake_decode,
     decode_image,
     extract_features,
+    resize_payloads,
+    sample_frames,
     with_binary_payload,
 )
 
@@ -32,3 +34,30 @@ def test_extract_features_binary_path(spark):
         assert r.n_bytes == len(raw)  # bytes, not chars (café: 10 vs 9)
         assert r.content_md5 == digest
         assert (r.fake_width, r.fake_height) == _fake_decode(digest)
+
+
+def test_resize_is_one_to_one_and_bounded(spark):
+    rows = [(1, "x" * 100), (2, "short")]
+    df = with_binary_payload(spark.createDataFrame(rows, ["doc_id", "text"]))
+    got = {r.doc_id: r for r in resize_payloads(df, target_bytes=64).collect()}
+    assert len(got) == 2  # 1:1 contract
+    assert got[1].n_bytes_in == 100 and got[1].n_bytes_out == 64
+    assert bytes(got[1].payload_resized) == b"x" * 64
+    assert got[2].n_bytes_out == 5  # shorter than target: untouched
+    assert bytes(got[2].payload_resized) == b"short"
+
+
+def test_frame_sampling_stride_and_indices(spark):
+    # 100 bytes -> 4 frames of 32 (last partial); stride 2 keeps idx 0, 2
+    df = with_binary_payload(
+        spark.createDataFrame([(1, "ab" * 50)], ["doc_id", "text"])
+    )
+    got = sorted(
+        sample_frames(df, frame_bytes=32, stride=2).collect(),
+        key=lambda r: r.frame_idx,
+    )
+    assert [r.frame_idx for r in got] == [0, 2]
+    assert all(r.n_frames_total == 4 for r in got)
+    assert len(bytes(got[0].frame_bytes)) == 32
+    assert len(bytes(got[1].frame_bytes)) == 32
+    assert bytes(got[1].frame_bytes) == ("ab" * 50).encode()[64:96]
