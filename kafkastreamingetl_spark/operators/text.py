@@ -302,3 +302,92 @@ def sql_doc_fingerprint(table: str = "documents", text_col: str = "text") -> str
            {sql_hash60('text')} AS content_hash
     FROM feats
     """
+
+
+# ---------------------------------------------------------------------------
+# n-gram language identification
+# ---------------------------------------------------------------------------
+
+# Character-bigram profiles per language (public-knowledge frequency tables:
+# the most characteristic bigrams of each language's orthography). A real
+# lang-id model carries ~1k weighted n-grams; five per language demonstrate
+# the operator shape — per-profile occurrence counting folded to an integer
+# score, argmax with a fixed tie order — without an external model file.
+# Dict order IS the deterministic tie-break priority.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("th", "he", "an", "in", "er"),
+    "de": ("ch", "ei", "ie", "un", "au"),
+    "es": ("os", "la", "el", "ue", "ci"),
+    "fr": ("le", "ou", "qu", "ai", "on"),
+    "zh": ("zh", "sh", "ng", "xi", "ia"),
+}
+
+
+def _occurrences(c: Column, gram: str) -> Column:
+    """Non-overlapping occurrence count of ``gram`` via the replace-length
+    trick: (len(s) - len(replace(s, g, ''))) / len(g). Exact integer (the
+    difference is always a multiple of len(g)); both engines scan
+    left-to-right non-overlapping, so counts are identical."""
+    return (
+        (F.length(c) - F.length(F.replace(c, F.lit(gram), F.lit(""))))
+        / F.lit(len(gram))
+    ).cast("bigint")
+
+
+def _sql_occurrences(expr: str, gram: str) -> str:
+    return (
+        f"((length({expr}) - length(replace({expr}, '{gram}', '')))"
+        f" // {len(gram)})::BIGINT"
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document n-gram language ID: integer profile scores + argmax.
+
+    Pure projection (no shuffle, no Python): each profile score is a sum of
+    ``replace``-based bigram counts, fused into the scan by whole-stage
+    codegen. At 100 TB this adds ~25 string scans per row to the read
+    stage and nothing else. The synthetic corpus is English word-salad
+    under every ``lang`` label, so the *prediction* is not expected to
+    recover the label; the operator contract (deterministic scores +
+    argmax) is what the oracle checks.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    scores = {
+        lang: sum(
+            (_occurrences(c, g) for g in grams), start=F.lit(0).cast("bigint")
+        ).alias(f"score_{lang}")
+        for lang, grams in LANG_PROFILES.items()
+    }
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_PROFILES])
+    pred = F.lit("und")
+    # build the CASE back-to-front so earlier dict entries win ties
+    for lang in reversed(LANG_PROFILES):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return ensure_parallelism(df).select("doc_id", *scores.values()).select(
+        "*", pred.alias("lang_pred")
+    )
+
+
+def sql_language_id(table: str = "documents", text_col: str = "text") -> str:
+    c = f"coalesce({text_col}, '')"
+    score_exprs = ",\n           ".join(
+        " + ".join(_sql_occurrences(c, g) for g in grams) + f" AS score_{lang}"
+        for lang, grams in LANG_PROFILES.items()
+    )
+    langs = list(LANG_PROFILES)
+    best = f"greatest({', '.join('score_' + l for l in langs)})"
+    whens = "\n                ".join(
+        f"WHEN score_{l} = {best} THEN '{l}'" for l in langs
+    )
+    return f"""
+    WITH scored AS (
+        SELECT doc_id,
+           {score_exprs}
+        FROM {table}
+    )
+    SELECT *,
+           CASE {whens}
+                ELSE 'und' END AS lang_pred
+    FROM scored
+    """

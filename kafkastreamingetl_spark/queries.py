@@ -800,6 +800,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.doc_quality(_t(spark, sf_dir, "documents"))
 
 
+@query("doc_language_id", oracle=text_ops.sql_language_id())
+def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram language ID: per-language character-bigram profile scores
+    (exact integers via the replace-length trick) + deterministic argmax
+    (operators/text.py). Expression-only — fuses into the scan."""
+    return text_ops.language_id(_t(spark, sf_dir, "documents"))
+
+
 @query("doc_regex_token_stats", oracle=text_ops.sql_regex_token_stats())
 def q_doc_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting under the BPE-ish regex pre-tokenizer (letter runs /

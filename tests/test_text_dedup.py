@@ -166,3 +166,31 @@ def test_doc_quality_ratios(spark):
     assert row.n_distinct_tokens == 5
     assert abs(row.stopword_ratio - 2 / 6) < 1e-12
     assert row.lang_guess == "en"
+
+
+def test_language_id_scores_and_tiebreak(spark):
+    from kafkastreamingetl_spark.operators.text import language_id
+
+    rows = [
+        (1, "the weather there is rather warm in the north"),  # en bigrams
+        (2, "ich auch ein kleines haus und viele baeume"),  # de bigrams
+        (3, ""),  # empty: all scores 0 -> first profile wins the tie
+        (4, None),  # null-proofed to ''
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in language_id(df).collect()}
+    assert got[1].lang_pred == "en" and got[1].score_en > got[1].score_de
+    assert got[2].lang_pred == "de" and got[2].score_de > got[2].score_en
+    # deterministic tie: all-zero scores resolve to dict order ('en' first)
+    assert got[3].lang_pred == "en"
+    assert all(got[3][f"score_{l}"] == 0 for l in ("en", "de", "es", "fr", "zh"))
+    assert got[4].lang_pred == "en"
+
+
+def test_language_id_occurrence_counting_is_nonoverlapping(spark):
+    from kafkastreamingetl_spark.operators.text import language_id
+
+    # 'ththth' contains 3 non-overlapping 'th'; 'hehe' adds 2 'he'
+    df = spark.createDataFrame([(1, "ththth hehe")], ["doc_id", "text"])
+    r = language_id(df).collect()[0]
+    assert r.score_en >= 5
