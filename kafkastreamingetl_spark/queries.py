@@ -26,6 +26,7 @@ from .operators import rangejoin as range_ops
 from .operators import multimodal as mm_ops
 from .operators import pipeline as pipe_ops
 from .operators import similarity as sim_ops
+from .operators import streamjoin as sj_ops
 from .operators import text as text_ops
 from .operators.cleaning import clean_events
 from .operators.enrichment import enrich_events
@@ -944,6 +945,16 @@ def q_error_impact_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash join + exact filter (operators/rangejoin.py). Oracle runs the
     same logic as a native DuckDB inequality join."""
     return range_ops.error_impact_windows(_t(spark, sf_dir, "events"))
+
+
+@query("purchase_attribution", oracle=sj_ops.sql_purchase_attribution())
+def q_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-interval attribution join: purchases matched to preceding
+    clicks by the same user within 10 minutes, rolled up per user
+    (operators/streamjoin.py). Equality on user_id is the join key; the
+    time range is a residual filter — never a theta-join. Batch twin of
+    the watermarked stream-stream join tested in test_streamjoin.py."""
+    return sj_ops.purchase_attribution(_t(spark, sf_dir, "events"))
 
 
 @query("events_last_purchase", oracle=asof_ops.sql_events_last_purchase())

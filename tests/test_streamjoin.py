@@ -1,0 +1,104 @@
+"""Stream-stream interval join: streaming result == batch twin, plus
+edge semantics (half-open bound, horizon cutoff, key isolation).
+
+Deterministic harness (SURVEY.md §5.2): parquet file sources, availableNow,
+memory sink — watermarks on both legs come from one base-lineage watermark.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.streamjoin import (
+    attribution_rollup,
+    interval_pairs,
+    purchase_attribution,
+    purchase_attribution_pairs_streaming,
+    split_typed_legs,
+)
+from kafkastreamingetl_spark.sources import file_events_source, synthetic_events_batch
+from kafkastreamingetl_spark.streaming import run_available_now, write_memory_stream
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("sj_events_src"))
+    synthetic_events_batch(spark, 4_000, seed=23).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _mk_events(spark, rows):
+    """(event_id, ts_str, user_id, event_type, value) -> events frame."""
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+        "props", F.lit(None).cast("string")
+    )
+
+
+def test_interval_pair_semantics(spark):
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", None),
+            # same instant: excluded (strict lower bound)
+            (2, "2024-01-01 00:00:00", 1, "purchase", 10.0),
+            # inside horizon: attributed
+            (3, "2024-01-01 00:05:00", 1, "purchase", 20.0),
+            # exactly at horizon: included (closed upper bound)
+            (4, "2024-01-01 00:10:00", 1, "purchase", 30.0),
+            # past horizon: excluded
+            (5, "2024-01-01 00:10:00.001", 1, "purchase", 40.0),
+            # other user inside horizon: never attributed across keys
+            (6, "2024-01-01 00:01:00", 2, "purchase", 50.0),
+        ],
+    )
+    got = purchase_attribution(ev).collect()
+    assert len(got) == 1
+    row = got[0]
+    assert row.user_id == 1
+    assert row.attributed_pairs == 2
+    assert abs(row.attributed_value - 50.0) < 1e-9
+
+
+def test_purchase_can_attribute_to_many_clicks(spark):
+    ev = _mk_events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 7, "click", None),
+            (2, "2024-01-01 00:02:00", 7, "click", None),
+            (3, "2024-01-01 00:04:00", 7, "purchase", 5.0),
+        ],
+    )
+    row = purchase_attribution(ev).collect()[0]
+    assert row.attributed_pairs == 2  # one purchase x two preceding clicks
+    assert abs(row.attributed_value - 10.0) < 1e-9
+
+
+def test_streaming_pairs_match_batch_twin(spark, events_dir):
+    """The watermarked stream-stream join over a fully-available source
+    yields exactly the batch twin's pair set."""
+    stream_pairs = purchase_attribution_pairs_streaming(
+        file_events_source(spark, events_dir), watermark="10 seconds"
+    )
+    q = write_memory_stream(stream_pairs, "sj_pairs", output_mode="append")
+    run_available_now([q])
+    got = attribution_rollup(spark.table("sj_pairs")).collect()
+
+    want = purchase_attribution(spark.read.parquet(events_dir)).collect()
+    assert [r.asDict() for r in got] == [r.asDict() for r in want]
+    assert len(want) > 0  # the generator plants real click->purchase pairs
+
+
+def test_join_key_reaches_physical_plan(spark):
+    """The equality key must be the join key (hash-partitioned join), the
+    time range a residual condition — a missing key would plan a
+    nested-loop cartesian whose state is unbounded in streaming."""
+    ev = _mk_events(spark, [(1, "2024-01-01 00:00:00", 1, "click", None)])
+    clicks, purchases = split_typed_legs(ev)
+    plan = interval_pairs(
+        clicks, purchases, left_ts="click_ts", right_ts="purchase_ts"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
