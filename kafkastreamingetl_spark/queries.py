@@ -451,6 +451,35 @@ def q_wire_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "csv_wire_roundtrip",
+    oracle="""
+    SELECT n_nationkey, n_name, n_regionkey,
+           n_name || ',' || CAST(n_regionkey AS VARCHAR) AS tagged
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q_csv_wire_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV wire format, both directions in one plan: ``to_csv(struct(*))``
+    serializes each row (the ``tagged`` column embeds a comma, forcing the
+    writer to quote), ``from_csv`` parses it back to typed columns. The
+    oracle is the identity projection — lossless round-trip is the claim.
+    Covers the CSV landing format's codec (sources.csv_source covers the
+    file-source path; tested in test_sources_formats.py)."""
+    nation = _t(spark, sf_dir, "nation")
+    tagged = nation.withColumn(
+        "tagged", F.concat_ws(",", "n_name", F.col("n_regionkey").cast("string"))
+    )
+    line = F.to_csv(F.struct("n_nationkey", "n_name", "n_regionkey", "tagged"))
+    parsed = tagged.select(
+        F.from_csv(
+            line, "n_nationkey int, n_name string, n_regionkey int, tagged string"
+        ).alias("r")
+    )
+    return parsed.select("r.*").orderBy("n_nationkey")
+
+
 # ===========================================================================
 # General-OLAP surface beyond the reference (semi/anti joins, frames,
 # percentiles, cube) — capabilities any analytics-engine user expects
