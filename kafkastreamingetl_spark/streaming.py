@@ -137,6 +137,83 @@ def foreach_batch_sink(
     return w.start()
 
 
+def upsert_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    *,
+    key_cols: list[str],
+    order_col: str,
+    partition_col: str,
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """Exactly-once keyed upsert into a hive-partitioned parquet table.
+
+    The plain parquet streaming sink is append-only; late corrections and
+    replays therefore duplicate keys. This sink gives MERGE semantics with
+    parquet alone (no Delta/Iceberg in this container — with a real table
+    format, swap the body for ``MERGE INTO``): per micro-batch,
+
+    1. find the hive partitions the batch touches (distinct partition
+       values — a model-sized collect, bounded by partitions-per-batch,
+       never row-scaled);
+    2. read ONLY those partitions back (partition pruning makes this
+       proportional to the batch's blast radius, not the table);
+    3. merge old+new and keep one row per key — newest by ``order_col``,
+       full-column tiebreak, same deterministic-survivor contract as
+       operators.cleaning.dedup_deterministic;
+    4. rewrite exactly the touched partitions (dynamic partition overwrite,
+       set in session.RUNTIME_CONFS; untouched history is never rewritten).
+
+    Exactly-once: the write is a deterministic function of (table state,
+    batch content), so replaying a failed micro-batch from the checkpoint
+    converges to the same bytes — idempotent, asserted by replay in
+    tests/test_streaming_upsert.py. ``localCheckpoint`` before the
+    overwrite truncates the merged plan's lineage, which both avoids
+    Spark's read-overwrite-same-path conflict and guarantees the merge is
+    fully materialized before any partition is replaced.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .operators.cleaning import dedup_deterministic
+
+    def merge_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        touched = [
+            r[0] for r in batch.select(partition_col).distinct().collect()
+        ]
+        merged = batch
+        try:
+            existing = spark.read.parquet(path).where(
+                F.col(partition_col).isin(touched)
+            )
+            merged = batch.unionByName(existing)
+        except AnalysisException:
+            pass  # first batch: nothing to merge
+        lead = [F.desc_nulls_last(order_col)]
+        tail = [
+            F.asc_nulls_first(c)
+            for c in merged.columns
+            if c not in (*key_cols, order_col)
+        ]
+        winner = dedup_deterministic(merged, key_cols, [*lead, *tail])
+        winner.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+            partition_col
+        ).parquet(path)
+
+    return foreach_batch_sink(
+        df,
+        merge_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
+
+
 def fan_out(
     df: DataFrame, sinks: list[Callable[[DataFrame], StreamingQuery]]
 ) -> list[StreamingQuery]:

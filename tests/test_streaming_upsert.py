@@ -1,0 +1,133 @@
+"""foreachBatch keyed upsert sink: MERGE semantics over plain parquet.
+
+Asserts the three contracts: corrections replace (newest-by-order wins),
+untouched partitions survive byte-identical, and replaying the same input
+through a fresh checkpoint converges to the same table (idempotency =
+exactly-once under micro-batch retry).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.sources import EVENT_SCHEMA
+from kafkastreamingetl_spark.streaming import run_available_now, upsert_parquet_sink
+
+
+def _events(spark, rows):
+    df = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    )
+    return (
+        df.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withColumn("props", F.lit("{}"))
+        .withColumn("event_date", F.to_date("ts"))
+    )
+
+
+def _run_upsert(spark, src_dir, table, ckpt):
+    schema = _events(spark, []).schema
+    stream = spark.readStream.schema(schema).parquet(src_dir)
+    q = upsert_parquet_sink(
+        stream,
+        table,
+        ckpt,
+        key_cols=["event_id"],
+        order_col="ts",
+        partition_col="event_date",
+        available_now=True,
+    )
+    run_available_now([q])
+
+
+def _table_rows(spark, table):
+    return {
+        (r.event_id, str(r.ts), r.value)
+        for r in spark.read.parquet(table).collect()
+    }
+
+
+@pytest.fixture()
+def paths(tmp_path):
+    return (
+        str(tmp_path / "src"),
+        str(tmp_path / "table"),
+        str(tmp_path / "ckpt"),
+    )
+
+
+def test_upsert_corrects_and_preserves(spark, paths):
+    src, table, ckpt = paths
+    _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (2, "2024-01-01 11:00:00", 8, "view", 2.0),
+            (3, "2024-01-02 09:00:00", 9, "click", 3.0),
+        ],
+    ).write.parquet(src)
+    _run_upsert(spark, src, table, ckpt)
+    assert _table_rows(spark, table) == {
+        (1, "2024-01-01 10:00:00", 1.0),
+        (2, "2024-01-01 11:00:00", 2.0),
+        (3, "2024-01-02 09:00:00", 3.0),
+    }
+
+    # correction for key 1 (newer ts) + a brand-new key, all on day 1:
+    # day-2 partition must not be rewritten
+    day2_files = set(os.listdir(os.path.join(table, "event_date=2024-01-02")))
+    _events(
+        spark,
+        [
+            (1, "2024-01-01 12:00:00", 7, "click", 10.0),
+            (4, "2024-01-01 13:00:00", 5, "view", 4.0),
+        ],
+    ).write.mode("append").parquet(src)
+    _run_upsert(spark, src, table, ckpt)  # same checkpoint: only new files
+
+    assert _table_rows(spark, table) == {
+        (1, "2024-01-01 12:00:00", 10.0),  # corrected, newest wins
+        (2, "2024-01-01 11:00:00", 2.0),
+        (3, "2024-01-02 09:00:00", 3.0),
+        (4, "2024-01-01 13:00:00", 4.0),
+    }
+    assert (
+        set(os.listdir(os.path.join(table, "event_date=2024-01-02"))) == day2_files
+    ), "untouched partition was rewritten"
+
+
+def test_upsert_stale_update_loses(spark, paths):
+    src, table, ckpt = paths
+    _events(spark, [(1, "2024-01-01 12:00:00", 7, "click", 10.0)]).write.parquet(src)
+    _run_upsert(spark, src, table, ckpt)
+    # an OLDER record for the same key arrives late: table must keep newest
+    _events(spark, [(1, "2024-01-01 08:00:00", 7, "click", 99.0)]).write.mode(
+        "append"
+    ).parquet(src)
+    _run_upsert(spark, src, table, ckpt)
+    assert _table_rows(spark, table) == {(1, "2024-01-01 12:00:00", 10.0)}
+
+
+def test_upsert_replay_is_idempotent(spark, paths):
+    src, table, ckpt = paths
+    _events(
+        spark,
+        [
+            (1, "2024-01-01 10:00:00", 7, "click", 1.0),
+            (1, "2024-01-01 12:00:00", 7, "click", 5.0),  # intra-batch dup
+            (2, "2024-01-01 11:00:00", 8, "view", 2.0),
+        ],
+    ).write.parquet(src)
+    _run_upsert(spark, src, table, ckpt)
+    want = _table_rows(spark, table)
+    assert want == {
+        (1, "2024-01-01 12:00:00", 5.0),
+        (2, "2024-01-01 11:00:00", 2.0),
+    }
+    # replay the identical input through a FRESH checkpoint (simulated
+    # micro-batch retry after checkpoint loss): table is unchanged
+    _run_upsert(spark, src, table, ckpt + "_retry")
+    assert _table_rows(spark, table) == want
