@@ -1,0 +1,283 @@
+"""Training-corpus preparation operators: deterministic splits, chunking,
+PII redaction, TF-IDF term weighting.
+
+These are the steps between "deduplicated documents" and "training set"
+in an LLM data pipeline (BASELINE.json north star; the reference itself has
+no text surface — it is a Kafka ETL demo). All four are built-in-expression
+designs (JVM-side, whole-stage codegen):
+
+- train/test split: salted-hash bucketing, a pure projection — stable under
+  re-runs, data growth, and partitioning changes, unlike ``rand()`` splits
+  which reshuffle membership every run. Salt the hash to re-draw the split.
+- chunking: 1→N expansion via ``posexplode(sequence(...))`` — the
+  fixed-stride context-window slicing trainers consume; no shuffle.
+- PII redaction: ``regexp_replace`` chains (email, long digit runs) —
+  scan-and-project, the patterns live in ONE place shared with the oracle.
+- TF-IDF: two hash aggregations (term frequency, document frequency) and a
+  broadcast scalar (corpus size); idf is quantized to integer micro-units
+  so cross-engine ranking never depends on float ulps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions import hash60, sql_hash60
+from .text import TOKEN_SEP
+
+SPLIT_BUCKETS = 100
+
+# Shared regexes: Java (Spark) and RE2 (DuckDB) agree on this subset —
+# character classes, bounded quantifiers, no backrefs/lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+LONGNUM_RE = r"[0-9][0-9()\- ]{5,}[0-9]"  # phone/account-shaped digit runs
+
+
+# ---------------------------------------------------------------------------
+# deterministic train/test split
+# ---------------------------------------------------------------------------
+
+
+def train_test_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split:v1",
+) -> DataFrame:
+    """Assign each row a stable split by salted id-hash bucket.
+
+    Membership is a pure function of (salt, id): adding data, re-running,
+    or repartitioning never moves existing rows across the split — the
+    property ``df.sample``/``rand`` cannot give. Changing ``salt``
+    re-draws the split; bumping ``train_pct`` only *moves the boundary*
+    (train ⊆ new train), enabling monotone split growth.
+    """
+    bucket = (
+        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % SPLIT_BUCKETS
+    ).alias("split_bucket")
+    split = (
+        F.when(F.col("split_bucket") < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split")
+    )
+    return df.select(id_col, bucket).select("*", split)
+
+
+def sql_train_test_split(
+    table: str = "documents",
+    *,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    salt: str = "split:v1",
+) -> str:
+    h = sql_hash60(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT {id_col},
+           ({h}) % {SPLIT_BUCKETS} AS split_bucket,
+           CASE WHEN ({h}) % {SPLIT_BUCKETS} < {train_pct}
+                THEN 'train' ELSE 'test' END AS split
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# fixed-stride chunking (context-window slicing)
+# ---------------------------------------------------------------------------
+
+
+def chunk_documents(
+    df: DataFrame,
+    *,
+    chunk_chars: int = 200,
+    overlap: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Slice each document into ``chunk_chars``-wide windows advancing by
+    ``chunk_chars - overlap``: the fixed-stride context-window expansion
+    (1→N rows) trainers batch over.
+
+    ``posexplode(sequence(1, len, step))`` generates start offsets inside
+    the row — no shuffle, output size = Σ ceil(len/step). Every document
+    yields ≥ 1 chunk (empty/null text → one empty chunk, keeping the doc
+    id present downstream); the final chunk may be short, never empty.
+    """
+    if not 0 <= overlap < chunk_chars:
+        raise ValueError("need 0 <= overlap < chunk_chars")
+    step = chunk_chars - overlap
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.length(c), F.lit(1)), F.lit(step)
+    )
+    return df.select(
+        id_col,
+        c.alias("_text"),
+        F.posexplode(starts).alias("chunk_id", "start"),
+    ).select(
+        id_col,
+        "chunk_id",
+        F.col("_text").substr(F.col("start"), F.lit(chunk_chars)).alias("chunk"),
+    )
+
+
+def sql_chunk_documents(
+    table: str = "documents",
+    *,
+    chunk_chars: int = 200,
+    overlap: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    step = chunk_chars - overlap
+    c = f"coalesce({text_col}, '')"
+    return f"""
+    WITH starts AS (
+        SELECT {id_col}, {text_col},
+               unnest(generate_series(1, greatest(length({c}), 1), {step}))
+                   AS start
+        FROM {table}
+    )
+    SELECT {id_col},
+           ((start - 1) // {step})::INT AS chunk_id,
+           substring({c}, start, {chunk_chars}) AS chunk
+    FROM starts
+    """
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def pii_redact(df: DataFrame, *, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Redact emails and long digit runs, with per-doc redaction counts.
+
+    Email replacement runs FIRST (addresses contain digits); counts are
+    computed on the original text so they report what was actually
+    removed. One scan, no shuffle.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    red = F.regexp_replace(
+        F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), LONGNUM_RE, "<NUM>"
+    )
+    return df.select(
+        id_col,
+        red.alias("text_redacted"),
+        F.regexp_count(c, F.lit(EMAIL_RE)).cast("int").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), F.lit(LONGNUM_RE)
+        ).cast("int").alias("n_numbers"),
+    )
+
+
+def sql_pii_redact(
+    table: str = "documents", *, id_col: str = "doc_id", text_col: str = "text"
+) -> str:
+    c = f"coalesce({text_col}, '')"
+    email = EMAIL_RE.replace("'", "''")
+    num = LONGNUM_RE.replace("'", "''")
+    return f"""
+    SELECT {id_col},
+           regexp_replace(regexp_replace({c}, '{email}', '<EMAIL>', 'g'),
+                          '{num}', '<NUM>', 'g') AS text_redacted,
+           len(regexp_extract_all({c}, '{email}'))::INT AS n_emails,
+           len(regexp_extract_all(
+               regexp_replace({c}, '{email}', '<EMAIL>', 'g'), '{num}'
+           ))::INT AS n_numbers
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms
+# ---------------------------------------------------------------------------
+
+IDF_MICRO = 1_000_000  # idf quantization: integer micro-units
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document.
+
+    Plan shape: one explode → hash-aggregate to (doc, term, tf) → second
+    hash-aggregate to (term, df) — both map-side-combined — plus a 1-row
+    corpus-size aggregate joined in as a broadcast scalar (never a
+    driver-side ``.count()`` baked into the plan). Smoothed idf
+    ``ln((N+1)/(df+1))`` is quantized to integer micro-units before the
+    tf multiply, so ranking compares exact integers and can never flip on
+    a float ulp between engines. Ties break by term text.
+    """
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    terms = df.select(
+        F.col(id_col), F.explode(F.split(c, TOKEN_SEP)).alias("term")
+    ).where(F.col("term") != "")
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
+        "term",
+        "df_t",
+        F.round(
+            F.log((F.col("n_docs") + F.lit(1.0)) / (F.col("df_t") + F.lit(1.0)))
+            * IDF_MICRO
+        ).cast("bigint").alias("idf_micro"),
+    )
+    scored = tf.join(idf, "term").select(
+        id_col,
+        "term",
+        "tf",
+        (F.col("tf") * F.col("idf_micro")).alias("score_micro"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score_micro"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "rank", "term", "tf", "score_micro")
+    )
+
+
+def sql_tfidf_top_terms(
+    table: str = "documents",
+    *,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    c = f"coalesce({text_col}, '')"
+    return f"""
+    WITH terms AS (
+        SELECT {id_col}, unnest(string_split({c}, '{TOKEN_SEP}')) AS term
+        FROM {table}
+    ),
+    tf AS (
+        SELECT {id_col}, term, COUNT(*) AS tf
+        FROM terms WHERE term <> '' GROUP BY 1, 2
+    ),
+    idf AS (
+        SELECT term,
+               CAST(round(ln((SELECT COUNT(*) + 1.0 FROM {table})
+                             / (COUNT(*) + 1.0)) * {IDF_MICRO}) AS BIGINT)
+                   AS idf_micro
+        FROM tf GROUP BY term
+    )
+    SELECT tf.{id_col},
+           (ROW_NUMBER() OVER (
+               PARTITION BY tf.{id_col}
+               ORDER BY tf.tf * idf.idf_micro DESC NULLS LAST,
+                        tf.term ASC NULLS FIRST))::INT AS rank,
+           tf.term,
+           tf.tf,
+           tf.tf * idf.idf_micro AS score_micro
+    FROM tf JOIN idf USING (term)
+    QUALIFY rank <= {k}
+    """

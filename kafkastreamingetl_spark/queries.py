@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from .catalog import load_events, load_table, register_views
 from .functions import dsum, sql_dsum
 from .operators import asof as asof_ops
+from .operators import corpus as corpus_ops
 from .operators import dedup as dedup_ops
 from .operators import rangejoin as range_ops
 from .operators import multimodal as mm_ops
@@ -839,6 +840,38 @@ def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact integers via the replace-length trick) + deterministic argmax
     (operators/text.py). Expression-only — fuses into the scan."""
     return text_ops.language_id(_t(spark, sf_dir, "documents"))
+
+
+@query("train_test_split", oracle=corpus_ops.sql_train_test_split())
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic salted-hash train/test split (operators/corpus.py):
+    membership is a pure function of (salt, doc_id) — stable under
+    re-runs and data growth, unlike rand() splits."""
+    return corpus_ops.train_test_split(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_chunks", oracle=corpus_ops.sql_chunk_documents())
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride context-window chunking, 1→N via posexplode(sequence)
+    (operators/corpus.py): 200-char windows, 40-char overlap, no shuffle."""
+    return corpus_ops.chunk_documents(_t(spark, sf_dir, "documents"))
+
+
+@query("pii_redaction", oracle=corpus_ops.sql_pii_redact())
+def q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: email + long-digit-run regexp_replace chain with
+    per-doc counts (operators/corpus.py). Patterns live in one shared
+    constant; planted-PII behavior unit-tested in test_corpus.py."""
+    return corpus_ops.pii_redact(_t(spark, sf_dir, "documents"))
+
+
+@query("tfidf_top_terms", oracle=corpus_ops.sql_tfidf_top_terms())
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (operators/corpus.py): two
+    map-side-combined hash aggregations + a broadcast corpus-size scalar;
+    idf quantized to integer micro-units so cross-engine ranking is
+    ulp-proof."""
+    return corpus_ops.tfidf_top_terms(_t(spark, sf_dir, "documents"))
 
 
 @query("doc_regex_token_stats", oracle=text_ops.sql_regex_token_stats())

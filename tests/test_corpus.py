@@ -1,0 +1,163 @@
+"""Corpus-preparation operators: split stability, chunk slicing exactness,
+PII redaction behavior on planted data, TF-IDF ranking semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.corpus import (
+    chunk_documents,
+    pii_redact,
+    tfidf_top_terms,
+    train_test_split,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------------------
+# train/test split
+# ---------------------------------------------------------------------------
+
+
+def test_split_is_stable_and_partition_invariant(spark):
+    df = spark.range(1000).select(F.col("id").alias("doc_id"), F.lit("x").alias("text"))
+    a = {r.doc_id: r.split for r in train_test_split(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in train_test_split(df.repartition(7)).collect()
+    }
+    assert a == b  # membership is a pure function of the id, not layout
+    n_train = sum(1 for s in a.values() if s == "train")
+    assert 700 < n_train < 900  # ~80% of 1000, hash-uniform
+
+
+def test_split_boundary_is_monotone(spark):
+    """Raising train_pct only ADDS to train — nothing leaves it."""
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    t80 = {
+        r.doc_id
+        for r in train_test_split(df, train_pct=80).collect()
+        if r.split == "train"
+    }
+    t90 = {
+        r.doc_id
+        for r in train_test_split(df, train_pct=90).collect()
+        if r.split == "train"
+    }
+    assert t80 < t90
+
+
+def test_split_salt_redraws(spark):
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in train_test_split(df, salt="v1").collect()}
+    b = {r.doc_id: r.split for r in train_test_split(df, salt="v2").collect()}
+    assert a != b
+
+
+# ---------------------------------------------------------------------------
+# chunking
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_slicing_exact(spark):
+    df = _docs(spark, [(1, "abcdefghij")])
+    got = {
+        r.chunk_id: r.chunk
+        for r in chunk_documents(df, chunk_chars=4, overlap=1).collect()
+    }
+    # stride 3, starts 1/4/7/10: windows overlap by exactly one char
+    assert got == {0: "abcd", 1: "defg", 2: "ghij", 3: "j"}
+
+
+def test_chunk_reconstruction(spark):
+    """Dropping each chunk's overlapping prefix reconstructs the text."""
+    text = "the quick brown fox jumps over the lazy dog" * 5
+    df = _docs(spark, [(1, text)])
+    chunks = [
+        r.chunk
+        for r in chunk_documents(df, chunk_chars=50, overlap=10)
+        .orderBy("chunk_id")
+        .collect()
+    ]
+    assert chunks[0] + "".join(c[10:] for c in chunks[1:]) == text
+    assert all(len(c) <= 50 for c in chunks)
+
+
+def test_chunk_empty_and_null_text(spark):
+    df = _docs(spark, [(1, ""), (2, None)])
+    got = chunk_documents(df).collect()
+    assert {(r.doc_id, r.chunk_id, r.chunk) for r in got} == {
+        (1, 0, ""),
+        (2, 0, ""),
+    }
+
+
+def test_chunk_rejects_bad_overlap(spark):
+    with pytest.raises(ValueError):
+        chunk_documents(_docs(spark, [(1, "x")]), chunk_chars=10, overlap=10)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redacts_planted(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "contact bob.smith+x@example.com or call 555-123-4567 now"),
+            (2, "clean text with a small number 42 in it"),
+        ],
+    )
+    got = {r.doc_id: r for r in pii_redact(df).collect()}
+    assert got[1].text_redacted == "contact <EMAIL> or call <NUM> now"
+    assert got[1].n_emails == 1 and got[1].n_numbers == 1
+    # short digit runs are not phone-shaped: untouched
+    assert got[2].text_redacted == "clean text with a small number 42 in it"
+    assert got[2].n_emails == 0 and got[2].n_numbers == 0
+
+
+def test_pii_email_digits_not_double_counted(spark):
+    df = _docs(spark, [(1, "mail 12345678@example.com please")])
+    r = pii_redact(df).collect()[0]
+    assert r.text_redacted == "mail <EMAIL> please"
+    assert r.n_emails == 1 and r.n_numbers == 0
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF
+# ---------------------------------------------------------------------------
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "common common zebra"),
+            (2, "common common yak yak"),
+            (3, "common plain"),
+        ],
+    )
+    got = {
+        (r.doc_id, r.rank): r
+        for r in tfidf_top_terms(df, k=2).collect()
+    }
+    # 'common' appears in every doc -> idf ln(4/4)=0 -> score 0; the
+    # doc-unique term must outrank it despite lower tf
+    assert got[(1, 1)].term == "zebra"
+    assert got[(2, 1)].term == "yak"
+    assert got[(1, 2)].term == "common" and got[(1, 2)].score_micro == 0
+    # ubiquitous-term score is exactly zero in micro-units
+    assert got[(1, 1)].score_micro > 0
+
+
+def test_tfidf_tie_breaks_by_term(spark):
+    df = _docs(spark, [(1, "beta alpha"), (2, "other words")])
+    got = tfidf_top_terms(df, k=2).where(F.col("doc_id") == 1).collect()
+    # equal tf and df -> equal score -> alphabetical order
+    assert [r.term for r in sorted(got, key=lambda r: r.rank)] == ["alpha", "beta"]
