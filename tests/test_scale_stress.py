@@ -33,6 +33,11 @@ STRESS_QUERIES = [
     "embedding_ann_topk",
     "embedding_ann_multiprobe",
     "embedding_ivf_topk",
+    # round-3 additions whose output volume scales superlinearly with the
+    # input: pair-join density (attribution), chunk fan-out, term-space size
+    "purchase_attribution",
+    "doc_chunks",
+    "tfidf_top_terms",
 ]
 
 pytestmark = pytest.mark.slow
