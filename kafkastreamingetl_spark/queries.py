@@ -627,6 +627,81 @@ def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "rolling_hour_value",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+               AS rolling_value,
+           COUNT(value) OVER w AS rolling_n
+    FROM events
+    WHERE user_id < 50
+    WINDOW w AS (
+        PARTITION BY user_id
+        ORDER BY epoch_us(ts) ASC
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def q_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-based (RANGE) window frame: per-user rolling 1-hour sum/count
+    anchored at each event — the frame is [t−1h, t] in *event time*, not a
+    row count, so bursty users and quiet users get the same temporal
+    semantics. Range frames need a numeric order key: epoch microseconds
+    (exact; frame bound = 3.6e9 µs). One exchange on user_id; peers with
+    equal timestamps are in-frame regardless of tie order, so the result
+    is deterministic without a tiebreak column."""
+    from pyspark.sql import Window
+
+    from .functions import DEC
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double").alias("rolling_value"),
+        F.count("value").over(w).alias("rolling_n"),
+    )
+
+
+@query(
+    "value_histogram",
+    oracle="""
+    SELECT event_type,
+           CAST(floor(value / 20.0) AS INT) AS bucket,
+           CAST(floor(value / 20.0) AS INT) * 20.0 AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type: bucket index via
+    floor-division (bit-identical IEEE both engines), one hash aggregation,
+    map-side combined. The distributed histogram primitive under any
+    dashboard/profiling surface."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    bucket = F.floor(F.col("value") / 20.0).cast("int")
+    return (
+        ev.select("event_type", bucket.alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("bucket") * 20.0).alias("bucket_lo"),
+            "n",
+        )
+    )
+
+
+@query(
     "value_percentiles",
     oracle="""
     SELECT event_type,
