@@ -1,0 +1,110 @@
+"""Lake maintenance: small-file compaction for streaming sink output.
+
+Micro-batch parquet sinks (streaming.write_parquet_stream, the upsert sink)
+produce one-or-more files PER TRIGGER per partition — at a 30 s trigger
+that is ~2,880 files/partition/day, and at 100 TB the resulting
+metadata/open-file overhead dominates scan setup long before data volume
+does. Compaction is the standard follow-on: periodically rewrite each hive
+partition's many small files into few large ones, without changing a row.
+
+Design:
+- per-partition rewrite via dynamic partition overwrite (only listed
+  partitions are replaced; concurrent writers to OTHER partitions are
+  untouched);
+- target file count derived from actual partition bytes / target file
+  size — never a fixed global number (a fixed ``repartition(n)`` would
+  under-split hot days and over-split quiet ones);
+- ``maxRecordsPerFile`` as the safety net against row-size skew;
+- the rewrite is read → coalesce-shaped → write of the SAME rows: no
+  dedup, no reorder semantics — compaction must be a no-op on content
+  (asserted row-identical in tests/test_maintenance.py).
+
+At real scale this runs as a scheduled batch job per recent partition
+(compact yesterday once it stops receiving late data — the watermark
+horizon tells you when).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024  # one HDFS-ish block per file
+
+
+def partition_file_stats(
+    spark: SparkSession, path: str, partition_col: str
+) -> DataFrame:
+    """Per-partition (value, n_files, total_bytes) from the file listing —
+    the signal that decides WHICH partitions are worth compacting. Listing
+    is driver-side but partition-count-sized, not row-sized."""
+    rows = []
+    for entry in os.listdir(path):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        pdir = os.path.join(path, entry)
+        files = [
+            os.path.join(pdir, f)
+            for f in os.listdir(pdir)
+            if f.endswith(".parquet")
+        ]
+        rows.append(
+            (
+                entry.split("=", 1)[1],
+                len(files),
+                sum(os.path.getsize(f) for f in files),
+            )
+        )
+    return spark.createDataFrame(
+        rows, f"{partition_col} string, n_files int, total_bytes long"
+    )
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    partition_values: list[str] | None = None,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+    max_records_per_file: int | None = 10_000_000,
+) -> dict[str, int]:
+    """Rewrite the listed hive partitions (default: all with > 1 file)
+    into ceil(bytes / target_file_bytes) files each.
+
+    Returns {partition_value: files_written}. Rows are bit-identical
+    before/after; only the file layout changes. The per-partition
+    ``repartition(n)`` is a round-robin shuffle of just that partition's
+    rows — the price of packing; at scale you compact only partitions
+    past their late-data horizon, so each run touches a bounded slice.
+    """
+    stats = {
+        r[0]: (r[1], r[2])
+        for r in partition_file_stats(spark, path, partition_col).collect()
+    }
+    if partition_values is None:
+        partition_values = [v for v, (n, _) in stats.items() if n > 1]
+
+    written: dict[str, int] = {}
+    for value in partition_values:
+        n_files, total_bytes = stats[value]
+        target = max(1, -(-total_bytes // target_file_bytes))  # ceil
+        if target >= n_files:
+            continue  # already at-or-under target: rewriting would churn
+        part = spark.read.parquet(path).where(F.col(partition_col) == value)
+        # dynamic partition overwrite (session.RUNTIME_CONFS): only this
+        # partition is replaced. localCheckpoint truncates lineage so the
+        # overwrite target is not simultaneously a read source.
+        w = (
+            part.repartition(target)
+            .localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+        )
+        if max_records_per_file:
+            w = w.option("maxRecordsPerFile", max_records_per_file)
+        w.parquet(path)
+        written[value] = target
+    return written

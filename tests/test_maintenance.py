@@ -1,0 +1,82 @@
+"""Small-file compaction: fewer files, identical rows, untouched partitions
+preserved, already-compact partitions left alone."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.maintenance import (
+    compact_partitions,
+    partition_file_stats,
+)
+from kafkastreamingetl_spark.sources import synthetic_events_batch
+
+
+def _n_files(path, part):
+    d = os.path.join(path, f"event_date={part}")
+    return len([f for f in os.listdir(d) if f.endswith(".parquet")])
+
+
+@pytest.fixture()
+def fragmented_lake(spark, tmp_path):
+    """Two date partitions, each shattered into ~20 small files (the shape
+    a 30 s-trigger streaming sink leaves behind)."""
+    path = str(tmp_path / "lake")
+    ev = synthetic_events_batch(spark, 3_000, seed=7).withColumn(
+        # the generator spans ~25 min; spread rows across two dates so the
+        # lake has multiple partitions
+        "event_date",
+        F.date_add(F.to_date("ts"), (F.col("user_id") % 2).cast("int")),
+    )
+    ev.repartition(20).write.partitionBy("event_date").parquet(path)
+    return path
+
+
+def test_compaction_reduces_files_keeps_rows(spark, fragmented_lake):
+    path = fragmented_lake
+    before = spark.read.parquet(path)
+    rows_before = sorted(
+        tuple(r) for r in before.drop("event_date").collect()
+    )
+    parts = sorted(
+        r[0] for r in partition_file_stats(spark, path, "event_date").collect()
+    )
+    assert all(_n_files(path, p) > 1 for p in parts)
+
+    written = compact_partitions(spark, path, "event_date")
+    assert set(written) == set(parts)
+    for p in parts:
+        assert _n_files(path, p) == written[p] == 1  # tiny data: one file
+
+    after = spark.read.parquet(path)
+    rows_after = sorted(tuple(r) for r in after.drop("event_date").collect())
+    assert rows_after == rows_before  # compaction is a content no-op
+
+
+def test_compaction_is_selective(spark, fragmented_lake):
+    """Compacting one named partition leaves the other's files untouched."""
+    path = fragmented_lake
+    parts = sorted(
+        r[0] for r in partition_file_stats(spark, path, "event_date").collect()
+    )
+    assert len(parts) >= 2
+    target, other = parts[0], parts[1]
+    other_files = set(os.listdir(os.path.join(path, f"event_date={other}")))
+
+    compact_partitions(spark, path, "event_date", [target])
+    assert _n_files(path, target) == 1
+    assert (
+        set(os.listdir(os.path.join(path, f"event_date={other}"))) == other_files
+    )
+
+
+def test_compaction_skips_already_compact(spark, tmp_path):
+    path = str(tmp_path / "lake1")
+    ev = synthetic_events_batch(spark, 200, seed=9).withColumn(
+        "event_date", F.to_date("ts")
+    )
+    ev.coalesce(1).write.partitionBy("event_date").parquet(path)
+    assert compact_partitions(spark, path, "event_date") == {}
