@@ -19,13 +19,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_events, load_table, register_views
-from .functions import dsum, sql_dsum
+from .functions import dsum, normalize_string, sql_dsum
 from .operators import asof as asof_ops
 from .operators import corpus as corpus_ops
 from .operators import dedup as dedup_ops
 from .operators import rangejoin as range_ops
 from .operators import multimodal as mm_ops
 from .operators import pipeline as pipe_ops
+from .operators import quality as quality_ops
 from .operators import similarity as sim_ops
 from .operators import streamjoin as sj_ops
 from .operators import text as text_ops
@@ -890,6 +891,82 @@ def q_weekend_vs_weekday_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     weekend = ev.filter(wk.isin(1, 7)).select("event_type")
     weekday = ev.filter(~wk.isin(1, 7)).select("event_type")
     return weekend.intersect(weekday)
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, ts,
+               coalesce(lower(trim(event_type)), 'unknown') AS t
+        FROM events
+    ),
+    c AS (SELECT user_id, MIN(ts) AS t0 FROM ev WHERE t = 'click' GROUP BY 1),
+    v AS (
+        SELECT ev.user_id, MIN(ev.ts) AS t0
+        FROM ev JOIN c ON ev.user_id = c.user_id AND ev.ts > c.t0
+        WHERE ev.t = 'view' GROUP BY 1
+    ),
+    p AS (
+        SELECT ev.user_id, MIN(ev.ts) AS t0
+        FROM ev JOIN v ON ev.user_id = v.user_id AND ev.ts > v.t0
+        WHERE ev.t = 'purchase' GROUP BY 1
+    )
+    SELECT 1 AS stage_order, 'click' AS stage, COUNT(*) AS n_users FROM c
+    UNION ALL
+    SELECT 2, 'view_after_click', COUNT(*) FROM v
+    UNION ALL
+    SELECT 3, 'purchase_after_view', COUNT(*) FROM p
+    ORDER BY stage_order
+    """,
+)
+def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence funnel: users who clicked, then viewed AFTER the
+    first click, then purchased AFTER that view. Each stage is a filtered
+    min-aggregate joined to the previous stage on user_id — three
+    co-partitioned shuffles on the same key (one exchange reused under
+    AQE), never a window over the whole event stream."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", normalize_string("event_type").alias("t")
+    )
+    c = ev.where(F.col("t") == "click").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    v = (
+        ev.where(F.col("t") == "view")
+        .join(c.select("user_id", F.col("t0").alias("prev")), "user_id")
+        .where(F.col("ts") > F.col("prev"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    p = (
+        ev.where(F.col("t") == "purchase")
+        .join(v.select("user_id", F.col("t0").alias("prev")), "user_id")
+        .where(F.col("ts") > F.col("prev"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+
+    def stage(df: DataFrame, order: int, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(order).alias("stage_order"),
+            F.lit(name).alias("stage"),
+            "n_users",
+        )
+
+    return (
+        stage(c, 1, "click")
+        .unionAll(stage(v, 2, "view_after_click"))
+        .unionAll(stage(p, 3, "purchase_after_view"))
+        .orderBy("stage_order")
+    )
+
+
+@query("events_quality_report", oracle=quality_ops.sql_events_quality_report())
+def q_events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations in ONE scan (operators/quality.py): total
+    rows, null/domain violations as conditional sums, duplicate keys via
+    exact distinct — the multi-rule generalization of the reference's
+    row-count check (X4)."""
+    return quality_ops.events_quality_report(_t(spark, sf_dir, "events"))
 
 
 # ===========================================================================
