@@ -119,6 +119,26 @@ def test_csv_quarantine_on_type_mismatch(spark, tmp_path):
     assert "not_a_long" in quarantined.collect()[0][CORRUPT_COL]
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution: a newer writer adds a column; readers get
+    the superset with nulls for old files (mergeSchema). The option costs a
+    footer read per file, so at scale it belongs on the CONVERT step that
+    unifies the lake's schema, not on every query's scan — queries read the
+    declared schema (catalog.load_table)."""
+    path = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, 10.0)], "event_id long, value double").write.parquet(
+        path
+    )
+    spark.createDataFrame(
+        [(2, 20.0, "mobile")], "event_id long, value double, device string"
+    ).write.mode("append").parquet(path)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(path)
+    assert set(merged.columns) == {"event_id", "value", "device"}
+    got = {r.event_id: r.device for r in merged.collect()}
+    assert got == {1: None, 2: "mobile"}
+
+
 def test_csv_source_never_infers(spark, events, tmp_path):
     """The adapter reads with the declared schema even when the file has a
     header — no inference pass (banned at scale)."""
