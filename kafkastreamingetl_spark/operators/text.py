@@ -305,6 +305,61 @@ def sql_doc_fingerprint(table: str = "documents", text_col: str = "text") -> str
 
 
 # ---------------------------------------------------------------------------
+# polynomial rolling hash (order-sensitive fingerprint)
+# ---------------------------------------------------------------------------
+
+# h_i = (h_{i-1} * B + token_hash_i) mod P — the Rabin-Karp accumulator over
+# the token sequence. Unlike SimHash/MinHash (set semantics: reordering
+# tokens leaves them unchanged), the rolling hash fingerprints the document
+# AS A SEQUENCE, so it detects exact-order duplication (e.g. boilerplate
+# prefixes) the set-based fingerprints cannot. Arithmetic stays below 2^39
+# (acc < P ≈ 2^31, B = 131, token hash reduced mod 2^31), so the fold is
+# exact signed-64-bit on every engine — no overflow wrap to diverge on.
+ROLL_B = 131
+ROLL_P = 2_147_483_647  # 2^31 - 1 (prime)
+ROLL_M = 2_147_483_648  # 2^31: token-hash reduction before the fold
+
+
+def rolling_hash(col: str | Column) -> Column:
+    """Order-sensitive document fingerprint via a Rabin-Karp fold over the
+    per-token md5-derived hashes (cross-engine exact — functions.hash60)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(F.coalesce(c, F.lit("")))
+    return F.aggregate(
+        toks,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: (acc * ROLL_B + hash60(w) % ROLL_M) % ROLL_P,
+    )
+
+
+def doc_rolling_hash(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document rolling-hash fingerprint + token count (the count
+    disambiguates the empty document from a real zero-hash collision)."""
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    return ensure_parallelism(df).select(
+        "doc_id",
+        rolling_hash(text_col).alias("rolling_hash"),
+        F.size(tokens(c)).alias("n_tokens"),
+    )
+
+
+def sql_doc_rolling_hash(table: str = "documents", text_col: str = "text") -> str:
+    c = f"coalesce({text_col}, '')"
+    token_hashes = (
+        f"[{sql_hash60('x')} % {ROLL_M} for x in string_split({c}, '{TOKEN_SEP}')]"
+    )
+    return f"""
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(0::BIGINT, {token_hashes}),
+               (acc, x) -> (acc * {ROLL_B} + x) % {ROLL_P}
+           ) AS rolling_hash,
+           len(string_split({c}, '{TOKEN_SEP}'))::INT AS n_tokens
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
 # n-gram language identification
 # ---------------------------------------------------------------------------
 

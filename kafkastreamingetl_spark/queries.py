@@ -986,6 +986,14 @@ def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.doc_quality(_t(spark, sf_dir, "documents"))
 
 
+@query("doc_rolling_hash", oracle=text_ops.sql_doc_rolling_hash())
+def q_doc_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive Rabin-Karp fingerprint over the token sequence
+    (operators/text.py): detects exact-order duplication the set-based
+    SimHash/MinHash fingerprints cannot. Expression-only fold, no shuffle."""
+    return text_ops.doc_rolling_hash(_t(spark, sf_dir, "documents"))
+
+
 @query("doc_language_id", oracle=text_ops.sql_language_id())
 def q_doc_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram language ID: per-language character-bigram profile scores

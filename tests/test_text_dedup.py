@@ -168,6 +168,20 @@ def test_doc_quality_ratios(spark):
     assert row.lang_guess == "en"
 
 
+def test_rolling_hash_is_order_sensitive(spark):
+    from kafkastreamingetl_spark.operators.text import doc_rolling_hash
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma beta alpha"), (3, "alpha beta gamma"), (4, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_rolling_hash(df).collect()}
+    assert got[1].rolling_hash == got[3].rolling_hash  # same sequence
+    assert got[1].rolling_hash != got[2].rolling_hash  # reordered tokens
+    assert got[4].n_tokens == 1  # split('') -> [''] — count disambiguates
+    assert all(0 <= r.rolling_hash < 2_147_483_647 for r in got.values())
+
+
 def test_language_id_scores_and_tiebreak(spark):
     from kafkastreamingetl_spark.operators.text import language_id
 
