@@ -117,3 +117,71 @@ def test_session_agg_laws(spark, offsets, gap_s):
     assert (
         (s.session_end - s.session_start).dt.total_seconds() >= gap_s - 1e-6
     ).all()
+
+
+@SLOW
+@given(
+    text=st.text(alphabet="abc d", min_size=0, max_size=120),
+    chunk=st.integers(2, 30),
+    overlap_frac=st.floats(0, 0.9),
+)
+def test_chunking_laws(spark, text, chunk, overlap_frac):
+    from kafkastreamingetl_spark.operators.corpus import chunk_documents
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    chunks = (
+        chunk_documents(df, chunk_chars=chunk, overlap=overlap)
+        .orderBy("chunk_id")
+        .toPandas()
+    )
+    # law 1: lossless — stripping each chunk's overlapping prefix
+    # reconstructs the document exactly
+    rebuilt = "".join(
+        c if i == 0 else c[overlap:] for i, c in enumerate(chunks.chunk)
+    )
+    assert rebuilt == text
+    # law 2: every chunk fits the window; ids are dense from 0
+    assert (chunks.chunk.str.len() <= chunk).all()
+    assert list(chunks.chunk_id) == list(range(len(chunks)))
+    # law 3: every document yields at least one chunk
+    assert len(chunks) >= 1
+
+
+@SLOW
+@given(
+    words=st.lists(st.sampled_from(["ab", "cd", "ef", "gh"]), min_size=0, max_size=12)
+)
+def test_rolling_hash_laws(spark, words):
+    from kafkastreamingetl_spark.operators.text import ROLL_P, doc_rolling_hash
+
+    text = " ".join(words)
+    reversed_text = " ".join(reversed(words))
+    df = spark.createDataFrame(
+        [(1, text), (2, text), (3, reversed_text)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.rolling_hash for r in doc_rolling_hash(df).collect()}
+    # law 1: deterministic
+    assert got[1] == got[2]
+    # law 2: range-bounded
+    assert all(0 <= h < ROLL_P for h in got.values())
+    # law 3: order-sensitive whenever reversal actually changes the sequence
+    if words != list(reversed(words)):
+        assert got[1] != got[3]
+
+
+@SLOW
+@given(ids=st.lists(st.integers(0, 10_000), min_size=1, max_size=60, unique=True))
+def test_train_test_split_laws(spark, ids):
+    from kafkastreamingetl_spark.operators.corpus import train_test_split
+
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = train_test_split(df).toPandas()
+    # law 1: total function — every id assigned exactly once
+    assert sorted(out.doc_id) == sorted(ids)
+    # law 2: assignment agrees with the bucket
+    assert (
+        (out.split == "train") == (out.split_bucket < 80)
+    ).all()
+    # law 3: buckets in range
+    assert out.split_bucket.between(0, 99).all()
