@@ -61,6 +61,7 @@ def interval_pairs(
     left_ts: str,
     right_ts: str,
     horizon: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """All (left, right) pairs with the same user and ``right_ts`` in
     ``(left_ts, left_ts + horizon]`` — half-open so an event never
@@ -69,13 +70,20 @@ def interval_pairs(
     The condition is equality-on-key AND range-on-time; Catalyst plans the
     equality as the join key (hash/SMJ in batch, symmetric-hash in
     streaming) and the range as a residual filter — never a theta-join.
+
+    ``how="left_outer"`` (streaming): an unmatched left row is held in
+    state and emitted null-extended only once the watermark passes
+    ``left_ts + horizon`` — i.e. when a match has become impossible. The
+    emission is therefore a *later micro-batch* than the one that read the
+    row (asserted in tests/test_streamjoin.py); batch mode gives the same
+    rows immediately.
     """
     cond = (
         (left["user_id"] == right["r_user_id"])
         & (right[right_ts] > left[left_ts])
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {horizon}"))
     )
-    return left.join(right, cond, "inner").drop("r_user_id")
+    return left.join(right, cond, how).drop("r_user_id")
 
 
 def attribution_rollup(pairs: DataFrame, value_col: str = "purchase_value") -> DataFrame:
@@ -107,15 +115,23 @@ def purchase_attribution_pairs_streaming(
     horizon: str = "10 minutes",
     watermark: str = "30 seconds",
     ts_col: str = "ts",
+    how: str = "inner",
 ) -> DataFrame:
     """Streaming stream-stream join: watermark the lineage once (both legs
     inherit it), split, interval-join. Emits each (click, purchase) pair as
     soon as both sides arrive (append mode); state for a click is evicted
-    once the watermark passes ``click_ts + horizon``."""
+    once the watermark passes ``click_ts + horizon``. With
+    ``how="left_outer"``, evicted-unmatched clicks emit null-extended at
+    that same point — the funnel's "clicked, never purchased" stream."""
     wm = events_stream.withWatermark(ts_col, watermark)
     clicks, purchases = split_typed_legs(wm)
     return interval_pairs(
-        clicks, purchases, left_ts="click_ts", right_ts="purchase_ts", horizon=horizon
+        clicks,
+        purchases,
+        left_ts="click_ts",
+        right_ts="purchase_ts",
+        horizon=horizon,
+        how=how,
     )
 
 

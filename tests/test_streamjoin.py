@@ -92,6 +92,77 @@ def test_streaming_pairs_match_batch_twin(spark, events_dir):
     assert len(want) > 0  # the generator plants real click->purchase pairs
 
 
+def test_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Outer semantics under watermarks: a click with no purchase emits
+    null-extended only once the watermark proves a match impossible.
+
+    Watermark mechanics the harness must respect: the advance computed at
+    the end of batch N is only applied when batch N+1 is CONSTRUCTED, and
+    state eviction (which produces the outer rows) happens in that later
+    batch. ``maxFilesPerTrigger=1`` makes one availableNow run execute one
+    batch per feed file, so the advance → eviction → emission chain
+    completes inside a single run, exactly as a continuously-triggered
+    production query experiences it.
+    """
+    from kafkastreamingetl_spark.sources import EVENT_SCHEMA
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(rows, mode):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string, value double",
+        )
+        import time
+
+        df.withColumn("ts", F.col("ts").cast("timestamp")).withColumn(
+            "props", F.lit("{}")
+        ).repartition(1).write.mode(mode).parquet(src)
+        time.sleep(1.1)  # distinct mtimes: deterministic per-file batch order
+
+    # file 1: a click that will never match, plus a matched pair
+    feed(
+        [
+            (1, "2024-01-01 00:00:00", 1, "click", None),
+            (2, "2024-01-01 00:00:30", 2, "click", None),
+            (3, "2024-01-01 00:05:00", 2, "purchase", 20.0),
+        ],
+        "overwrite",
+    )
+    # Fillers must survive the click/purchase split: Catalyst pushes the
+    # leg filters below the watermark node, so only rows that reach a join
+    # leg advance the event-time clock. An unrelated user's purchases (no
+    # preceding click -> never matched, never emitted) advance it safely.
+    # file 2: advances event time far past click_ts + horizon + watermark
+    feed([(9, "2024-01-01 01:00:00", 99, "purchase", 0.0)], "append")
+    # file 3: a batch AFTER the advance, in which eviction actually runs
+    feed([(10, "2024-01-01 02:00:00", 99, "purchase", 0.0)], "append")
+
+    stream = purchase_attribution_pairs_streaming(
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        watermark="10 seconds",
+        how="left_outer",
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sj_outer")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now([q])
+    got = spark.table("sj_outer").collect()
+
+    matched = [r for r in got if r.purchase_ts is not None]
+    unmatched = [r for r in got if r.purchase_ts is None]
+    assert {r.user_id for r in matched} == {2}
+    assert [(r.user_id, r.purchase_value) for r in unmatched] == [(1, None)]
+
+
 def test_join_key_reaches_physical_plan(spark):
     """The equality key must be the join key (hash-partitioned join), the
     time range a residual condition — a missing key would plan a
