@@ -70,6 +70,7 @@ def compact_partitions(
     *,
     target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
     max_records_per_file: int | None = 10_000_000,
+    sort_cols: list[str] | None = None,
 ) -> dict[str, int]:
     """Rewrite the listed hive partitions (default: all with > 1 file)
     into ceil(bytes / target_file_bytes) files each.
@@ -79,6 +80,15 @@ def compact_partitions(
     ``repartition(n)`` is a round-robin shuffle of just that partition's
     rows — the price of packing; at scale you compact only partitions
     past their late-data horizon, so each run touches a bounded slice.
+
+    ``sort_cols`` clusters rows inside each output file
+    (``sortWithinPartitions`` — a per-task sort, no extra shuffle): parquet
+    row-group min/max stats on those columns become tight, disjoint
+    ranges, so later point/range scans on them skip whole row groups
+    instead of reading the partition ("z-ordering lite", single-column
+    case; asserted against the parquet footer in tests/test_maintenance.py).
+    Compaction is THE moment to pay this sort — the data is being
+    rewritten anyway.
     """
     stats = {
         r[0]: (r[1], r[2])
@@ -94,12 +104,14 @@ def compact_partitions(
         if target >= n_files:
             continue  # already at-or-under target: rewriting would churn
         part = spark.read.parquet(path).where(F.col(partition_col) == value)
+        shaped = part.repartition(target)
+        if sort_cols:
+            shaped = shaped.sortWithinPartitions(*sort_cols)
         # dynamic partition overwrite (session.RUNTIME_CONFS): only this
         # partition is replaced. localCheckpoint truncates lineage so the
         # overwrite target is not simultaneously a read source.
         w = (
-            part.repartition(target)
-            .localCheckpoint(eager=True)
+            shaped.localCheckpoint(eager=True)
             .write.mode("overwrite")
             .partitionBy(partition_col)
         )

@@ -73,6 +73,41 @@ def test_compaction_is_selective(spark, fragmented_lake):
     )
 
 
+def test_sorted_compaction_tightens_file_stats(spark, fragmented_lake):
+    """sort_cols clustering: after compaction the output files' min/max
+    ranges on the sort column are disjoint — a point lookup then prunes
+    to one file via footer stats instead of scanning the partition."""
+    import pyarrow.parquet as pq
+
+    path = fragmented_lake
+    parts = sorted(
+        r[0] for r in partition_file_stats(spark, path, "event_date").collect()
+    )
+    compact_partitions(
+        spark,
+        path,
+        "event_date",
+        [parts[0]],
+        sort_cols=["user_id"],
+        max_records_per_file=300,
+    )
+    pdir = os.path.join(path, f"event_date={parts[0]}")
+    ranges = []
+    for f in sorted(os.listdir(pdir)):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(pdir, f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(len(md.schema))}[
+            "user_id"
+        ]
+        stats = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+        ranges.append((min(s.min for s in stats), max(s.max for s in stats)))
+    assert len(ranges) > 1  # maxRecordsPerFile split the sorted partition
+    ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2  # disjoint clustering ranges
+
+
 def test_compaction_skips_already_compact(spark, tmp_path):
     path = str(tmp_path / "lake1")
     ev = synthetic_events_batch(spark, 200, seed=9).withColumn(
