@@ -348,6 +348,34 @@ def q_sql_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DOOR)
 
 
+_SQL_DOOR_ANALYTIC = """
+    SELECT user_id, d, n, rn FROM (
+        SELECT user_id,
+               CAST(ts AS DATE) AS d,
+               COUNT(*) AS n,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id
+                   ORDER BY COUNT(*) DESC, CAST(ts AS DATE) ASC
+               ) AS INT) AS rn
+        FROM events
+        WHERE user_id < 100
+        GROUP BY user_id, CAST(ts AS DATE)
+    ) ranked
+    WHERE rn <= 3
+"""
+
+
+@query("sql_top_active_days", oracle=_SQL_DOOR_ANALYTIC)
+def q_sql_top_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL door, analytic form: window-over-aggregate in one SELECT
+    (ROW_NUMBER over COUNT(*)), subquery rank filter — the SAME ANSI text
+    through both engines. Portability constraints it demonstrates: explicit
+    CAST for the rank (Spark int vs DuckDB bigint), deterministic tiebreak
+    in the ORDER BY, no engine-specific clauses (QUALIFY et al.)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_DOOR_ANALYTIC)
+
+
 @query(
     "json_decode",
     oracle="""
