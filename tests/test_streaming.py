@@ -319,3 +319,49 @@ def test_json_decode_roundtrip(spark):
     assert decoded.schema == EVENT_SCHEMA
     assert decoded.count() == 500
     assert decoded.exceptAll(events).count() == 0
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """T6 — the contract checkpoints exist for: stop a windowed-aggregate
+    query mid-stream, add data, restart with the SAME checkpoint. The
+    resumed query must neither re-emit windows the first run already
+    finalized (no duplicates) nor lose the in-flight state (no gaps): the
+    union of both runs' parquet output is exactly one row per finalized
+    window."""
+    import time
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def feed(n, offset, mode, base_ts):
+        synthetic_events_batch(
+            spark, n, seed=51 + offset, base_ts=base_ts
+        ).repartition(1).write.mode(mode).parquet(src)
+        time.sleep(1.1)
+
+    def run():
+        agg = streaming_windowed_agg(
+            file_events_source(spark, src),
+            watermark="10 seconds",
+            window="1 minute",
+            slide=None,
+            keys=["event_type"],
+        )
+        q = write_parquet_stream(
+            agg, out, ckpt, available_now=True, trigger_seconds=None
+        )
+        run_available_now([q])
+
+    feed(1_500, 0, "overwrite", "2024-01-01 00:00:00")
+    run()  # run 1 processes the first file and stops
+    first = spark.read.parquet(out).count()
+    # run 2's data is LATER in event time: it finalizes run 1's in-flight
+    # window (state carried across the restart) and adds new ones
+    feed(1_500, 7, "append", "2024-01-01 01:00:00")
+    run()  # run 2 must resume from the checkpoint, not reprocess
+
+    got = spark.read.parquet(out)
+    # exactly-once across the restart: no (window, key) emitted twice
+    assert got.count() == got.select("window_start", "event_type").distinct().count()
+    assert got.count() > first  # run 2 finalized new windows from run 1 state
