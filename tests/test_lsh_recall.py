@@ -85,3 +85,26 @@ def test_multiprobe_ann_recall_beats_single_probe(spark):
     # weak single-bucket members with better neighbors from flipped buckets
     assert recall_multi > recall_single, (recall_multi, recall_single)
     assert recall_multi >= 0.05, recall_multi
+
+
+def test_ivf_recall_scales_with_nprobe(spark):
+    """IVF on the real sf0.01 embeddings: recall@10 vs exact cosine top-10
+    must rise monotonically-or-equal with nprobe and reach 1.0 when every
+    bucket is probed (exhaustive probing degenerates to brute force)."""
+    from kafkastreamingetl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = sim_ops.self_queries(emb, n_queries=16)
+    cents = sim_ops.fit_label_centroids(emb)
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    exact = pairs(sim_ops.cosine_topk(emb, q))
+    recalls = []
+    for nprobe in (1, 2, len(cents)):
+        got = pairs(sim_ops.ann_ivf_topk(emb, q, nprobe=nprobe, centroids=cents))
+        recalls.append(len(got & exact) / len(exact))
+    assert recalls[0] <= recalls[1] <= recalls[2], recalls
+    assert recalls[2] == 1.0, recalls  # all buckets probed == exhaustive
+    assert recalls[1] >= 0.3, recalls  # nprobe=2 must be a usable ANN
