@@ -376,6 +376,33 @@ def q_sql_top_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DOOR_ANALYTIC)
 
 
+_SQL_GROUPING_SETS = """
+    SELECT coalesce(lower(trim(event_type)), 'unknown') AS etype,
+           CAST(user_id % 10 AS INT) AS user_mod,
+           CAST(GROUPING(coalesce(lower(trim(event_type)), 'unknown')) AS INT)
+               AS g_etype,
+           CAST(GROUPING(CAST(user_id % 10 AS INT)) AS INT) AS g_user,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY GROUPING SETS (
+        (coalesce(lower(trim(event_type)), 'unknown')),
+        (CAST(user_id % 10 AS INT)),
+        (coalesce(lower(trim(event_type)), 'unknown'), CAST(user_id % 10 AS INT))
+    )
+"""
+
+
+@query("grouping_sets_activity", oracle=_SQL_GROUPING_SETS)
+def q_grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY GROUPING SETS with GROUPING() markers, same ANSI text both
+    engines (completes the CUBE / ROLLUP / GROUPING SETS trio). The
+    GROUPING() flag disambiguates a data-null group from a
+    rolled-up-to-all group — required for correct downstream consumption.
+    Physically one Expand (×3) + one hash aggregate, same shape as CUBE."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUPING_SETS)
+
+
 @query(
     "json_decode",
     oracle="""
