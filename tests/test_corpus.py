@@ -122,6 +122,34 @@ def test_pii_redacts_planted(spark):
     assert got[2].n_emails == 0 and got[2].n_numbers == 0
 
 
+def test_pii_regex_dialect_parity_on_planted_pii(spark, tmp_path):
+    """Java (Spark) vs RE2 (DuckDB) on the SHARED patterns, planted PII:
+    the sf oracle proves parity on the real corpus, which may contain no
+    PII at all — this pins the dialects against strings that exercise
+    every pattern branch."""
+    import duckdb
+
+    from kafkastreamingetl_spark.operators.corpus import pii_redact, sql_pii_redact
+
+    rows = [
+        (1, "a.b-c_d%e+f@sub.domain.co and (555) 123-4567 trailing"),
+        (2, "no pii here, just 123 and x@y"),  # too-short number, bad email
+        (3, "two mails p@q.io r@s.org then 99999999"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spark = sorted(tuple(r) for r in pii_redact(df).collect())
+
+    pq_path = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq_path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}/*.parquet')"
+    )
+    got_duck = sorted(tuple(r) for r in con.execute(sql_pii_redact()).fetchall())
+    assert got_spark == got_duck
+
+
 def test_pii_email_digits_not_double_counted(spark):
     df = _docs(spark, [(1, "mail 12345678@example.com please")])
     r = pii_redact(df).collect()[0]
