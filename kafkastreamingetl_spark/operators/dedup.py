@@ -377,6 +377,64 @@ def sql_neardup_pairs(
     """
 
 
+def neardup_pairs_containment(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_containment: float = 0.0,
+) -> DataFrame:
+    """LSH candidates scored by shingle-set CONTAINMENT: |A∩B| / min(|A|,|B|).
+
+    Symmetric Jaccard under-scores subset duplication — a page embedded
+    verbatim inside a longer page has Jaccard ≈ |small|/|big| (low) but
+    containment ≈ 1.0. Web-scrape dedup needs both lenses: Jaccard for
+    mutual near-dups, containment for wrapper/boilerplate inclusion. Same
+    bucketed candidate set and cached features as :func:`neardup_pairs`;
+    only the scoring expression differs.
+    """
+    feats = shingle_features(df, text_col, id_col)
+    cands = lsh_candidate_pairs(df, text_col, id_col, feats=feats)
+    fa = feats.select(F.col(id_col).alias("doc_a"), F.col("_hs").alias("hs_a"))
+    fb = feats.select(F.col(id_col).alias("doc_b"), F.col("_hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    smaller = F.least(F.size("hs_a"), F.size("hs_b"))
+    return (
+        cands.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (inter.cast("double") / smaller).alias("containment"),
+        )
+        .filter(F.col("containment") >= F.lit(min_containment))
+    )
+
+
+def sql_neardup_pairs_containment(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_containment: float = 0.0,
+) -> str:
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(x.hs, y.hs))::DOUBLE
+             / least(len(x.hs), len(y.hs)) AS containment
+    FROM cands c
+    JOIN feats x ON c.doc_a = x.doc_id
+    JOIN feats y ON c.doc_b = y.doc_id
+    WHERE len(list_intersect(x.hs, y.hs))::DOUBLE
+            / least(len(x.hs), len(y.hs)) >= {min_containment}
+    """
+
+
 # ---------------------------------------------------------------------------
 # SimHash banding: the second (cheaper) near-dup path
 # ---------------------------------------------------------------------------

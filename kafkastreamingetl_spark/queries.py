@@ -1127,6 +1127,18 @@ def q_neardup_pairs_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.neardup_pairs(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "neardup_pairs_containment",
+    oracle=dedup_ops.sql_neardup_pairs_containment(),
+)
+def q_neardup_pairs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidates scored by shingle-set containment |A∩B|/min(|A|,|B|) —
+    the subset-duplication lens symmetric Jaccard under-scores
+    (operators/dedup.py). Shares the cached features + bucketed candidate
+    join with the Jaccard path."""
+    return dedup_ops.neardup_pairs_containment(_t(spark, sf_dir, "documents"))
+
+
 @query("simhash_candidates", oracle=dedup_ops.sql_simhash_candidate_pairs())
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup pairs: 4×15-bit bands, Hamming ≤ 3 — exact

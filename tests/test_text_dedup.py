@@ -208,3 +208,28 @@ def test_language_id_occurrence_counting_is_nonoverlapping(spark):
     df = spark.createDataFrame([(1, "ththth hehe")], ["doc_id", "text"])
     r = language_id(df).collect()[0]
     assert r.score_en >= 5
+
+
+def test_containment_detects_subset_duplication(spark):
+    """A document embedded verbatim in a longer one: containment hits 1.0
+    exactly while symmetric Jaccard stays below it — the wrapper/boilerplate
+    case the containment lens exists for."""
+    from kafkastreamingetl_spark.operators.dedup import (
+        neardup_pairs,
+        neardup_pairs_containment,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    wrapper = base + " kilo lima"  # base's shingles are a strict subset
+    df = spark.createDataFrame(
+        [(1, wrapper), (2, base), (3, "totally different words here now")],
+        "doc_id long, text string",
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in neardup_pairs_containment(df).collect()
+    }
+    jac = {(r.doc_a, r.doc_b): r.jaccard for r in neardup_pairs(df).collect()}
+    assert cont[(1, 2)] == 1.0
+    assert jac[(1, 2)] < 1.0
+    assert (1, 3) not in cont and (2, 3) not in cont
