@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .dedup import NEARDUP_MIN_JACCARD, neardup_clusters
+from .dedup import NEARDUP_MIN_JACCARD, neardup_clusters, neardup_dedup
 from .text import sql_tokens, tokens
 
 # Quality gate defaults, chosen against the testdata distributions so the
@@ -123,3 +123,56 @@ def sql_training_set_sample(
     JOIN {emb_table} e ON d.doc_id = e.vec_id
     QUALIFY sample_rank <= {k_per_label}
     """
+
+
+def run_corpus_refresh(
+    documents: DataFrame,
+    embeddings: DataFrame,
+    output_path: str,
+    *,
+    k_per_label: int = 10,
+    train_pct: int = 80,
+    fail_below_rows: int = 1,
+) -> dict[str, int]:
+    """The operational north-star job, end-to-end: deduplicated corpus →
+    quality-ranked per-label sample → salted train/test split → partitioned
+    parquet lake + quality gate. The LLM-pipeline analogue of the
+    reference's daily batch (X2, operators/rollup.run_daily_batch): one
+    callable a scheduler invokes per refresh.
+
+    Layout: ``{output_path}/corpus`` (deduplicated docs, one file tier) and
+    ``{output_path}/training_set`` hive-partitioned by ``split`` so
+    trainers read ``split=train`` with partition pruning and never see
+    held-out rows. Returns row counts per output for the scheduler's QC
+    (fails the run when the training set collapses below
+    ``fail_below_rows`` — the guard the warn-only reference check lacks).
+
+    Cost shape: the corpus dedup and the sample's cluster branch share the
+    memoized shingle features + resolved cluster labels, so text is hashed
+    once per refresh; every write is partition-scoped dynamic overwrite.
+    """
+    from .corpus import train_test_split
+
+    corpus = neardup_dedup(documents)
+    corpus.write.mode("overwrite").parquet(f"{output_path}/corpus")
+
+    sample = training_set_sample(
+        documents, embeddings, k_per_label=k_per_label
+    )
+    split = train_test_split(sample, train_pct=train_pct).select(
+        "doc_id", "split"
+    )
+    training = sample.join(split, "doc_id").write.mode("overwrite")
+    training.partitionBy("split").parquet(f"{output_path}/training_set")
+
+    spark = documents.sparkSession
+    counts = {
+        "corpus": spark.read.parquet(f"{output_path}/corpus").count(),
+        "training_set": spark.read.parquet(f"{output_path}/training_set").count(),
+    }
+    if counts["training_set"] < fail_below_rows:
+        raise ValueError(
+            f"corpus refresh produced {counts['training_set']} training rows"
+            f" (< {fail_below_rows})"
+        )
+    return counts

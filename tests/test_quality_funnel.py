@@ -66,3 +66,29 @@ def test_funnel_requires_strict_stage_order(spark, tmp_path):
         "view_after_click": 1,
         "purchase_after_view": 1,
     }
+
+
+def test_run_corpus_refresh_end_to_end(spark, tmp_path):
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.pipeline import run_corpus_refresh
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents")
+    emb = load_table(spark, sf, "embeddings")
+    out = str(tmp_path / "refresh")
+
+    counts = run_corpus_refresh(docs, emb, out)
+    assert 0 < counts["corpus"] <= docs.count()
+    assert counts["training_set"] > 0
+
+    training = spark.read.parquet(f"{out}/training_set")
+    assert set(r.split for r in training.select("split").distinct().collect()) <= {
+        "train",
+        "test",
+    }
+    # trainers read split=train via partition pruning; ranks stay per-label
+    train = training.where(F.col("split") == "train")
+    per_label = train.groupBy("label").count().collect()
+    assert all(r["count"] <= 10 for r in per_label)
+    # refresh is idempotent: rerun overwrites to the same counts
+    assert run_corpus_refresh(docs, emb, out) == counts
