@@ -376,6 +376,37 @@ def q_sql_top_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SQL_DOOR_ANALYTIC)
 
 
+@query(
+    "type_stats_null_safe",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, COUNT(*) AS type_total
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, d.type_total
+    FROM events e
+    JOIN dim d ON e.event_type IS NOT DISTINCT FROM d.event_type
+    """,
+)
+def q_type_stats_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): null keys match
+    each other instead of silently dropping — required when a dimension
+    legitimately keys on "unknown". The driver testdata carries no null
+    event_types, so the null-null match itself is pinned by a
+    planted-null test (test_quality_funnel.py); this differential proves
+    the non-null semantics agree. `<=>` is a hash-joinable key in Spark
+    (no nested-loop fallback), same one-shuffle shape as `=`."""
+    ev = _t(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    d = dim.select(
+        F.col("event_type").alias("d_type"), "type_total"
+    )
+    return (
+        ev.join(d, ev["event_type"].eqNullSafe(d["d_type"]))
+        .select("event_id", "event_type", "type_total")
+    )
+
+
 _SQL_GROUPING_SETS = """
     SELECT coalesce(lower(trim(event_type)), 'unknown') AS etype,
            CAST(user_id % 10 AS INT) AS user_mod,

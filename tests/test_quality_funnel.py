@@ -92,3 +92,23 @@ def test_run_corpus_refresh_end_to_end(spark, tmp_path):
     assert all(r["count"] <= 10 for r in per_label)
     # refresh is idempotent: rerun overwrites to the same counts
     assert run_corpus_refresh(docs, emb, out) == counts
+
+
+def test_null_safe_join_matches_null_keys(spark, tmp_path):
+    """The null-null match the driver testdata cannot exercise: rows with
+    a null key must join to the null dim entry, not drop."""
+    ev = _events(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", 1, None, 1.0),
+            (2, "2024-01-01 00:01:00", 2, None, 2.0),
+            (3, "2024-01-01 00:02:00", 3, "click", 3.0),
+        ],
+    )
+    sf_dir = str(tmp_path / "sf")
+    ev.write.parquet(f"{sf_dir}/events.parquet")
+    got = {
+        r.event_id: r.type_total
+        for r in QUERIES["type_stats_null_safe"](spark, sf_dir).collect()
+    }
+    assert got == {1: 2, 2: 2, 3: 1}  # null keys matched each other
