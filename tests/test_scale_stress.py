@@ -38,6 +38,7 @@ STRESS_QUERIES = [
     "purchase_attribution",
     "doc_chunks",
     "tfidf_top_terms",
+    "neardup_pairs_containment",
 ]
 
 pytestmark = pytest.mark.slow
