@@ -365,3 +365,55 @@ def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
     # exactly-once across the restart: no (window, key) emitted twice
     assert got.count() == got.select("window_start", "event_type").distinct().count()
     assert got.count() > first  # run 2 finalized new windows from run 1 state
+
+
+def test_stream_static_join_rereads_dim_each_batch(spark, tmp_path):
+    """Stream-static joins re-resolve the static side per micro-batch: a
+    dim update between runs is visible to later batches with NO restart of
+    the pipeline definition — the engine's slowly-changing-dimension
+    refresh path (reference's dim is frozen in-memory; spark/app.py:87)."""
+    import time
+
+    src = str(tmp_path / "src")
+    dim_path = str(tmp_path / "dim")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def feed(eid, mode):
+        spark.createDataFrame(
+            [(eid, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.col("ts").cast("timestamp")).repartition(1).write.mode(
+            mode
+        ).parquet(src)
+        time.sleep(1.1)
+
+    def write_dim(segment):
+        spark.createDataFrame(
+            [(1, segment)], "user_id long, segment string"
+        ).repartition(1).write.mode("overwrite").parquet(dim_path)
+        time.sleep(1.1)
+
+    def run():
+        dim = spark.read.parquet(dim_path)
+        joined = file_events_source(spark, src).join(dim, "user_id", "left")
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        run_available_now([q])
+
+    write_dim("BRONZE")
+    feed(1, "overwrite")
+    run()
+    write_dim("GOLD")  # dim changes; the stream definition does not
+    feed(2, "append")
+    run()
+
+    got = {r.event_id: r.segment for r in spark.read.parquet(out).collect()}
+    assert got == {1: "BRONZE", 2: "GOLD"}
