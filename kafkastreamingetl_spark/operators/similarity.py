@@ -585,3 +585,179 @@ def sql_ann_ivf_topk(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): compressed-domain ANN via ADC lookup tables
+# ---------------------------------------------------------------------------
+
+# 64-dim vectors -> 8 subspaces x 8 dims, 16 codes per subspace: each vector
+# compresses to 8 nibbles (4 bytes vs 256 -> 64x), and query scoring reads
+# 8 precomputed lookup-table entries instead of 64 floats. The codebook here
+# is the per-(label % N_CODES) subvector mean - a fixed, deterministic,
+# SQL-recomputable quantizer (exactly how ann_ivf_topk derives its coarse
+# centroids from labels); swap in k-means codebooks at no change to the
+# pipeline shape when a trainer is available.
+PQ_N_SUB = 8
+PQ_SUB_DIM = 8
+PQ_N_CODES = 16
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC) over PQ
+    codes: rank corpus vectors by the sum of per-subspace squared distances
+    from the query to each vector's assigned codebook entry.
+
+    Fully relational pipeline (the oracle twin runs the identical SQL):
+
+    1. explode vectors to (id, subspace s, in-subspace dim j, value);
+    2. codebook = decimal-exact mean per (s, j, code=label%16) - 1,024
+       broadcast-sized rows;
+    3. encode: per (vec, s) pick the argmin-distance code (row_number over
+       exact decimal-summed distances, ties to the lower code);
+    4. LUT: per (query, s, code) the squared distance query<->codebook
+       entry - |queries|x8x16 rows, broadcast;
+    5. ADC: codes join LUT on (s, code), sum 8 entries per (query, vec),
+       two-stage top-k ascending.
+
+    Every aggregation is decimal-summed, so distances are bit-identical
+    across engines and the ranking can never flip on float addition order.
+
+    Scale shape: steps 1-3 are the INDEXING job - run once per corpus
+    refresh, persist (vec_id, codes); the per-query cost is then step 4-5,
+    which touches 4-byte codes instead of 256-byte vectors. For very large
+    corpora encode via the literal-codebook expression instead (the
+    ann_ivf_topk dist_structs shape - codebook is model-sized), keeping
+    this relational form as the differential twin.
+    """
+    def explode_sub(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(out_id),
+            F.posexplode(vc).alias("dim0", "v0"),
+        ).select(
+            out_id,
+            F.expr("dim0 div 8").cast("int").alias("s"),
+            (F.col("dim0") % 8).cast("int").alias("j"),
+            F.col("v0").cast("double").alias("v"),
+        )
+
+    sub = explode_sub(
+        ensure_parallelism(embeddings), id_col, vec_col, "vec_id"
+    ).join(
+        embeddings.select(F.col(id_col).alias("vec_id"), F.col(label_col)),
+        "vec_id",
+    )
+    cb = (
+        sub.withColumn("code", (F.col(label_col) % PQ_N_CODES).cast("int"))
+        .groupBy("s", "j", "code")
+        .agg((dsum("v") / F.count(F.lit(1))).alias("cv"))
+    )
+    enc_d = (
+        explode_sub(embeddings, id_col, vec_col, "vec_id")
+        .join(F.broadcast(cb), ["s", "j"])
+        .groupBy("vec_id", "s", "code")
+        .agg(dsum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")), "d"))
+    )
+    enc_w = Window.partitionBy("vec_id", "s").orderBy(
+        F.asc_nulls_first("d"), F.asc_nulls_first("code")
+    )
+    codes = (
+        enc_d.withColumn("_r", F.row_number().over(enc_w))
+        .filter(F.col("_r") == 1)
+        .select("vec_id", "s", "code")
+    )
+    lut = (
+        explode_sub(queries, query_id_col, query_vec_col, "query_id")
+        .join(F.broadcast(cb), ["s", "j"])
+        .groupBy("query_id", "s", "code")
+        .agg(dsum((F.col("v") - F.col("cv")) * (F.col("v") - F.col("cv")), "lut_d"))
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["s", "code"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(dsum("lut_d", "adc"))
+    )
+    local_w = Window.partitionBy("query_id", "_pid").orderBy(
+        F.asc("adc"), F.asc("vec_id")
+    )
+    final_w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("vec_id"))
+    return (
+        scored.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lr", F.row_number().over(local_w))
+        .filter(F.col("_lr") <= k)
+        .withColumn("rank", F.row_number().over(final_w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "adc", "rank")
+    )
+
+
+def sql_pq_topk(
+    table: str = "embeddings",
+    k: int = 10,
+    *,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB twin of :func:`pq_topk` over :func:`self_queries` — the same
+    relational pipeline, decimal-exact at every aggregation."""
+    from ..functions import sql_dsum
+
+    sq = sql_dsum("(s1.v - cb.cv) * (s1.v - cb.cv)")
+    return f"""
+    WITH sub AS (
+        SELECT vec_id, label,
+               ((d.i - 1) // 8)::INT AS s,
+               ((d.i - 1) % 8)::INT AS j,
+               CAST(embedding[d.i] AS DOUBLE) AS v
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+    ),
+    cb AS (
+        SELECT s, j, (label % {PQ_N_CODES})::INT AS code,
+               {sql_dsum('v')} / COUNT(*) AS cv
+        FROM sub GROUP BY 1, 2, 3
+    ),
+    enc_d AS (
+        SELECT s1.vec_id, s1.s, cb.code, {sq} AS d
+        FROM sub s1 JOIN cb ON s1.s = cb.s AND s1.j = cb.j
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, s, code FROM enc_d
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY vec_id, s
+            ORDER BY d ASC NULLS FIRST, code ASC NULLS FIRST
+        ) = 1
+    ),
+    lut AS (
+        SELECT s1.vec_id AS query_id, s1.s, cb.code, {sq} AS lut_d
+        FROM (SELECT * FROM sub WHERE vec_id < {n_queries}) s1
+        JOIN cb ON s1.s = cb.s AND s1.j = cb.j
+        GROUP BY 1, 2, 3
+    ),
+    scored AS (
+        SELECT l.query_id, c.vec_id, {sql_dsum('l.lut_d')} AS adc
+        FROM codes c JOIN lut l ON c.s = l.s AND c.code = l.code
+        WHERE c.vec_id <> l.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY adc ASC NULLS FIRST, vec_id ASC NULLS FIRST
+               ) AS INT) AS rank
+        FROM scored
+    ) r
+    WHERE rank <= {k}
+    """

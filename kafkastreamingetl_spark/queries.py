@@ -1412,6 +1412,17 @@ def q_literal_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("embedding_pq_topk", oracle=sim_ops.sql_pq_topk())
+def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (operators/similarity.py pq_topk): vectors
+    compress to 8 codebook nibbles, queries rank by ADC lookup-table sums —
+    the compressed-domain tier of the similarity family (brute / LSH /
+    multi-probe / IVF / PQ). Decimal-exact at every aggregation, so the
+    DuckDB twin reproduces the ranking bit-for-bit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.pq_topk(emb, sim_ops.self_queries(emb))
+
+
 @query(
     "embedding_quantize_int8",
     oracle="""

@@ -108,3 +108,25 @@ def test_ivf_recall_scales_with_nprobe(spark):
     assert recalls[0] <= recalls[1] <= recalls[2], recalls
     assert recalls[2] == 1.0, recalls  # all buckets probed == exhaustive
     assert recalls[1] >= 0.3, recalls  # nprobe=2 must be a usable ANN
+
+
+def test_pq_adc_beats_random_baseline(spark):
+    """PQ with the 16-entry label-derived codebook is a coarse quantizer —
+    the assertable claim is signal, not parity: recall@10 vs exact must
+    beat the random baseline (10/|corpus| ≈ 0.005) by an order of
+    magnitude, and the ADC ranking must be well-formed."""
+    from kafkastreamingetl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = sim_ops.self_queries(emb, n_queries=16)
+    exact = {(r.query_id, r.vec_id) for r in sim_ops.cosine_topk(emb, q).collect()}
+    rows = sim_ops.pq_topk(emb, q).collect()
+    pq = {(r.query_id, r.vec_id) for r in rows}
+    assert len(pq & exact) / len(exact) >= 0.05  # ≥10x random
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append((r.rank, r.adc))
+    for ranks in per_query.values():
+        ranks.sort()
+        assert [r for r, _ in ranks] == list(range(1, 11))
+        assert all(a <= b for (_, a), (_, b) in zip(ranks, ranks[1:]))

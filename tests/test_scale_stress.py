@@ -39,6 +39,7 @@ STRESS_QUERIES = [
     "doc_chunks",
     "tfidf_top_terms",
     "neardup_pairs_containment",
+    "embedding_pq_topk",
 ]
 
 pytestmark = pytest.mark.slow
