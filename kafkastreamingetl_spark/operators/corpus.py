@@ -84,6 +84,72 @@ def sql_train_test_split(
 
 
 # ---------------------------------------------------------------------------
+# training-mixture sampling (per-source keep rates)
+# ---------------------------------------------------------------------------
+
+# Mixture weights: fraction of each source to keep when composing the
+# training mix (the data-mixing knob of an LLM pipeline — upsample curated
+# sources, downsample bulk ones). Sources absent from the map fall back to
+# DEFAULT_MIX_RATE.
+MIX_RATES: dict[str, float] = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+DEFAULT_MIX_RATE = 0.10
+
+
+def training_mix_sample(
+    df: DataFrame,
+    rates: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix:v1",
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a ``rates[source]`` fraction of
+    each source by salted id-hash threshold.
+
+    Same machinery as :func:`train_test_split` (pure projection, no
+    shuffle, membership stable under re-runs/growth) applied per source:
+    keep iff ``bucket < rate·100``. Because the bucket is a function of the
+    id alone, raising a source's rate only ADDS documents (monotone mixture
+    growth), and the same document keeps the same fate across pipeline
+    re-runs — rand()-based sampling guarantees neither.
+    """
+    r = rates if rates is not None else MIX_RATES
+    bucket = hash60(
+        F.concat(F.lit(salt), F.col(id_col).cast("string"))
+    ) % SPLIT_BUCKETS
+    rate = F.lit(DEFAULT_MIX_RATE * SPLIT_BUCKETS)
+    # build the CASE back-to-front; dict order is documentation order only
+    for src, keep in reversed(list(r.items())):
+        rate = F.when(
+            F.col(source_col) == src, F.lit(keep * SPLIT_BUCKETS)
+        ).otherwise(rate)
+    return df.select(id_col, source_col).where(bucket < rate)
+
+
+def sql_training_mix_sample(
+    table: str = "documents",
+    rates: dict[str, float] | None = None,
+    *,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "mix:v1",
+) -> str:
+    r = rates if rates is not None else MIX_RATES
+    h = sql_hash60(f"'{salt}' || CAST({id_col} AS VARCHAR)")
+    whens = "\n             ".join(
+        f"WHEN {source_col} = '{src}' THEN {keep * SPLIT_BUCKETS}"
+        for src, keep in r.items()
+    )
+    return f"""
+    SELECT {id_col}, {source_col}
+    FROM {table}
+    WHERE ({h}) % {SPLIT_BUCKETS} <
+          CASE {whens}
+               ELSE {DEFAULT_MIX_RATE * SPLIT_BUCKETS} END
+    """
+
+
+# ---------------------------------------------------------------------------
 # fixed-stride chunking (context-window slicing)
 # ---------------------------------------------------------------------------
 

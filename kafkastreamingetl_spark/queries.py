@@ -1096,6 +1096,66 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.train_test_split(_t(spark, sf_dir, "documents"))
 
 
+@query("training_mix_sample", oracle=corpus_ops.sql_training_mix_sample())
+def q_training_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture sampling (operators/corpus.py): per-source
+    keep rates via salted id-hash thresholds — the data-mixing step of a
+    training pipeline, stable across re-runs and monotone in the rates."""
+    return corpus_ops.training_mix_sample(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "referential_integrity",
+    oracle="""
+    SELECT 'events->customer' AS relationship, COUNT(*) AS n_orphans
+    FROM events e ANTI JOIN customer c ON e.user_id = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->orders', COUNT(*)
+    FROM lineitem l ANTI JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*)
+    FROM lineitem l ANTI JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', COUNT(*)
+    FROM lineitem l ANTI JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer->nation', COUNT(*)
+    FROM customer c ANTI JOIN nation n ON c.c_nationkey = n.n_nationkey
+    UNION ALL
+    SELECT 'nation->region', COUNT(*)
+    FROM nation n ANTI JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY relationship
+    """,
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema referential-integrity audit: per-relationship orphan
+    counts via anti-joins (the multi-edge generalization of
+    orphan_events). Each anti-join broadcasts the key side when dim-sized
+    (AQE); counts come from one pass per edge."""
+    def orphans(fact: str, fk, dim: str, pk) -> DataFrame:
+        f, d = _t(spark, sf_dir, fact), _t(spark, sf_dir, dim)
+        return (
+            f.join(d, f[fk] == d[pk], "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_orphans"))
+            .select(
+                F.lit(f"{fact}->{dim}").alias("relationship"), "n_orphans"
+            )
+        )
+
+    edges = [
+        ("events", "user_id", "customer", "c_custkey"),
+        ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("customer", "c_nationkey", "nation", "n_nationkey"),
+        ("nation", "n_regionkey", "region", "r_regionkey"),
+    ]
+    out = orphans(*edges[0])
+    for e in edges[1:]:
+        out = out.unionAll(orphans(*e))
+    return out.orderBy("relationship")
+
+
 @query("doc_chunks", oracle=corpus_ops.sql_chunk_documents())
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-stride context-window chunking, 1→N via posexplode(sequence)

@@ -189,3 +189,24 @@ def test_tfidf_tie_breaks_by_term(spark):
     got = tfidf_top_terms(df, k=2).where(F.col("doc_id") == 1).collect()
     # equal tf and df -> equal score -> alphabetical order
     assert [r.term for r in sorted(got, key=lambda r: r.rank)] == ["alpha", "beta"]
+
+
+def test_training_mix_monotone_and_rated(spark):
+    """Mixture laws: raising a source's rate only adds documents, and the
+    realized per-source fractions track the requested rates."""
+    from kafkastreamingetl_spark.operators.corpus import training_mix_sample
+
+    df = spark.range(4000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+    )
+    lo = {r.doc_id for r in training_mix_sample(df, {"src0": 0.2}).collect()
+          if r.source == "src0"}
+    hi = {r.doc_id for r in training_mix_sample(df, {"src0": 0.6}).collect()
+          if r.source == "src0"}
+    assert lo < hi  # monotone growth
+    assert abs(len(lo) / 1000 - 0.2) < 0.06 and abs(len(hi) / 1000 - 0.6) < 0.06
+    # unlisted sources fall back to the default rate (10%)
+    rest = [r for r in training_mix_sample(df, {"src0": 0.5}).collect()
+            if r.source != "src0"]
+    assert abs(len(rest) / 3000 - 0.10) < 0.04
