@@ -8,7 +8,6 @@ survivor laws, session-window partitioning laws, salted-agg equivalence.
 
 from __future__ import annotations
 
-import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F

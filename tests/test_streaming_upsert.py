@@ -13,7 +13,6 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from kafkastreamingetl_spark.sources import EVENT_SCHEMA
 from kafkastreamingetl_spark.streaming import run_available_now, upsert_parquet_sink
 
 
