@@ -789,6 +789,74 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "daily_counts_unpivot",
+    oracle="""
+    WITH wide AS (
+        SELECT CAST(ts AS DATE) AS d,
+               SUM(CASE WHEN lower(trim(event_type)) = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+               SUM(CASE WHEN lower(trim(event_type)) = 'view' THEN 1 ELSE 0 END) AS n_views,
+               SUM(CASE WHEN lower(trim(event_type)) = 'purchase' THEN 1 ELSE 0 END) AS n_purchases
+        FROM events GROUP BY 1
+    )
+    SELECT d, 'n_clicks' AS metric, CAST(n_clicks AS BIGINT) AS value FROM wide
+    UNION ALL
+    SELECT d, 'n_views', CAST(n_views AS BIGINT) FROM wide
+    UNION ALL
+    SELECT d, 'n_purchases', CAST(n_purchases AS BIGINT) FROM wide
+    """,
+)
+def q_daily_counts_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long reshape (UNPIVOT/melt): per-day typed counts melted to
+    (date, metric, value) — the inverse of event_type_pivot, via Spark's
+    native ``unpivot`` (Expand node: one pass, no join). The oracle uses
+    the portable UNION ALL formulation of the same reshape."""
+    ev = _t(spark, sf_dir, "events")
+    t = F.lower(F.trim("event_type"))
+    wide = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.sum(F.when(t == "click", 1).otherwise(0)).alias("n_clicks"),
+        F.sum(F.when(t == "view", 1).otherwise(0)).alias("n_views"),
+        F.sum(F.when(t == "purchase", 1).otherwise(0)).alias("n_purchases"),
+    )
+    return wide.unpivot(
+        "d", ["n_clicks", "n_views", "n_purchases"], "metric", "value"
+    )
+
+
+@query(
+    "value_quartiles_by_type",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           percent_rank() OVER w AS pct_rank
+    FROM events
+    WHERE value IS NOT NULL
+    WINDOW w AS (
+        PARTITION BY event_type
+        ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST
+    )
+    """,
+)
+def q_value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-position window functions: ntile(4) buckets and
+    percent_rank per event type, deterministic via the (value, event_id)
+    total order. percent_rank is (rank-1)/(n-1) in both engines — exact
+    double division of the same integers."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc_nulls_first("value"), F.asc_nulls_first("event_id")
+    )
+    return ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+    )
+
+
+@query(
     "value_percentiles",
     oracle="""
     SELECT event_type,
