@@ -37,9 +37,54 @@ def entry(spark: SparkSession) -> DataFrame:
     return daily_segment_metrics(events, customer)
 
 
+# The driver's CORRECTNESS harness records the first ~50 dict entries per
+# round, so ordering is part of the verification contract: queries that have
+# never had a driver row come first, then this round's additions, then the
+# r2-green-but-outside-the-r3-window set, and the long-stable r1-r3-green
+# stalwarts fill the tail (their green rows are already on record).
+_PRIORITY = [
+    # never driver-verified (VERDICT r3 "Next round" #1)
+    "neardup_pairs_containment",
+    "simhash_candidates",
+    "neardup_clusters",
+    "dedup_documents_neardup",
+    "embedding_ann_multiprobe",
+    "embedding_neardup_pairs",
+    "embedding_pq_topk",
+    "embedding_quantize_int8",
+    "training_set_sample",
+    "error_impact_windows",
+    "purchase_attribution",
+    "events_last_purchase",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "cohort_retention",
+    # new this round
+    "doc_vocab_token_counts",
+    "embedding_ivf_kmeans_topk",
+    "embedding_pq_kmeans_topk",
+    "kmeans_centroids",
+    # r2-green, outside the r3 window
+    "neardup_pairs_jaccard",
+    "embedding_topk",
+    "embedding_ann_topk",
+    "embedding_ivf_topk",
+    "multimodal_features",
+    "top_segments",
+    "literal_dim_enrich",
+    "embedding_label_centroids",
+]
+
+
+def _ordered(mapping: dict) -> dict:
+    head = {k: mapping[k] for k in _PRIORITY if k in mapping}
+    tail = {k: v for k, v in mapping.items() if k not in head}
+    return {**head, **tail}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return _ordered(dict(QUERIES))
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLE_SQL)
+    return _ordered(dict(ORACLE_SQL))
