@@ -38,6 +38,29 @@ DEFAULT_SF_DIR = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NS_TIMESTAMP_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
+    """Normalize every timestamp column to microsecond TimestampType (LTZ).
+
+    The testdata has shipped in two on-disk flavors across driver rounds:
+    TIMESTAMP(NANOS) (read as bigint under nanosAsLong) and naive
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ under Spark 4's NTZ inference).
+    Engine semantics must not depend on which one a given run sees:
+    timestamps are naive UTC instants, and every operator downstream
+    (unix_micros range frames, watermarks, window()) expects TimestampType.
+    With the session timezone pinned to UTC (session.RUNTIME_CONFS) the
+    NTZ→LTZ cast is value-identical, and the bigint path is lossless µs.
+    """
+    dtypes = dict(df.dtypes)
+    for c in NS_TIMESTAMP_COLS.get(name, ()):
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
+            dtypes[c] = "timestamp"
+    for c, t in dtypes.items():
+        if t == "timestamp_ntz":
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan with partition discovery (reference analogue: S6).
 
@@ -49,12 +72,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    ns_cols = NS_TIMESTAMP_COLS.get(name, ())
     df = spark.read.parquet(path)
-    for c in ns_cols:
-        if dict(df.dtypes).get(c) == "bigint":
-            df = df.withColumn(c, F.expr(f"timestamp_micros({c} DIV 1000)"))
-    return df
+    return _normalize_timestamps(df, name)
 
 
 def load_events(
@@ -81,7 +100,8 @@ def load_events(
 
     ensure_runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    raw_ns = dict(df.dtypes).get("ts") == "bigint"
+    raw_type = dict(df.dtypes).get("ts")
+    raw_ns = raw_type == "bigint"
 
     def _ns(iso: str) -> int:
         # exact to the microsecond: whole seconds via integer epoch plus the
@@ -95,18 +115,24 @@ def load_events(
         whole = int(dt.replace(microsecond=0).timestamp())
         return whole * 1_000_000_000 + dt.microsecond * 1_000
 
+    # Bounds are applied in the column's *stored* domain (raw nanos long, or
+    # naive-UTC NTZ) so they stay attribute-vs-literal comparisons and reach
+    # the parquet reader as PushedFilters; the normalization to TimestampType
+    # happens after, exactly as in load_table.
     for bound, cmp in ((ts_start, "__ge__"), (ts_end, "__lt__")):
         if bound is None:
             continue
         if raw_ns:
             df = df.filter(getattr(F.col("ts"), cmp)(F.lit(_ns(bound))))
+        elif raw_type == "timestamp_ntz":
+            df = df.filter(
+                getattr(F.col("ts"), cmp)(F.lit(bound).cast("timestamp_ntz"))
+            )
         else:
             df = df.filter(
                 getattr(F.col("ts"), cmp)(F.lit(bound).cast("timestamp"))
             )
-    if raw_ns:
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
-    return df
+    return _normalize_timestamps(df, "events")
 
 
 def load_tables(

@@ -1562,9 +1562,9 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END AS scale,
-           [CAST(round(CAST(x AS DOUBLE)
+           array_to_string([CAST(round(CAST(x AS DOUBLE)
                        * (CASE WHEN amax > 0 THEN 127.0 / amax ELSE 0.0 END))
-                 AS INT) for x in embedding] AS vec_q
+                 AS INT) for x in embedding], ',') AS vec_q
     FROM s
     """,
 )
@@ -1574,7 +1574,11 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 B code, 4× less shuffle and cache for ~1% recall loss. Pure
     higher-order-function projection (transform/array_max), no shuffle;
     the scale rides along so consumers can dequantize. Values are exact
-    across engines: same double multiply, same half-away-from-zero round."""
+    across engines: same double multiply, same half-away-from-zero round.
+    The code vector is emitted as a comma-joined string rather than
+    array<int>: the differential harness canonicalizes by sorting on every
+    output column, and list-typed cells are unsortable/unhashable in pandas
+    — serialization keeps the check exact without weakening it."""
     emb = _t(spark, sf_dir, "embeddings")
     amax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
@@ -1583,8 +1587,14 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         scale.alias("scale"),
-        F.transform(
-            "embedding", lambda x: F.round(x.cast("double") * scale).cast("int")
+        F.array_join(
+            F.transform(
+                "embedding",
+                lambda x: F.round(x.cast("double") * scale)
+                .cast("int")
+                .cast("string"),
+            ),
+            ",",
         ).alias("vec_q"),
     )
 

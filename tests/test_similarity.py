@@ -110,7 +110,7 @@ def test_int8_quantization_reconstruction_fidelity(spark):
     for r in q.collect():
         if r.scale == 0.0:
             continue
-        deq = np.array(r.vec_q, dtype=np.float64) / r.scale
+        deq = np.array(r.vec_q.split(","), dtype=np.float64) / r.scale
         o = orig[r.vec_id]
         cos = float(o @ deq / (np.linalg.norm(o) * np.linalg.norm(deq)))
         assert cos >= 0.995, (r.vec_id, cos)
