@@ -56,16 +56,30 @@ def main() -> None:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
         print(f"bench: no sf0.001 testdata; warming at {sf_dir}", file=sys.stderr)
-    for fn in qs.values():
-        fn(spark, warm_dir).count()
+    # A single broken query must never kill the whole bench (round 5: one
+    # AnalysisException during warm-up produced rc=1 and "parsed": null —
+    # the driver lost the entire round's numbers). Failures are recorded
+    # per-query and the summary line always prints.
+    errors: dict[str, str] = {}
+    for name, fn in qs.items():
+        try:
+            fn(spark, warm_dir).count()
+        except Exception as e:  # noqa: BLE001 — record and keep benching
+            errors[name] = f"warmup: {type(e).__name__}: {e}"
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
+        if name in errors:
+            continue
         # clear persisted intermediates (e.g. dedup shingle features) so no
         # query benefits from a predecessor's cache and nothing accumulates
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"run: {type(e).__name__}: {e}"
+            continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
     detail = {
@@ -74,6 +88,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "errors": errors,
     }
     detail.update(_regression_report(timings, sf))
 
@@ -97,6 +112,7 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
         "baseline_round": detail.get("baseline_round"),
         "n_regressions": len(detail.get("regressions", {})),
+        "n_errors": len(errors),
     }
     print(json.dumps(summary))
     spark.stop()

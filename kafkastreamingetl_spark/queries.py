@@ -1545,10 +1545,50 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ANN (operators/similarity.py pq_topk): vectors
     compress to 8 codebook nibbles, queries rank by ADC lookup-table sums —
     the compressed-domain tier of the similarity family (brute / LSH /
-    multi-probe / IVF / PQ). Decimal-exact at every aggregation, so the
-    DuckDB twin reproduces the ranking bit-for-bit."""
+    multi-probe / IVF / PQ). Serving-path only: the label codebook is a
+    memoized fitted model, encode is a literal-expression projection; the
+    DuckDB twin re-fits the codebook from scratch and reproduces the
+    ranking bit-for-bit."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.pq_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("embedding_pq_kmeans_topk", oracle=sim_ops.sql_pq_kmeans_topk())
+def q_embedding_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN on an UNLABELED corpus: the codebook comes from per-subspace
+    Lloyd's k-means (fixed first-16-id seeds, 2 decimal-exact iterations,
+    empty codes inherit) instead of the label stand-in — the trainer a real
+    corpus without labels needs. The oracle unrolls the identical training
+    rounds before the same ADC serving tail, so ranking is bit-identical."""
+    emb = _t(spark, sf_dir, "embeddings")
+    unlabeled = emb.select("vec_id", "embedding")
+    cb = sim_ops.fit_pq_codebook_kmeans(unlabeled)
+    return sim_ops.pq_topk(unlabeled, sim_ops.self_queries(emb), codebook=cb)
+
+
+@query("embedding_ivf_kmeans_topk", oracle=sim_ops.sql_ann_ivf_kmeans_topk())
+def q_embedding_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN on an UNLABELED corpus: coarse quantizer = deterministic
+    Lloyd's k-means (k=8, 2 iterations) rather than per-label means.
+    Assignment/probe/score/rank are identical to embedding_ivf_topk — only
+    the model source changes, which is the whole point: train-once models
+    are swappable behind the same serving plan."""
+    emb = _t(spark, sf_dir, "embeddings")
+    unlabeled = emb.select("vec_id", "embedding")
+    cents = sim_ops.fit_kmeans(unlabeled)
+    return sim_ops.ann_ivf_topk(unlabeled, sim_ops.self_queries(emb), centroids=cents)
+
+
+@query("kmeans_centroids", oracle=sim_ops.sql_kmeans_centroids())
+def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fitted k-means model surfaced as data: final assignment under
+    the converged centroids plus per-(cluster, dim) decimal-exact means and
+    member counts — the model-quality query an embedding pipeline runs
+    after (re)training. The DuckDB twin unrolls the full training loop, so
+    a green row proves initialization, both Lloyd's rounds, tie-breaking,
+    and the final aggregation all match across engines."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.kmeans_centroid_stats(emb.select("vec_id", "embedding"))
 
 
 @query(
