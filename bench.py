@@ -38,6 +38,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kafkastreamingetl_spark.session import get_test_spark  # noqa: E402
+from kafkastreamingetl_spark.queries import (  # noqa: E402
+    APPROX_EXACT_TWIN,
+    APPROX_VARIANTS,
+)
 from __spark_entry__ import queries  # noqa: E402
 
 
@@ -82,6 +86,24 @@ def main() -> None:
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
+    # Approx lane (VERDICT r3 next-round #6): the sketch-based production
+    # variants (HLL distincts, t-digest percentiles) timed the same way and
+    # reported beside their exact oracle-checkable twins, so the per-round
+    # numbers cover the path a 100 TB deployment actually runs.
+    approx: dict[str, dict] = {}
+    for name, fn in APPROX_VARIANTS.items():
+        try:
+            fn(spark, warm_dir).count()
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            t = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"approx: {type(e).__name__}: {e}"
+            continue
+        twin = APPROX_EXACT_TWIN[name]
+        approx[name] = {"sec": t, "twin": twin, "twin_sec": timings.get(twin)}
+
     detail = {
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
@@ -89,6 +111,7 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "errors": errors,
+        "approx": approx,
     }
     detail.update(_regression_report(timings, sf))
 
@@ -113,6 +136,7 @@ def main() -> None:
         "baseline_round": detail.get("baseline_round"),
         "n_regressions": len(detail.get("regressions", {})),
         "n_errors": len(errors),
+        "n_approx": len(approx),
     }
     print(json.dumps(summary))
     spark.stop()

@@ -1256,6 +1256,17 @@ def q_doc_regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.regex_token_stats(_t(spark, sf_dir, "documents"))
 
 
+@query("doc_vocab_token_counts", oracle=text_ops.sql_vocab_token_counts())
+def q_doc_vocab_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merged-vocab token counts: greedy longest-match inference against a
+    fixed mini-vocab (the step a real BPE tokenizer runs after training —
+    what training pipelines actually budget corpora by). Arrow-batched
+    mapInPandas over an (id, prefix)-pruned input; the DuckDB twin replays
+    the greedy walk as a recursive CTE, so a green row proves the
+    tokenizer's per-position decisions match, not just row counts."""
+    return text_ops.vocab_token_counts(_t(spark, sf_dir, "documents"))
+
+
 @query("doc_fingerprint", oracle=text_ops.sql_doc_fingerprint())
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash + content-hash fingerprints per document."""
@@ -1714,4 +1725,82 @@ def q_embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "dim").agg(
         (dsum("v") / F.count(F.lit(1))).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
+    )
+
+
+# ===========================================================================
+# Approximate production variants (bench lane, not oracle-checkable)
+# ===========================================================================
+
+# Sketch-based twins of exact registered queries: HyperLogLog++ for
+# distincts, t-digest for percentiles. The exact forms above are the
+# correctness gate (a DuckDB oracle can only hash-match exact answers);
+# these are the forms a 100 TB deployment actually runs — the exact
+# distinct's Expand+shuffle on (group keys × id) is the dominant cost at
+# scale, and the sketches cut it to fixed-size partial states. bench.py
+# times this lane next to the exact lane so the per-round numbers measure
+# the production path, not only the verifiable one. Accuracy is covered by
+# tests/test_approx.py tolerance checks, not hash equality.
+APPROX_VARIANTS: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
+# approx name -> the exact registered query it shadows (for side-by-side
+# reporting in BENCH_DETAIL.json)
+APPROX_EXACT_TWIN: dict[str, str] = {}
+
+
+def approx_variant(name: str, twin: str):
+    def deco(fn):
+        assert twin in QUERIES, twin
+        APPROX_VARIANTS[name] = fn
+        APPROX_EXACT_TWIN[name] = twin
+        return fn
+
+    return deco
+
+
+@approx_variant("windowed_agg_tumbling_hll", twin="windowed_agg_tumbling")
+def a_windowed_tumbling_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distincts in the tumbling window (the reference's own
+    streaming-safe choice, spark/app.py:171)."""
+    return windowed_agg(
+        _t(spark, sf_dir, "events"),
+        window="1 hour",
+        keys=["event_type"],
+        approx_distinct=True,
+    )
+
+
+@approx_variant("windowed_agg_sliding_hll", twin="windowed_agg_sliding")
+def a_windowed_sliding_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return windowed_agg(
+        _t(spark, sf_dir, "events"),
+        window="1 hour",
+        slide="30 minutes",
+        keys=["event_type"],
+        approx_distinct=True,
+    )
+
+
+@approx_variant("daily_segment_metrics_hll", twin="daily_segment_metrics")
+def a_daily_segment_metrics_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.rollup import daily_aggregate
+
+    return daily_aggregate(
+        _t(spark, sf_dir, "events"),
+        _t(spark, sf_dir, "customer"),
+        approx_distinct=True,
+    )
+
+
+@approx_variant("value_percentiles_tdigest", twin="value_percentiles")
+def a_value_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest-style percentile sketch (``approx_percentile``): fixed-size
+    mergeable partial states instead of the exact form's full per-group
+    value sort."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5)).alias("p50"),
+        F.approx_percentile("value", F.lit(0.95)).alias("p95"),
+        F.approx_percentile("value", F.lit(0.99)).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
     )

@@ -233,3 +233,27 @@ def test_containment_detects_subset_duplication(spark):
     assert cont[(1, 2)] == 1.0
     assert jac[(1, 2)] < 1.0
     assert (1, 3) not in cont and (2, 3) not in cont
+
+
+def test_vocab_token_counts_greedy_semantics(spark):
+    """Planted string with a known greedy segmentation: longest-match wins
+    over shorter prefixes ('" table"' beats '" a"'+unk), unmatched chars
+    consume exactly one position each, and empty text yields 0/0."""
+    from kafkastreamingetl_spark.operators.text import vocab_token_counts
+
+    df = spark.createDataFrame(
+        [
+            # "the table zz" -> "the" | " table" | " "(unk) | "z" | "z"
+            (0, "the table zz"),
+            (1, ""),
+            (2, None),
+            # "stream" bare piece at doc start -> 1 token, 0 unk
+            (3, "stream"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_tokens, r.n_unk) for r in vocab_token_counts(df).collect()}
+    assert got[0] == (5, 3)
+    assert got[1] == (0, 0)
+    assert got[2] == (0, 0)
+    assert got[3] == (1, 0)
