@@ -657,38 +657,61 @@ def _cbl_df(spark, cb: list[tuple[int, int, list[float]]]) -> DataFrame:
     )
 
 
-def _sub_dist(vec: Column, cvl: Column, s: Column) -> Column:
-    """Sequential double fold of the squared distance between subspace
-    ``s``'s 8-dim slice of ``vec`` and a codebook entry ``cvl``."""
-    sub = F.slice(vec, s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+def _fold_sqdist(a: Column, b: Column) -> Column:
+    """Sequential double fold of the squared L2 distance between two
+    same-length array columns (bit-identical to the twin's list_reduce)."""
     diffs = F.zip_with(
-        sub, cvl, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        a, b, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
     )
     return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _sub_dist(vec: Column, cvl: Column, s: Column) -> Column:
+    """Squared distance between subspace ``s``'s 8-dim slice of ``vec``
+    and a codebook entry ``cvl``."""
+    return _fold_sqdist(F.slice(vec, s * PQ_SUB_DIM + 1, PQ_SUB_DIM), cvl)
 
 
 def _assign_codes(
     embeddings: DataFrame, cbl: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(vec_id, s, code): each vector's argmin-distance code per subspace
-    (ties to the lower code — struct MIN is (d, code)-lexicographic).
+    (ties to the lower code — the sort key is the (d, code) struct,
+    compared lexicographically).
 
-    Map-side the corpus meets all |codebook| broadcast rows, but the
-    (vec_id, s) partial aggregation collapses them before the exchange —
-    the shuffle carries 8 int rows per vector, never vectors or the ×128
-    expansion."""
+    The codebook is packed into ONE broadcast row (an array of ≤128
+    (s, code, cvl) structs) and the argmin runs inside a projection via
+    higher-order functions — encode has NO aggregate, sort, or exchange:
+    the alternatives all pay real costs at scale (a ×|codebook| row
+    expansion collapsed by MIN(struct)/min_by plans as SortAggregate — a
+    map-side sort of the expansion — because struct-typed aggregation
+    buffers aren't hash-aggregable; a window argmin shuffles the
+    expansion)."""
+    packed = cbl.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("s", "code", "cvl"))).alias("_cb")
+    )
     joined = (
         ensure_parallelism(embeddings)
         .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(cbl))
+        .crossJoin(F.broadcast(packed))
     )
-    d = _sub_dist(F.col("_v"), F.col("cvl"), F.col("s"))
-    return (
-        joined.select("vec_id", "s", "code", d.alias("d"))
-        .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d", "code")).alias("m"))
-        .select("vec_id", "s", F.col("m.code").alias("code"))
+
+    def best_code(s: Column) -> Column:
+        sub = F.slice(F.col("_v"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM)
+        cands = F.filter(F.col("_cb"), lambda e: e.getField("s") == s)
+        scored = F.transform(
+            cands,
+            lambda e: F.struct(
+                _fold_sqdist(sub, e.getField("cvl")).alias("d"),
+                e.getField("code").alias("code"),
+            ),
+        )
+        return F.element_at(F.array_sort(scored), 1).getField("code")
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_N_SUB - 1)), best_code
     )
+    return joined.select("vec_id", F.posexplode(codes).alias("s", "code"))
 
 
 def fit_pq_codebook_label(
@@ -843,6 +866,20 @@ def pq_topk(
     )
     cbl = _cbl_df(embeddings.sparkSession, cb)
     codes = _assign_codes(embeddings, cbl, id_col, vec_col)
+    return _pq_adc_rank(codes, cbl, queries, k, query_id_col, query_vec_col)
+
+
+def _pq_adc_rank(
+    codes: DataFrame,
+    cbl: DataFrame,
+    queries: DataFrame,
+    k: int,
+    query_id_col: str,
+    query_vec_col: str,
+) -> DataFrame:
+    """LUT + ADC + two-stage ascending top-k over an encoded corpus — the
+    serving tail shared by :func:`pq_topk` (encode inline) and
+    :func:`pq_topk_from_index` (codes read from a persisted index)."""
     lut = F.broadcast(
         queries.select(
             F.col(query_id_col), F.col(query_vec_col).alias("_qv")
@@ -873,6 +910,54 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select(query_id_col, "vec_id", "adc", "rank")
     )
+
+
+def build_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    *,
+    codebook: list[tuple[int, int, list[float]]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> None:
+    """The INDEXING job the pq_topk docstring prescribes at corpus-refresh
+    cadence: fit (or accept) a codebook, encode the corpus once, and
+    persist both as parquet (``<path>/codebook``, ``<path>/codes``).
+    Serving (:func:`pq_topk_from_index`) then never touches the vector
+    column — its scan reads 3 int columns per corpus row, the 64×
+    storage/shuffle shrink made durable instead of recomputed per session.
+    Overwrites idempotently, so a refresh job can re-run safely."""
+    cb = (
+        codebook
+        if codebook is not None
+        else fit_pq_codebook_label(
+            embeddings, id_col=id_col, vec_col=vec_col, label_col=label_col
+        )
+    )
+    cbl = _cbl_df(embeddings.sparkSession, cb)
+    cbl.coalesce(1).write.mode("overwrite").parquet(f"{path}/codebook")
+    _assign_codes(embeddings, cbl, id_col, vec_col).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/codes")
+
+
+def pq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """PQ serving from a persisted index: identical results to
+    :func:`pq_topk` over the same corpus/codebook (asserted in tests), but
+    the corpus-side input is the (vec_id, s, code) codes table — no
+    embedding column anywhere in the plan."""
+    cbl = spark.read.parquet(f"{path}/codebook")
+    codes = spark.read.parquet(f"{path}/codes")
+    return _pq_adc_rank(codes, cbl, queries, k, query_id_col, query_vec_col)
 
 
 # --- DuckDB twins for the PQ pipeline -------------------------------------
@@ -1051,25 +1136,26 @@ def _assign_clusters(
     embeddings: DataFrame, km: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
     """(vec_id, cl): nearest-centroid assignment against the broadcast
-    model (ties to the lower cluster id via lexicographic struct MIN).
-    The (vec_id) partial aggregation collapses the ×k broadcast fan-out
-    map-side; the shuffle carries one int row per vector."""
+    model (ties to the lower cluster id via the lexicographic (d, cl)
+    sort key). Same packed-model projection shape as
+    :func:`_assign_codes`: no aggregate, no sort, no exchange."""
+    packed = km.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cl", "cvl"))).alias("_km")
+    )
     joined = (
         ensure_parallelism(embeddings)
         .select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_v"))
-        .crossJoin(F.broadcast(km))
+        .crossJoin(F.broadcast(packed))
     )
-    diffs = F.zip_with(
-        F.col("_v"), F.col("cvl"),
-        lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+    scored = F.transform(
+        F.col("_km"),
+        lambda e: F.struct(
+            _fold_sqdist(F.col("_v"), e.getField("cvl")).alias("d"),
+            e.getField("cl").alias("cl"),
+        ),
     )
-    d = F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-    return (
-        joined.select("vec_id", "cl", d.alias("d"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d", "cl")).alias("m"))
-        .select("vec_id", F.col("m.cl").alias("cl"))
-    )
+    best = F.element_at(F.array_sort(scored), 1).getField("cl")
+    return joined.select("vec_id", best.alias("cl"))
 
 
 def fit_kmeans(

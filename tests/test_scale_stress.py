@@ -40,6 +40,14 @@ STRESS_QUERIES = [
     "tfidf_top_terms",
     "neardup_pairs_containment",
     "embedding_pq_topk",
+    # round-6 additions: k-means training replays 2 full Lloyd's rounds in
+    # BOTH engines (centroid drift and empty-cluster handling are
+    # scale-dependent); the tokenizer's recursive-CTE twin walks 10× the
+    # docs at 10× the row count
+    "kmeans_centroids",
+    "embedding_ivf_kmeans_topk",
+    "embedding_pq_kmeans_topk",
+    "doc_vocab_token_counts",
 ]
 
 pytestmark = pytest.mark.slow

@@ -162,3 +162,40 @@ def test_model_memo_bounded_under_churn(spark, emb):
         model = fit_kmeans(df, k=2, n_iter=1)
         assert len(model) == 2
     assert len(_MODEL_CACHE) <= _MODEL_CACHE_MAX
+
+
+def test_pq_index_serving_matches_inline_and_never_reads_vectors(
+    spark, emb, tmp_path
+):
+    """The persisted-index path is the same math: build_pq_index then
+    pq_topk_from_index returns row-for-row what inline pq_topk returns,
+    and the serving plan's file inputs are only the index — the embedding
+    column (the 64× bigger payload) is out of the serving path entirely."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        build_pq_index,
+        pq_topk,
+        pq_topk_from_index,
+    )
+
+    path = str(tmp_path / "pq_index")
+    build_pq_index(emb, path)
+    # literal query set: the served plan must then have ZERO non-index
+    # file inputs — vectors appear nowhere on the corpus side
+    q = spark.createDataFrame(
+        [
+            (int(r.query_id), [float(x) for x in r.query_vec])
+            for r in self_queries(emb, 4).collect()
+        ],
+        "query_id long, query_vec array<double>",
+    )
+    inline = sorted(
+        (r.query_id, r.rank, r.vec_id, r.adc)
+        for r in pq_topk(emb, q, k=5).collect()
+    )
+    served_df = pq_topk_from_index(spark, path, q, k=5)
+    served = sorted(
+        (r.query_id, r.rank, r.vec_id, r.adc) for r in served_df.collect()
+    )
+    assert served == inline
+    files = served_df.inputFiles()
+    assert files and all("pq_index" in f for f in files), files
