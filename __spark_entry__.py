@@ -55,6 +55,8 @@ _PRIORITY = [
     "embedding_ivf_kmeans_topk",
     "embedding_pq_kmeans_topk",
     "doc_vocab_token_counts",
+    "doc_pack_bins",
+    "dedup_rate_by_source",
     # r3-green but no r5 row (outside the 50-entry window last round)
     "revenue_cube",
     "event_type_pivot",

@@ -347,3 +347,131 @@ def sql_tfidf_top_terms(
     FROM tf JOIN idf USING (term)
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget sequence packing
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET_TOKENS = 256
+
+
+def pack_token_bins(
+    df: DataFrame,
+    *,
+    budget: int = PACK_BUDGET_TOKENS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(doc_id, source, n_tokens, bin_id): concat-and-split sequence
+    packing — the batch-construction step between a tokenized corpus and
+    training. Documents are laid end-to-end in deterministic (source,
+    doc_id) order and cut into fixed-token-budget bins: a doc's bin is
+    where its first token lands (``floor(exclusive_cumsum / budget)``),
+    exactly the standard streaming packing trainers use so short documents
+    share a context window instead of wasting padding.
+
+    One window (partition by source, order by id) = one shuffle on source;
+    the running sum is O(1) state per row. Skew = docs-per-source; at
+    corpus scale partition the stream finer (source × shard of the id
+    space) — the assignment stays deterministic because the cumsum order
+    key is total.
+    """
+    from .text import tokens
+
+    n_tok = F.size(tokens(F.col(text_col))).cast("bigint")
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_excl = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("bigint"))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            n_tok.alias("n_tokens"),
+        )
+        .withColumn("bin_id", F.floor(cum_excl / budget).cast("bigint"))
+    )
+
+
+def sql_pack_token_bins(
+    table: str = "documents",
+    *,
+    budget: int = PACK_BUDGET_TOKENS,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len({sql_tokens(text_col)}) AS BIGINT) AS n_tokens
+        FROM {table}
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ), 0) / {budget}) AS BIGINT) AS bin_id
+    FROM t
+    """
+
+
+# ---------------------------------------------------------------------------
+# corpus-health: duplication rate by source
+# ---------------------------------------------------------------------------
+
+
+def dedup_rate_by_source(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, n_docs, n_distinct, n_dups, dup_rate): the corpus-health
+    report a data pipeline reads before deciding where to spend dedup
+    budget — exact content-hash distinct per source. One map-side-combined
+    aggregation; the shuffle carries (source, hash) partial states, never
+    text. dup_rate is a ratio of exact BIGINTs, so the double division is
+    bit-identical across engines."""
+    h = hash60(F.col(text_col))
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(h).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_distinct",
+            (F.col("n_docs") - F.col("n_distinct")).alias("n_dups"),
+            (
+                (F.col("n_docs") - F.col("n_distinct")).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("dup_rate"),
+        )
+    )
+
+
+def sql_dedup_rate_by_source(
+    table: str = "documents", *, text_col: str = "text"
+) -> str:
+    return f"""
+    WITH g AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT {sql_hash60(text_col)}) AS BIGINT)
+                 AS n_distinct
+        FROM {table}
+        GROUP BY 1
+    )
+    SELECT source, n_docs, n_distinct,
+           n_docs - n_distinct AS n_dups,
+           CAST(n_docs - n_distinct AS DOUBLE) / CAST(n_docs AS DOUBLE)
+             AS dup_rate
+    FROM g
+    """

@@ -1267,6 +1267,23 @@ def q_doc_vocab_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.vocab_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@query("doc_pack_bins", oracle=corpus_ops.sql_pack_token_bins())
+def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-split sequence packing: documents laid end-to-end per
+    source and cut into fixed-token-budget bins — the batch-construction
+    step that keeps training sequences near the context limit instead of
+    padded (operators/corpus.py pack_token_bins)."""
+    return corpus_ops.pack_token_bins(_t(spark, sf_dir, "documents"))
+
+
+@query("dedup_rate_by_source", oracle=corpus_ops.sql_dedup_rate_by_source())
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health report: exact content-hash duplication rate per
+    source — where a pipeline decides to spend its dedup budget
+    (operators/corpus.py dedup_rate_by_source)."""
+    return corpus_ops.dedup_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
 @query("doc_fingerprint", oracle=text_ops.sql_doc_fingerprint())
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash + content-hash fingerprints per document."""

@@ -210,3 +210,45 @@ def test_training_mix_monotone_and_rated(spark):
     rest = [r for r in training_mix_sample(df, {"src0": 0.5}).collect()
             if r.source != "src0"]
     assert abs(len(rest) / 3000 - 0.10) < 0.04
+
+
+def test_pack_token_bins_concat_and_split_semantics(spark):
+    """Planted docs with known token counts: bins cut at the budget
+    boundary in (source, doc_id) order; a doc's bin is where its first
+    token lands; sources pack independently."""
+    from kafkastreamingetl_spark.operators.corpus import pack_token_bins
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c", "s1"),        # tokens 0-2   -> bin 0
+            (2, "d e", "s1"),          # tokens 3-4   -> bin 0
+            (3, "f g h", "s1"),        # starts at 5  -> bin 1 (budget 5)
+            (4, "i", "s1"),            # starts at 8  -> bin 1
+            (5, "x y z w v u", "s2"),  # own source   -> bin 0
+            (6, "q", "s2"),            # starts at 6  -> bin 1
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.doc_id: (r.bin_id, r.n_tokens)
+        for r in pack_token_bins(df, budget=5).collect()
+    }
+    assert got == {
+        1: (0, 3), 2: (0, 2), 3: (1, 3), 4: (1, 1), 5: (0, 6), 6: (1, 1),
+    }
+
+
+def test_dedup_rate_by_source_counts_planted_dups(spark):
+    from kafkastreamingetl_spark.operators.corpus import dedup_rate_by_source
+
+    df = spark.createDataFrame(
+        [
+            (1, "same", "s1"), (2, "same", "s1"), (3, "other", "s1"),
+            (4, "uniq", "s2"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    got = {r.source: (r.n_docs, r.n_distinct, r.n_dups, r.dup_rate)
+           for r in dedup_rate_by_source(df).collect()}
+    assert got["s1"] == (3, 2, 1, 1 / 3)
+    assert got["s2"] == (4 - 3, 1, 0, 0.0)
