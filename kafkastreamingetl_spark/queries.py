@@ -1581,6 +1581,17 @@ def q_embedding_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pq_topk(emb, sim_ops.self_queries(emb))
 
 
+@query("embedding_int8_topk", oracle=sim_ops.sql_int8_topk())
+def q_embedding_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over int8-quantized vectors: cosine is scale-invariant, so
+    similarity runs directly on the codes with integer dot products —
+    exact in BIGINT in any order, and the compare loop moves 1-byte codes
+    (4× less shuffle than float32). The quantized serving tier the int8
+    shrink query feeds (operators/similarity.py int8_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.int8_topk(emb, sim_ops.self_queries(emb))
+
+
 @query("embedding_pq_kmeans_topk", oracle=sim_ops.sql_pq_kmeans_topk())
 def q_embedding_pq_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN on an UNLABELED corpus: the codebook comes from per-subspace
