@@ -108,6 +108,113 @@ def sql_exact_dedup(table: str = "documents", content_col: str = "text") -> str:
     """
 
 
+def incremental_exact_dedup(
+    base: DataFrame,
+    increment: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The production shape of exact dedup: a NEW batch deduped against an
+    already-deduplicated base WITHOUT reprocessing the base — rows of
+    ``increment`` survive iff their content appears nowhere in ``base``
+    and they are the first (min id) occurrence within the increment.
+
+    Scale shape: the base collapses to its distinct (hash, content) set
+    via a map-side-combined aggregation before the anti-join — at a daily
+    cadence the increment is orders of magnitude smaller than the base,
+    so AQE broadcasts the increment side of the probe or shuffles hashes
+    only, never base payloads. With :func:`build_dedup_index` the
+    base-side scan disappears entirely: the anti-join probes the
+    persisted hash index (the idiomatic incremental form of the
+    reference's whole-corpus dropDuplicates, reference spark/app.py:79).
+
+    The join key includes the content alongside the 60-bit hash, so a
+    birthday collision between different documents cannot suppress a
+    genuinely new one — identical discipline to :func:`exact_dedup`.
+    """
+    seen = (
+        base.select(
+            hash60(F.col(content_col)).alias("_h"), F.col(content_col)
+        )
+        .groupBy("_h", content_col)
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    inc = ensure_parallelism(increment).withColumn(
+        "_h", hash60(F.col(content_col))
+    )
+    fresh = inc.join(seen, ["_h", content_col], "left_anti")
+    return dedup_deterministic(
+        fresh, ["_h", content_col], [F.asc(id_col)]
+    ).drop("_h")
+
+
+def sql_incremental_exact_dedup(
+    base_pred: str,
+    inc_pred: str,
+    table: str = "documents",
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`incremental_exact_dedup` where base and
+    increment are predicate-split slices of one table."""
+    return f"""
+    WITH seen AS (
+        SELECT DISTINCT {sql_hash60(content_col)} AS h, {content_col}
+        FROM {table} WHERE {base_pred}
+    ),
+    inc AS (
+        SELECT *, {sql_hash60(content_col)} AS h
+        FROM {table} WHERE {inc_pred}
+    ),
+    fresh AS (
+        SELECT inc.* FROM inc
+        ANTI JOIN seen ON inc.h = seen.h AND inc.{content_col} = seen.{content_col}
+    )
+    SELECT * EXCLUDE (h) FROM fresh
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY h, {content_col} ORDER BY doc_id ASC NULLS FIRST
+    ) = 1
+    """
+
+
+def build_dedup_index(df: DataFrame, path: str, content_col: str = "text") -> None:
+    """Persist the base corpus's distinct (hash, content) set as parquet —
+    the incremental-dedup sibling of similarity.build_pq_index. A daily
+    job anti-joins each new batch against this index and appends the
+    batch's own distinct set back to it, so dedup cost tracks the
+    increment, not the corpus. Content rides along (not just the hash) to
+    keep the collision-proof join discipline; at extreme scale swap the
+    content column for a second independent hash."""
+    (
+        df.select(hash60(F.col(content_col)).alias("_h"), F.col(content_col))
+        .groupBy("_h", content_col)
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def incremental_exact_dedup_from_index(
+    spark,
+    path: str,
+    increment: DataFrame,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """:func:`incremental_exact_dedup` against a persisted index: the
+    base corpus is never scanned — the anti-join probes the (hash,
+    content) parquet, whose scan prunes to exactly those two columns."""
+    seen = spark.read.parquet(path)
+    inc = ensure_parallelism(increment).withColumn(
+        "_h", hash60(F.col(content_col))
+    )
+    fresh = inc.join(seen, ["_h", content_col], "left_anti")
+    return dedup_deterministic(
+        fresh, ["_h", content_col], [F.asc(id_col)]
+    ).drop("_h")
+
+
 def exact_dedup_streaming(
     df: DataFrame,
     content_col: str = "text",

@@ -1267,6 +1267,26 @@ def q_doc_vocab_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.vocab_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "incremental_dedup_documents",
+    oracle=dedup_ops.sql_incremental_exact_dedup(
+        base_pred="doc_id % 4 != 0", inc_pred="doc_id % 4 = 0"
+    ),
+)
+def q_incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the 'new batch vs existing corpus' shape a
+    daily pipeline actually runs — increment rows survive iff unseen in
+    the base AND first within the increment; the base collapses to its
+    distinct (hash, content) set before the anti-join (operators/dedup.py
+    incremental_exact_dedup). Split here is a deterministic id slice of
+    `documents` so both engines carve identical base/increment sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.incremental_exact_dedup(
+        docs.filter(F.col("doc_id") % 4 != 0),
+        docs.filter(F.col("doc_id") % 4 == 0),
+    )
+
+
 @query("doc_pack_bins", oracle=corpus_ops.sql_pack_token_bins())
 def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-split sequence packing: documents laid end-to-end per

@@ -257,3 +257,37 @@ def test_vocab_token_counts_greedy_semantics(spark):
     assert got[1] == (0, 0)
     assert got[2] == (0, 0)
     assert got[3] == (1, 0)
+
+
+def test_incremental_dedup_semantics_and_index_parity(spark, tmp_path):
+    """Base content suppresses increment duplicates; within the increment
+    the min-id occurrence survives; genuinely new content passes. The
+    persisted-index path returns the identical survivor set without
+    scanning the base."""
+    from kafkastreamingetl_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_exact_dedup,
+        incremental_exact_dedup_from_index,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "seen before"), (2, "also seen")], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [
+            (10, "seen before"),   # duplicate of base -> dropped
+            (11, "brand new"),     # survives
+            (12, "brand new"),     # within-increment dup -> dropped (11 wins)
+            (13, "also seen"),     # duplicate of base -> dropped
+            (14, "other new"),     # survives
+        ],
+        "doc_id long, text string",
+    )
+    direct = sorted(r.doc_id for r in incremental_exact_dedup(base, inc).collect())
+    assert direct == [11, 14]
+
+    path = str(tmp_path / "dedup_index")
+    build_dedup_index(base, path)
+    served_df = incremental_exact_dedup_from_index(spark, path, inc)
+    assert sorted(r.doc_id for r in served_df.collect()) == [11, 14]
+    assert any("dedup_index" in f for f in served_df.inputFiles())
