@@ -1,0 +1,35 @@
+"""The driver's CORRECTNESS harness records roughly the first 50 entries of
+``queries()`` per round, so registration order is part of the verification
+contract: every query that has never earned a green driver row must sit
+inside that window, or it can never earn one.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DRIVER_WINDOW = 50
+
+
+def test_never_green_queries_sit_inside_driver_window():
+    import sys
+
+    sys.path.insert(0, REPO)
+    from __spark_entry__ import queries
+
+    names = list(queries())
+    green: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            for name, row in json.load(f).items():
+                if row.get("hash_match"):
+                    green.add(name)
+    never_green = [n for n in names if n not in green]
+    outside = [n for n in never_green if n not in set(names[:DRIVER_WINDOW])]
+    assert not outside, (
+        f"queries with no green driver row outside the first "
+        f"{DRIVER_WINDOW} registrations: {outside}"
+    )
