@@ -302,16 +302,6 @@ def sql_embedding_neardup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist_to_lit(vec: Column, centroid: list[float]) -> Column:
-    """Squared L2 distance of a vector column to a literal centroid
-    (sequential double fold — bit-identical to the DuckDB twin)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    diffs = F.zip_with(
-        vec, c, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-
 from collections import OrderedDict
 
 # Fitted-quantizer memo keyed by (applicationId, input plan semanticHash) —
@@ -396,8 +386,9 @@ def ann_ivf_topk(
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
     """IVF search: assign corpus vectors to their nearest centroid bucket
-    (pure projection against the literal model — no shuffle), probe each
-    query's ``nprobe`` nearest buckets, score only within probed buckets.
+    (packed-broadcast-model argmin inside a projection — no aggregate, no
+    shuffle), probe each query's ``nprobe`` nearest buckets, score only
+    within probed buckets.
 
     Compare volume drops from |corpus| to ~|corpus|·nprobe/n_buckets per
     query; recall is bounded by how well the quantizer partitions the space
@@ -405,34 +396,45 @@ def ann_ivf_topk(
     assignment is total and deterministic.
     """
     cents = centroids if centroids is not None else fit_label_centroids(embeddings)
+    packed = _km_df(
+        embeddings.sparkSession, [(int(lbl), cv) for lbl, cv in cents]
+    ).groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("cl", "cvl"))).alias("_km")
+    )
 
-    def dist_structs(vec: Column) -> Column:
-        return F.array(
-            *[
-                F.struct(
-                    _sq_dist_to_lit(vec, cv).alias("d"),
-                    F.lit(int(lbl)).alias("label"),
-                )
-                for lbl, cv in cents
-            ]
+    def ranked(vec: Column) -> Column:
+        return F.array_sort(
+            F.transform(
+                F.col("_km"),
+                lambda e: F.struct(
+                    _fold_sqdist(vec, e.getField("cvl")).alias("d"),
+                    e.getField("cl").alias("cl"),
+                ),
+            )
         )
 
-    corpus = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col),
-        F.element_at(F.sort_array(dist_structs(F.col(vec_col))), 1)
-        .getField("label")
-        .alias("_bucket"),
+    corpus = (
+        ensure_parallelism(embeddings)
+        .select(F.col(id_col).alias("vec_id"), F.col(vec_col))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            "vec_id",
+            vec_col,
+            F.element_at(ranked(F.col(vec_col)), 1).getField("cl").alias("_bucket"),
+        )
     )
     probes = F.broadcast(
-        queries.select(
-            F.col(query_id_col),
-            F.col(query_vec_col),
+        queries.select(F.col(query_id_col), F.col(query_vec_col))
+        .crossJoin(F.broadcast(packed))
+        .select(
+            query_id_col,
+            query_vec_col,
             F.explode(
-                F.slice(F.sort_array(dist_structs(F.col(query_vec_col))), 1, nprobe)
-            ).alias("_probe"),
-        ).select(
-            query_id_col, query_vec_col, F.col("_probe").getField("label").alias("_bucket")
+                F.transform(
+                    F.slice(ranked(F.col(query_vec_col)), 1, nprobe),
+                    lambda e: e.getField("cl"),
+                )
+            ).alias("_bucket"),
         )
     )
     scored = (
