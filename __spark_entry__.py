@@ -59,6 +59,7 @@ _PRIORITY = [
     "dedup_rate_by_source",
     "embedding_int8_topk",
     "incremental_dedup_documents",
+    "quality_weighted_sample",
     # r3-green but no r5 row (outside the 50-entry window last round)
     "revenue_cube",
     "event_type_pivot",

@@ -475,3 +475,74 @@ def sql_dedup_rate_by_source(
              AS dup_rate
     FROM g
     """
+
+
+# ---------------------------------------------------------------------------
+# quality-weighted sampling
+# ---------------------------------------------------------------------------
+
+QW_SALT = "qw:v1"
+QW_BASE_RATE = 0.8
+QW_BUCKETS = 1_000_000
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    *,
+    base_rate: float = QW_BASE_RATE,
+    salt: str = QW_SALT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Deterministic importance sampling: keep each document with
+    probability ``base_rate × quality_weight`` — the continuous-weight
+    generalization of :func:`training_mix_sample`'s per-source rates
+    (up-weight high-quality documents instead of whole sources).
+
+    quality_weight here is the type-token ratio (distinct/total tokens,
+    in (0, 1]) — a repetition penalty; swap any [0, 1] signal in without
+    changing the acceptance machinery. Acceptance compares a salted
+    id-hash uniform (fine-grained: 10^6 buckets, since the threshold is
+    continuous) against the per-doc rate, so membership is stable under
+    re-runs/growth/partitioning, monotone in ``base_rate``, and re-drawn
+    by changing the salt. Pure projection + filter: no shuffle, fuses
+    into the scan, and both engines evaluate identical int-ratio doubles
+    — the differential is exact despite the 'randomness'."""
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    weight = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    u = (
+        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % QW_BUCKETS
+    ).cast("double") / F.lit(float(QW_BUCKETS))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        weight.alias("quality_weight"),
+        u.alias("u"),
+    ).where(F.col("u") < base_rate * F.col("quality_weight")).drop("u")
+
+
+def sql_quality_weighted_sample(
+    table: str = "documents",
+    *,
+    base_rate: float = QW_BASE_RATE,
+    salt: str = QW_SALT,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct({toks})) AS DOUBLE)
+                 / CAST(len({toks}) AS DOUBLE) AS quality_weight,
+               CAST({sql_hash60(f"'{salt}' || CAST(doc_id AS VARCHAR)")}
+                    % {QW_BUCKETS} AS DOUBLE) / {float(QW_BUCKETS)} AS u
+        FROM {table}
+    )
+    SELECT doc_id, source, quality_weight
+    FROM t WHERE u < {base_rate} * quality_weight
+    """

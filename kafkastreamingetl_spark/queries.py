@@ -1296,6 +1296,17 @@ def q_doc_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.pack_token_bins(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "quality_weighted_sample", oracle=corpus_ops.sql_quality_weighted_sample()
+)
+def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling: acceptance probability =
+    base_rate × per-doc quality weight (type-token ratio), decided by a
+    salted id-hash uniform — stable membership, exact cross-engine
+    (operators/corpus.py quality_weighted_sample)."""
+    return corpus_ops.quality_weighted_sample(_t(spark, sf_dir, "documents"))
+
+
 @query("dedup_rate_by_source", oracle=corpus_ops.sql_dedup_rate_by_source())
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report: exact content-hash duplication rate per

@@ -252,3 +252,30 @@ def test_dedup_rate_by_source_counts_planted_dups(spark):
            for r in dedup_rate_by_source(df).collect()}
     assert got["s1"] == (3, 2, 1, 1 / 3)
     assert got["s2"] == (4 - 3, 1, 0, 0.0)
+
+
+def test_quality_weighted_sample_monotone_and_weighted(spark):
+    """Raising base_rate only ADDS documents (same salted uniform, higher
+    threshold); a maximally repetitive doc (weight→0) needs a much higher
+    rate than a fully distinct one to be kept."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.corpus import quality_weighted_sample
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept_lo = {r.doc_id for r in quality_weighted_sample(docs, base_rate=0.3).collect()}
+    kept_hi = {r.doc_id for r in quality_weighted_sample(docs, base_rate=0.9).collect()}
+    assert kept_lo <= kept_hi
+    assert len(kept_hi) > len(kept_lo)
+    # weights really gate acceptance: a weight-w doc is kept iff u < r*w,
+    # so across the corpus the kept set's mean weight exceeds the dropped
+    # set's (u is independent of the text)
+    rows = quality_weighted_sample(docs, base_rate=0.5).collect()
+    all_w = {
+        r.doc_id: r.quality_weight
+        for r in quality_weighted_sample(docs, base_rate=10.0).collect()
+    }  # rate 10 ≈ keep-all (u < 10*w for any w > u/10)
+    kept = {r.doc_id for r in rows}
+    mean = lambda xs: sum(xs) / len(xs)
+    kept_w = [w for d, w in all_w.items() if d in kept]
+    drop_w = [w for d, w in all_w.items() if d not in kept]
+    assert kept_w and drop_w and mean(kept_w) > mean(drop_w)
