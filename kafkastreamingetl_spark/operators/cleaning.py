@@ -85,7 +85,10 @@ def clean_events_streaming(
     streaming path declares the watermark first and uses
     ``dropDuplicatesWithinWatermark`` (Spark 3.5+): duplicate keys arriving
     within the watermark horizon are dropped, and state older than the
-    horizon is evicted.
+    horizon is evicted. For the reference's all-time *semantics* without
+    its unbounded state, use ``streaming.alltime_dedup_sink`` — the
+    seen-set lives in a persisted on-disk hash index probed per
+    micro-batch, not in executor memory.
     """
     return (
         df.withWatermark(ts_col, watermark)

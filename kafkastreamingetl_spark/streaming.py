@@ -305,3 +305,88 @@ def run_available_now(queries: list[StreamingQuery], timeout_sec: int = 300) -> 
             )
         if q.exception() is not None:
             raise q.exception()
+
+
+def alltime_dedup_sink(
+    df: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """UNBOUNDED all-time streaming dedup with bounded state: the semantics
+    of the reference's whole-stream ``dropDuplicates`` (reference
+    spark/app.py:79 — state grows forever) delivered instead by a
+    persisted (hash, content) index, so executor state stays zero and the
+    dedup horizon is the life of the index, not the watermark. Completes
+    the dedup family: ``dropDuplicatesWithinWatermark`` (bounded horizon,
+    operators.cleaning) for in-flight duplicates, THIS for forever ones.
+
+    Per micro-batch:
+
+    1. anti-join the batch against index entries from EARLIER batches
+       only (``batch_id < current`` — partition-pruned read);
+    2. keep the min-id survivor per content within the batch;
+    3. write survivors to ``out_path`` partitioned by the batch id with
+       dynamic partition overwrite — a replayed batch overwrites ITS OWN
+       partition, never appends twice;
+    4. append the survivors' (hash, content, batch_id) to the index.
+
+    Replay safety is the point of the ``batch_id`` discipline: a retried
+    batch excludes its own failed attempt's index rows from the anti-join
+    (so nothing self-suppresses into data loss), recomputes the same
+    survivor set, and overwrites the same output partition — idempotent
+    convergence, asserted in tests. Duplicate index rows from a replay
+    are harmless: the anti-join is a set-membership probe.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .functions import hash60
+    from .operators.cleaning import dedup_deterministic
+    from .session import ensure_runtime_confs
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ensure_runtime_confs(spark)  # dynamic partition overwrite
+        hashed = batch.withColumn("_h", hash60(F.col(content_col)))
+        try:
+            seen = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch_id") < batch_id)
+                .select("_h", content_col)
+            )
+            fresh = hashed.join(seen, ["_h", content_col], "left_anti")
+        except AnalysisException:
+            fresh = hashed  # first batch: no index yet
+        survivors = dedup_deterministic(
+            fresh, ["_h", content_col], [F.asc(id_col)]
+        ).localCheckpoint(eager=True)
+        (
+            survivors.drop("_h")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(out_path)
+        )
+        (
+            survivors.select("_h", content_col)
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(index_path)
+        )
+
+    return foreach_batch_sink(
+        df,
+        dedup_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
