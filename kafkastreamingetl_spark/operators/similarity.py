@@ -675,11 +675,16 @@ def _sub_dist(vec: Column, cvl: Column, s: Column) -> Column:
 
 
 def _assign_codes(
-    embeddings: DataFrame, cbl: DataFrame, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    cbl: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    with_subvec: bool = False,
 ) -> DataFrame:
-    """(vec_id, s, code): each vector's argmin-distance code per subspace
-    (ties to the lower code — the sort key is the (d, code) struct,
-    compared lexicographically).
+    """(vec_id, s, code[, sub]): each vector's argmin-distance code per
+    subspace (ties to the lower code — the sort key is the (d, code)
+    struct, compared lexicographically).
 
     The codebook is packed into ONE broadcast row (an array of ≤128
     (s, code, cvl) structs) and the argmin runs inside a projection via
@@ -688,7 +693,12 @@ def _assign_codes(
     expansion collapsed by MIN(struct)/min_by plans as SortAggregate — a
     map-side sort of the expansion — because struct-typed aggregation
     buffers aren't hash-aggregable; a window argmin shuffles the
-    expansion)."""
+    expansion).
+
+    ``with_subvec=True`` carries the 8-dim subvector alongside each code
+    so a consumer (the k-means update) can aggregate vector components
+    WITHOUT re-scanning the corpus and joining back on vec_id — the
+    update becomes one pipeline from the scan."""
     packed = cbl.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("s", "code", "cvl"))).alias("_cb")
     )
@@ -710,10 +720,23 @@ def _assign_codes(
         )
         return F.element_at(F.array_sort(scored), 1).getField("code")
 
-    codes = F.transform(
-        F.sequence(F.lit(0), F.lit(PQ_N_SUB - 1)), best_code
+    if not with_subvec:
+        codes = F.transform(
+            F.sequence(F.lit(0), F.lit(PQ_N_SUB - 1)), best_code
+        )
+        return joined.select("vec_id", F.posexplode(codes).alias("s", "code"))
+    entries = F.transform(
+        F.sequence(F.lit(0), F.lit(PQ_N_SUB - 1)),
+        lambda s: F.struct(
+            best_code(s).alias("code"),
+            F.slice(F.col("_v"), s * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias("sub"),
+        ),
     )
-    return joined.select("vec_id", F.posexplode(codes).alias("s", "code"))
+    return joined.select(
+        "vec_id", F.posexplode(entries).alias("s", "_e")
+    ).select(
+        "vec_id", "s", F.col("_e.code").alias("code"), F.col("_e.sub").alias("sub")
+    )
 
 
 def fit_pq_codebook_label(
@@ -796,11 +819,15 @@ def fit_pq_codebook_kmeans(
         )
         for _ in range(n_iter):
             assign = _assign_codes(
-                embeddings, _cbl_df(embeddings.sparkSession, cb), id_col, vec_col
+                embeddings,
+                _cbl_df(embeddings.sparkSession, cb),
+                id_col,
+                vec_col,
+                with_subvec=True,
             )
             means = (
-                _explode_sub(embeddings, id_col, vec_col, "vec_id")
-                .join(assign, ["vec_id", "s"])
+                assign.select("s", "code", F.posexplode("sub").alias("j", "v0"))
+                .select("s", "code", "j", F.col("v0").cast("double").alias("v"))
                 .groupBy("s", "code", "j")
                 .agg((dsum("v") / F.count(F.lit(1))).alias("cv"))
             )
@@ -1135,12 +1162,19 @@ def _km_df(spark, model: list[tuple[int, list[float]]]) -> DataFrame:
 
 
 def _assign_clusters(
-    embeddings: DataFrame, km: DataFrame, id_col: str, vec_col: str
+    embeddings: DataFrame,
+    km: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    with_vec: bool = False,
 ) -> DataFrame:
     """(vec_id, cl): nearest-centroid assignment against the broadcast
     model (ties to the lower cluster id via the lexicographic (d, cl)
     sort key). Same packed-model projection shape as
-    :func:`_assign_codes`: no aggregate, no sort, no exchange."""
+    :func:`_assign_codes`: no aggregate, no sort, no exchange.
+    ``with_vec=True`` carries the vector so the k-means update can
+    aggregate components without a corpus re-scan + vec_id join."""
     packed = km.groupBy().agg(
         F.sort_array(F.collect_list(F.struct("cl", "cvl"))).alias("_km")
     )
@@ -1157,7 +1191,8 @@ def _assign_clusters(
         ),
     )
     best = F.element_at(F.array_sort(scored), 1).getField("cl")
-    return joined.select("vec_id", best.alias("cl"))
+    cols = ["vec_id", best.alias("cl")] + (["_v"] if with_vec else [])
+    return joined.select(*cols)
 
 
 def fit_kmeans(
@@ -1198,14 +1233,15 @@ def fit_kmeans(
         )
         for _ in range(n_iter):
             assign = _assign_clusters(
-                embeddings, _km_df(embeddings.sparkSession, model), id_col, vec_col
+                embeddings,
+                _km_df(embeddings.sparkSession, model),
+                id_col,
+                vec_col,
+                with_vec=True,
             )
-            long = embeddings.select(
-                F.col(id_col).alias("vec_id"),
-                F.posexplode(vec_col).alias("dim", "v0"),
-            ).select("vec_id", "dim", F.col("v0").cast("double").alias("v"))
             means = (
-                long.join(assign, "vec_id")
+                assign.select("cl", F.posexplode("_v").alias("dim", "v0"))
+                .select("cl", "dim", F.col("v0").cast("double").alias("v"))
                 .groupBy("cl", "dim")
                 .agg((dsum("v") / F.count(F.lit(1))).alias("c"))
             )
@@ -1239,23 +1275,22 @@ def kmeans_centroid_stats(
         embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
     )
     assign = _assign_clusters(
-        embeddings, _km_df(embeddings.sparkSession, model), id_col, vec_col
-    ).select("vec_id", F.col("cl").alias("cluster"))
-    long = ensure_parallelism(embeddings).select(
-        F.col(id_col).alias("vec_id"),
-        F.posexplode(vec_col).alias("dim0", "v0"),
+        embeddings,
+        _km_df(embeddings.sparkSession, model),
+        id_col,
+        vec_col,
+        with_vec=True,
+    )
+    long = assign.select(
+        F.col("cl").alias("cluster"), F.posexplode("_v").alias("dim0", "v0")
     ).select(
-        "vec_id",
+        "cluster",
         (F.col("dim0") + 1).cast("long").alias("dim"),
         F.col("v0").cast("double").alias("v"),
     )
-    return (
-        long.join(assign, "vec_id")
-        .groupBy("cluster", "dim")
-        .agg(
-            (dsum("v") / F.count(F.lit(1))).alias("centroid"),
-            F.count(F.lit(1)).alias("n_vectors"),
-        )
+    return long.groupBy("cluster", "dim").agg(
+        (dsum("v") / F.count(F.lit(1))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
     )
 
 
