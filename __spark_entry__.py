@@ -60,6 +60,7 @@ _PRIORITY = [
     "embedding_int8_topk",
     "incremental_dedup_documents",
     "quality_weighted_sample",
+    "eval_contamination",
     # r3-green but no r5 row (outside the 50-entry window last round)
     "revenue_cube",
     "event_type_pivot",

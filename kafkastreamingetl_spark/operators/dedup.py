@@ -484,6 +484,91 @@ def sql_neardup_pairs(
     """
 
 
+DECON_MIN_JACCARD = 0.5
+
+
+def eval_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = DECON_MIN_JACCARD,
+) -> DataFrame:
+    """(train_doc, eval_doc, jaccard): benchmark decontamination — training
+    documents that near-duplicate an evaluation set. The training-pipeline
+    op that keeps eval numbers honest: any train doc sharing an LSH band
+    with an eval doc is verified by exact shingle Jaccard, and survivors
+    are the contamination report (feed them to an anti-join to scrub).
+
+    Scale shape: the eval set is benchmarks-sized, so its band signatures
+    BROADCAST — the train corpus streams past them without a shuffle of
+    its own rows (candidates carry ids only), and the Jaccard verify joins
+    the candidate pairs back to both cached feature sets. Cross-set by
+    construction: no self-pairs, no a<b dedup needed — each (train, eval)
+    candidate surfaces once per band hit and is collapsed by
+    dropDuplicates before verification.
+    """
+    tf = shingle_features(train, text_col, id_col)
+    ef = shingle_features(eval_df, text_col, id_col)
+    tsig = minhash_signatures(train, text_col, id_col, feats=tf)
+    esig = minhash_signatures(eval_df, text_col, id_col, feats=ef)
+    cands = (
+        tsig.select(F.col(id_col).alias("train_doc"), "band", "sig")
+        .join(
+            F.broadcast(
+                esig.select(F.col(id_col).alias("eval_doc"), "band", "sig")
+            ),
+            ["band", "sig"],
+        )
+        .select("train_doc", "eval_doc")
+        .dropDuplicates()
+    )
+    fa = tf.select(F.col(id_col).alias("train_doc"), F.col("_hs").alias("hs_a"))
+    fb = ef.select(F.col(id_col).alias("eval_doc"), F.col("_hs").alias("hs_b"))
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        cands.join(fa, "train_doc")
+        .join(F.broadcast(fb), "eval_doc")
+        .select(
+            "train_doc",
+            "eval_doc",
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(min_jaccard))
+    )
+
+
+def sql_eval_contamination(
+    train_pred: str,
+    eval_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = DECON_MIN_JACCARD,
+) -> str:
+    """DuckDB twin of :func:`eval_contamination` where train and eval are
+    predicate-split slices of one table."""
+    jac = (
+        "len(list_intersect(x.hs, y.hs))::DOUBLE"
+        " / len(list_distinct(list_concat(x.hs, y.hs)))"
+    )
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS eval_doc
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE (a.doc_id {train_pred}) AND (b.doc_id {eval_pred})
+    )
+    SELECT c.train_doc, c.eval_doc, {jac} AS jaccard
+    FROM cands c
+    JOIN feats x ON c.train_doc = x.doc_id
+    JOIN feats y ON c.eval_doc = y.doc_id
+    WHERE {jac} >= {min_jaccard}
+    """
+
+
 def neardup_pairs_containment(
     df: DataFrame,
     text_col: str = "text",

@@ -1268,6 +1268,25 @@ def q_doc_vocab_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "eval_contamination",
+    oracle=dedup_ops.sql_eval_contamination(
+        train_pred="% 10 != 0", eval_pred="% 10 = 0"
+    ),
+)
+def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training documents near-duplicating the
+    eval set (LSH band candidates against BROADCAST eval signatures, exact
+    Jaccard verify) — the report that keeps eval numbers honest
+    (operators/dedup.py eval_contamination). The eval set here is a
+    deterministic 10% id slice so both engines carve identical sides."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.eval_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )
+
+
+@query(
     "incremental_dedup_documents",
     oracle=dedup_ops.sql_incremental_exact_dedup(
         base_pred="doc_id % 4 != 0", inc_pred="doc_id % 4 = 0"

@@ -291,3 +291,24 @@ def test_incremental_dedup_semantics_and_index_parity(spark, tmp_path):
     served_df = incremental_exact_dedup_from_index(spark, path, inc)
     assert sorted(r.doc_id for r in served_df.collect()) == [11, 14]
     assert any("dedup_index" in f for f in served_df.inputFiles())
+
+
+def test_eval_contamination_finds_planted_leak(spark):
+    """A train doc identical to an eval doc must surface with jaccard 1.0;
+    unrelated train docs must not; pairs are cross-set only."""
+    from kafkastreamingetl_spark.operators.dedup import eval_contamination
+
+    leak = "the quick brown fox jumps over the lazy dog again and again today"
+    other = "completely different content about database engines and shuffles"
+    train = spark.createDataFrame(
+        [(1, leak), (2, other)], "doc_id long, text string"
+    )
+    ev = spark.createDataFrame(
+        [(100, leak), (101, "nothing like the others in any way at all here")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.train_doc, r.eval_doc): r.jaccard
+        for r in eval_contamination(train, ev).collect()
+    }
+    assert got == {(1, 100): 1.0}
