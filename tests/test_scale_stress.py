@@ -48,6 +48,10 @@ STRESS_QUERIES = [
     "embedding_ivf_kmeans_topk",
     "embedding_pq_kmeans_topk",
     "doc_vocab_token_counts",
+    # cross-set joins whose candidate volume scales with corpus size
+    "eval_contamination",
+    "incremental_dedup_documents",
+    "embedding_int8_topk",
 ]
 
 pytestmark = pytest.mark.slow
