@@ -61,6 +61,7 @@ _PRIORITY = [
     "incremental_dedup_documents",
     "quality_weighted_sample",
     "eval_contamination",
+    "decontaminated_corpus",
     # r3-green but no r5 row (outside the 50-entry window last round)
     "revenue_cube",
     "event_type_pivot",

@@ -1287,6 +1287,33 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontaminated_corpus",
+    oracle=f"""
+    WITH rep AS (
+        {dedup_ops.sql_eval_contamination(train_pred="% 10 != 0", eval_pred="% 10 = 0")}
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d
+    ANTI JOIN (SELECT DISTINCT train_doc FROM rep) r
+        ON d.doc_id = r.train_doc
+    WHERE d.doc_id % 10 != 0
+    """,
+)
+def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub step the contamination report feeds: training docs minus
+    everything that near-duplicates the eval set — an anti-join against
+    the (small) report, so the corpus never reshuffles. Composition of
+    eval_contamination + left_anti, declared as one plan."""
+    docs = _t(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    report = dedup_ops.eval_contamination(
+        train, docs.filter(F.col("doc_id") % 10 == 0)
+    )
+    losers = report.select(F.col("train_doc").alias("doc_id")).distinct()
+    return train.join(losers, "doc_id", "left_anti").select("doc_id", "source")
+
+
+@query(
     "incremental_dedup_documents",
     oracle=dedup_ops.sql_incremental_exact_dedup(
         base_pred="doc_id % 4 != 0", inc_pred="doc_id % 4 = 0"
