@@ -88,3 +88,50 @@ def test_all_duplicate_corpus(spark):
     pairs = neardup_pairs(docs).collect()
     assert len(pairs) == 45
     assert all(r.jaccard == 1.0 for r in pairs)
+
+
+def test_empty_documents_through_round6_operators(spark):
+    """Empty corpus: packing, dup-rate, weighted sampling, vocab counts,
+    contamination, and incremental dedup all yield empty results (never
+    crash) — and k-means on a corpus with no seed ids degrades to an
+    empty model and empty stats."""
+    from kafkastreamingetl_spark.operators.corpus import (
+        dedup_rate_by_source,
+        pack_token_bins,
+        quality_weighted_sample,
+    )
+    from kafkastreamingetl_spark.operators.dedup import (
+        eval_contamination,
+        incremental_exact_dedup,
+    )
+    from kafkastreamingetl_spark.operators.similarity import (
+        fit_kmeans,
+        kmeans_centroid_stats,
+    )
+    from kafkastreamingetl_spark.operators.text import vocab_token_counts
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert pack_token_bins(empty).count() == 0
+    assert dedup_rate_by_source(empty).count() == 0
+    assert quality_weighted_sample(empty).count() == 0
+    assert vocab_token_counts(empty).count() == 0
+    assert eval_contamination(empty, empty).count() == 0
+    assert incremental_exact_dedup(empty, empty).count() == 0
+
+    emb_empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert fit_kmeans(emb_empty) == []
+    assert kmeans_centroid_stats(emb_empty).count() == 0
+
+
+def test_kmeans_fewer_vectors_than_k(spark):
+    """A corpus smaller than k trains a model with one cluster per vector
+    (seeds are whichever of ids 0..k-1 exist) rather than failing."""
+    from kafkastreamingetl_spark.operators.similarity import fit_kmeans
+
+    df = spark.createDataFrame(
+        [(0, [1.0] * 64), (1, [2.0] * 64)], "vec_id long, embedding array<double>"
+    )
+    model = fit_kmeans(df, k=8, n_iter=1)
+    assert [cl for cl, _ in model] == [0, 1]
