@@ -184,3 +184,62 @@ def test_train_test_split_laws(spark, ids):
     ).all()
     # law 3: buckets in range
     assert out.split_bucket.between(0, 99).all()
+
+
+vec_rows = st.lists(
+    st.lists(
+        st.floats(-10, 10, allow_nan=False, allow_infinity=False, width=32),
+        min_size=8,
+        max_size=8,
+    ),
+    min_size=3,
+    max_size=8,
+)
+
+
+@SLOW
+@given(vecs=vec_rows, scale=st.sampled_from([0.5, 2.0, 7.0]))
+def test_int8_quantization_scale_invariance(spark, vecs, scale):
+    """Absmax int8 codes are invariant to positive per-corpus scaling
+    (the scale cancels in 127/max|v|), so int8 similarity on c·V equals
+    int8 similarity on V exactly — the algebraic basis for comparing in
+    the compressed domain."""
+    from kafkastreamingetl_spark.operators.similarity import _int8_quantize
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    scaled = df.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * F.lit(float(scale))).alias(
+            "embedding"
+        ),
+    )
+    a = {r.vec_id: r.q for r in df.select("vec_id", _int8_quantize(F.col("embedding")).alias("q")).collect()}
+    b = {r.vec_id: r.q for r in scaled.select("vec_id", _int8_quantize(F.col("embedding")).alias("q")).collect()}
+    assert a == b
+
+
+@SLOW
+@given(
+    toks=st.lists(st.integers(1, 9), min_size=1, max_size=12),
+    budget=st.sampled_from([3, 5, 8]),
+)
+def test_pack_bins_laws(spark, toks, budget):
+    """Packing laws for any doc stream: bin ids start at 0, are
+    nondecreasing in id order, and a doc starts a new bin exactly when
+    the running token count crosses the budget boundary."""
+    from kafkastreamingetl_spark.operators.corpus import pack_token_bins
+
+    rows = [(i, " ".join(["w"] * n), "s") for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = sorted(
+        (r.doc_id, r.n_tokens, r.bin_id)
+        for r in pack_token_bins(df, budget=budget).collect()
+    )
+    cum = 0
+    for (doc_id, n, bin_id), n_exp in zip(got, toks):
+        assert n == n_exp
+        assert bin_id == cum // budget
+        cum += n
+    assert got[0][2] == 0
