@@ -51,6 +51,13 @@ _PRIORITY = [
     "user_running_totals",
     "rolling_hour_value",
     # new in round 6
+    "pricing_summary",
+    "top_revenue_orders",
+    "hot_ngrams",
+    "dup_ngram_doc_fraction",
+    "quality_percentile_filter",
+    "vocab_top_tokens",
+    # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",
     "embedding_pq_kmeans_topk",

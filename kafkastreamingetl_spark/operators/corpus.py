@@ -546,3 +546,240 @@ def sql_quality_weighted_sample(
     SELECT doc_id, source, quality_weight
     FROM t WHERE u < {base_rate} * quality_weight
     """
+
+
+# ---------------------------------------------------------------------------
+# span-level duplication: hot n-grams (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+HOT_NGRAM_MIN_DOCS = 2
+HOT_NGRAM_TOP = 20
+
+
+def hot_ngrams(
+    df: DataFrame,
+    *,
+    min_docs: int = HOT_NGRAM_MIN_DOCS,
+    top: int = HOT_NGRAM_TOP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(gram, n_docs, n_occurrences): the word n-grams repeated across the
+    most documents — the corpus-wide boilerplate report (nav bars, cookie
+    banners, license headers) a pipeline reads before deciding what to
+    strip, and the exact heavy-hitter complement to the probabilistic
+    MinHash/SimHash document-level fingerprints.
+
+    Two-level aggregation keeps the shuffles narrow at 100 TB: the explode
+    is collapsed to one (gram, doc) row map-side BEFORE the first exchange
+    (within-document repeats never cross the wire), then the per-gram
+    doc/occurrence counts aggregate rows already bounded by docs x distinct
+    grams. The final ordered LIMIT is TakeOrderedAndProject - each
+    partition surrenders its local top rows, never the full gram table.
+    Deterministic under count ties via the gram-string tie-break."""
+    from .text import gram_strings
+
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(gram_strings(F.col(text_col))).alias("gram"),
+        )
+        .groupBy("gram", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return (
+        per_doc.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("occ").cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(
+            F.col("n_docs").desc_nulls_last(),
+            F.col("n_occurrences").desc_nulls_last(),
+            F.col("gram").asc_nulls_first(),
+        )
+        .limit(top)
+    )
+
+
+def sql_hot_ngrams(
+    table: str = "documents",
+    *,
+    min_docs: int = HOT_NGRAM_MIN_DOCS,
+    top: int = HOT_NGRAM_TOP,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_gram_strings_over_w, sql_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    g AS (
+        SELECT doc_id, unnest({sql_gram_strings_over_w()}) AS gram FROM toks
+    ),
+    pd AS (
+        SELECT gram, doc_id, COUNT(*) AS occ FROM g GROUP BY 1, 2
+    )
+    SELECT gram,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(occ) AS BIGINT) AS n_occurrences
+    FROM pd
+    GROUP BY 1
+    HAVING COUNT(*) >= {min_docs}
+    ORDER BY n_docs DESC NULLS LAST,
+             n_occurrences DESC NULLS LAST,
+             gram ASC NULLS FIRST
+    LIMIT {top}
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-language quality-percentile filter
+# ---------------------------------------------------------------------------
+
+QP_CUTOFF = 0.25  # drop the bottom quartile of each language
+
+
+def quality_percentile_filter(
+    df: DataFrame,
+    *,
+    cutoff: float = QP_CUTOFF,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Documents above the per-language quality percentile: score = the
+    type-token ratio (repetition penalty), rank = percent_rank WITHIN each
+    language, keep everything at or above ``cutoff``.
+
+    Ranking per language instead of globally is the point: a single global
+    threshold lets high-resource languages crowd out low-resource ones
+    whose score distribution sits lower. One shuffle on lang + a sort
+    within each partition; the (score, doc_id) total order makes
+    percent_rank's (rank-1)/(n-1) a deterministic double on both engines.
+    At 100 TB a language is far larger than one partition - swap the exact
+    window for approx_percentile per language (broadcast the cutoffs back)
+    exactly as the HLL lanes swap exact distincts; the exact form stays
+    for the oracle."""
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    score = (
+        F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("score").asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(lang_col).alias("lang"),
+            score.alias("score"),
+        )
+        .withColumn("pct", F.percent_rank().over(w))
+        .filter(F.col("pct") >= cutoff)
+    )
+
+
+def sql_quality_percentile_filter(
+    table: str = "documents",
+    *,
+    cutoff: float = QP_CUTOFF,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    toks = sql_tokens(text_col)
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang,
+               CAST(len(list_distinct({toks})) AS DOUBLE)
+                 / CAST(len({toks}) AS DOUBLE) AS score
+        FROM {table}
+    )
+    SELECT doc_id, lang, score,
+           percent_rank() OVER (
+               PARTITION BY lang
+               ORDER BY score ASC NULLS FIRST, doc_id ASC NULLS FIRST
+           ) AS pct
+    FROM s
+    QUALIFY pct >= {cutoff}
+    """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building: top tokens by corpus frequency
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP = 32
+
+
+def vocab_top_tokens(
+    df: DataFrame,
+    *,
+    top: int = VOCAB_TOP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(token, n_docs, n_occurrences, rank): the corpus frequency table a
+    tokenizer trainer reads first — the *building* side of the vocab pair
+    whose *inference* side is :func:`text.vocab_token_counts` (greedy
+    longest-match against a fixed vocab).
+
+    Same two-level aggregation as :func:`hot_ngrams` (map-side collapse to
+    (token, doc), then per-token counts). The global rank window runs over
+    the post-aggregation frame — vocabulary-sized, not corpus-sized — so
+    the single-partition sort it implies is bounded by |vocab| regardless
+    of input scale; rank ties break lexically."""
+    from .text import tokens
+
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    counts = per_doc.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("occ").cast("bigint").alias("n_occurrences"),
+    )
+    w = Window.orderBy(
+        F.col("n_occurrences").desc_nulls_last(), F.col("token").asc_nulls_first()
+    )
+    return counts.withColumn(
+        "rank", F.row_number().over(w).cast("int")
+    ).filter(F.col("rank") <= top)
+
+
+def sql_vocab_top_tokens(
+    table: str = "documents",
+    *,
+    top: int = VOCAB_TOP,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest({sql_tokens(text_col)}) AS token FROM {table}
+    ),
+    pd AS (
+        SELECT token, doc_id, COUNT(*) AS occ FROM t GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(occ) AS BIGINT) AS n_occurrences
+        FROM pd GROUP BY 1
+    )
+    SELECT token, n_docs, n_occurrences,
+           CAST(ROW_NUMBER() OVER (
+               ORDER BY n_occurrences DESC NULLS LAST, token ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM c
+    QUALIFY rank <= {top}
+    """

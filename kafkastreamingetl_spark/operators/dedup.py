@@ -953,3 +953,92 @@ def sql_neardup_dedup(
         SELECT node FROM clusters WHERE node <> cluster_id
     ) l ON d.doc_id = l.node
     """
+
+
+# ---------------------------------------------------------------------------
+# per-document duplicated-span fraction (RefinedWeb-style dup filter)
+# ---------------------------------------------------------------------------
+
+DUPFRAC_MAX = 0.5  # drop documents with more than half their spans duplicated
+
+
+def dup_ngram_doc_fraction(
+    df: DataFrame,
+    *,
+    max_frac: float = DUPFRAC_MAX,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_id, n_grams, dup_grams, dup_frac, kept): the fraction of each
+    document's word n-grams that appear in at least one OTHER document —
+    the span-level duplication signal (RefinedWeb/MassiveText's
+    duplicate-n-gram filters) that catches partially-copied documents
+    MinHash under-scores (a doc that is 40% boilerplate still has Jaccard
+    < threshold against any single source).
+
+    Exact, not sketched: consumes the same persisted shingle-hash features
+    as the MinHash pipeline (one md5 pass per document, shared via
+    ``feats=``), counts per-shingle document frequency with one narrow
+    shuffle on the 8-byte hash, joins the df back to the exploded spans
+    (both sides already hash-partitioned on ``h`` — AQE reuses the
+    exchange), and re-aggregates per document. Shuffles carry (hash, id)
+    rows only; document text never leaves the scan. Documents too short to
+    shingle have no feature rows and are absent (same contract as
+    ``minhash_signatures``)."""
+    feats = feats if feats is not None else shingle_features(df, text_col, id_col)
+    exploded = feats.select(F.col(id_col), F.explode("_hs").alias("h"))
+    docfreq = exploded.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    dup_frac = F.col("dup_grams").cast("double") / F.col("n_grams").cast("double")
+    return (
+        exploded.join(docfreq, "h")
+        .groupBy(F.col(id_col).alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("dup_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            dup_frac.alias("dup_frac"),
+            (dup_frac <= max_frac).alias("kept"),
+        )
+    )
+
+
+def sql_dup_ngram_doc_fraction(
+    table: str = "documents",
+    *,
+    max_frac: float = DUPFRAC_MAX,
+    text_col: str = "text",
+) -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    feats AS (
+        SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs FROM toks
+    ),
+    e AS (
+        SELECT doc_id, unnest(hs) AS h FROM feats
+    ),
+    dfq AS (
+        SELECT h, COUNT(*) AS df FROM e GROUP BY 1
+    ),
+    agg AS (
+        SELECT e.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN dfq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS dup_grams
+        FROM e JOIN dfq USING (h)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_grams, dup_grams,
+           CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_frac,
+           CAST(dup_grams AS DOUBLE) / CAST(n_grams AS DOUBLE) <= {max_frac}
+             AS kept
+    FROM agg
+    """

@@ -50,6 +50,31 @@ def sql_tokens(expr: str) -> str:
     return f"string_split({expr}, '{TOKEN_SEP}')"
 
 
+def gram_strings(col: str | Column, n: int = SHINGLE_N) -> Column:
+    """Positional word ``n``-gram strings — NOT distinct, NOT hashed.
+
+    The raw-span sibling of :func:`shingle_hashes` for consumers that need
+    occurrence counts or human-readable grams (boilerplate detection).
+    Short documents (< n tokens) yield an empty array (same descending-
+    ``sequence`` guard)."""
+    t = tokens(col)
+    idx = F.when(
+        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            TOKEN_SEP, *[F.element_at(t, i + j) for j in range(n)]
+        ),
+    )
+
+
+def sql_gram_strings_over_w(n: int = SHINGLE_N) -> str:
+    """DuckDB twin of :func:`gram_strings` over a tokens column named ``w``."""
+    gram = " || ' ' || ".join(f"w[i + {j}]" for j in range(n))
+    return f"[({gram}) for i in range(1, greatest(len(w) - {n - 2}, 1))]"
+
+
 def shingle_hashes(col: str | Column, n: int = SHINGLE_N) -> Column:
     """Distinct 60-bit hashes of word ``n``-grams — the document's feature set.
 

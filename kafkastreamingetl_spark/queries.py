@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .catalog import load_events, load_table, register_views
-from .functions import dsum, normalize_string, sql_dsum
+from .functions import davg, dsum, normalize_string, sql_davg, sql_dsum
 from .operators import asof as asof_ops
 from .operators import corpus as corpus_ops
 from .operators import dedup as dedup_ops
@@ -322,6 +322,155 @@ def q_order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
+    )
+
+
+# Mid-range cutoff for the pricing-summary / top-orders pair: lineitem ship
+# dates span 1995..2001 in the synthetic star schema, so this keeps both the
+# shipped and unshipped sides non-empty at every sf.
+PRICING_CUTOFF = "1998-01-01"
+
+
+_D38 = "decimal(38,0)"  # overflow-proof accumulator for scaled-integer sums
+
+
+@query(
+    "pricing_summary",
+    oracle=f"""
+    WITH s AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(round(l_quantity) AS BIGINT) AS qn,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS p100,
+               CAST(round(l_discount * 100) AS BIGINT) AS d100,
+               CAST(round(l_tax * 100) AS BIGINT) AS t100
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+    )
+    SELECT l_returnflag AS returnflag,
+           l_linestatus AS linestatus,
+           CAST(SUM(qn) AS DOUBLE) AS sum_qty,
+           CAST(SUM(p100) AS DOUBLE) / 100.0 AS sum_base_price,
+           CAST(SUM(p100 * (100 - d100)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+           CAST(SUM(p100 * (100 - d100) * (100 + t100)) AS DOUBLE) / 1000000.0
+               AS sum_charge,
+           CAST(SUM(qn) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(p100) AS DOUBLE) / 100.0 / COUNT(*) AS avg_price,
+           CAST(SUM(d100) AS DOUBLE) / 100.0 / COUNT(*) AS avg_disc,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM s
+    GROUP BY 1, 2
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q1 shape — the canonical scan-heavy OLAP rollup the
+    reference's pandas batch job (kafka_spark_etl.py:64-78) approximates at
+    toy scale: one predicate-pushed scan, eight aggregates over two
+    low-cardinality keys, everything map-side combined. At 100 TB this is
+    the best case for columnar execution: the filter reaches the parquet
+    reader (row-group pruning on l_shipdate), only 7 of 12 columns are
+    read, and the shuffle carries one partial-aggregate row per (flag,
+    status) per partition — a few hundred bytes regardless of input size.
+
+    Money math runs in the integer domain: price/discount/tax are scale-2
+    values, so each is scaled to exact cents up front and the three-factor
+    charge product is a pure BIGINT multiply accumulated in DECIMAL(38,0)
+    (no per-row double→decimal cast — whose HALF_UP-vs-binary tie-breaking
+    differs between engines on the scale-6 product — and no bigint overflow
+    at any corpus size). One double division per GROUP at the very end."""
+    li = _t(spark, sf_dir, "lineitem")
+    qn = F.round(F.col("l_quantity")).cast("long")
+    p100 = F.round(F.col("l_extendedprice") * 100).cast("long")
+    d100 = F.round(F.col("l_discount") * 100).cast("long")
+    t100 = F.round(F.col("l_tax") * 100).cast("long")
+    disc_scaled = p100 * (F.lit(100) - d100)
+    charge_scaled = disc_scaled * (F.lit(100) + t100)
+    n = F.count(F.lit(1))
+    return (
+        li.filter(
+            F.col("l_shipdate")
+            <= F.lit(f"{PRICING_CUTOFF} 00:00:00").cast("timestamp")
+        )
+        .groupBy(
+            F.col("l_returnflag").alias("returnflag"),
+            F.col("l_linestatus").alias("linestatus"),
+        )
+        .agg(
+            F.sum(qn.cast(_D38)).cast("double").alias("sum_qty"),
+            (F.sum(p100.cast(_D38)).cast("double") / F.lit(100.0)).alias(
+                "sum_base_price"
+            ),
+            (F.sum(disc_scaled.cast(_D38)).cast("double") / F.lit(10000.0)).alias(
+                "sum_disc_price"
+            ),
+            (
+                F.sum(charge_scaled.cast(_D38)).cast("double") / F.lit(1000000.0)
+            ).alias("sum_charge"),
+            (F.sum(qn.cast(_D38)).cast("double") / n).alias("avg_qty"),
+            (F.sum(p100.cast(_D38)).cast("double") / F.lit(100.0) / n).alias(
+                "avg_price"
+            ),
+            (F.sum(d100.cast(_D38)).cast("double") / F.lit(100.0) / n).alias(
+                "avg_disc"
+            ),
+            n.alias("count_order"),
+        )
+    )
+
+
+@query(
+    "top_revenue_orders",
+    oracle=f"""
+    SELECT l.l_orderkey AS orderkey,
+           o.o_orderdate AS orderdate,
+           {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '{PRICING_CUTOFF} 00:00:00'
+    GROUP BY 1, 2
+    ORDER BY revenue DESC NULLS LAST, orderkey ASC NULLS FIRST
+    LIMIT 10
+    """,
+)
+def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q3 shape: segment-filtered customers ⋈ open orders ⋈
+    still-unshipped lines, revenue per order, global top 10. The join tree
+    is the scale-interesting part: customer is filtered to one segment
+    BEFORE the join (the filter prunes at the scan, then AQE broadcasts the
+    shrunken side when it fits), orders and lineitem carry only the join
+    key + two aggregated columns, and the final ordered LIMIT compiles to
+    TakeOrderedAndProject — each partition keeps its local top 10, the
+    driver merges k·p rows, never the full aggregate. Deterministic under
+    revenue ties via the orderkey tie-break."""
+    cutoff = F.lit(f"{PRICING_CUTOFF} 00:00:00").cast("timestamp")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    net = F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+        )
+        .agg(dsum(net, "revenue"))
+        .orderBy(F.col("revenue").desc_nulls_last(), F.col("orderkey").asc_nulls_first())
+        .limit(10)
     )
 
 
@@ -1359,6 +1508,44 @@ def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     source — where a pipeline decides to spend its dedup budget
     (operators/corpus.py dedup_rate_by_source)."""
     return corpus_ops.dedup_rate_by_source(_t(spark, sf_dir, "documents"))
+
+
+@query("hot_ngrams", oracle=corpus_ops.sql_hot_ngrams())
+def q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate report: the word n-grams repeated across the
+    most documents — exact heavy hitters via two-level aggregation, ordered
+    top-20 (operators/corpus.py hot_ngrams)."""
+    return corpus_ops.hot_ngrams(_t(spark, sf_dir, "documents"))
+
+
+@query("dup_ngram_doc_fraction", oracle=dedup_ops.sql_dup_ngram_doc_fraction())
+def q_dup_ngram_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication filter: per-document fraction of word n-grams
+    appearing in at least one other document (RefinedWeb-style dup-span
+    signal) + keep flag — catches partially-copied docs document-level
+    Jaccard under-scores (operators/dedup.py dup_ngram_doc_fraction)."""
+    return dedup_ops.dup_ngram_doc_fraction(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "quality_percentile_filter",
+    oracle=corpus_ops.sql_quality_percentile_filter(),
+)
+def q_quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality-percentile cutoff: type-token-ratio scored,
+    percent_rank ranked WITHIN each language, bottom quartile dropped — the
+    per-language fairness form of quality filtering
+    (operators/corpus.py quality_percentile_filter)."""
+    return corpus_ops.quality_percentile_filter(_t(spark, sf_dir, "documents"))
+
+
+@query("vocab_top_tokens", oracle=corpus_ops.sql_vocab_top_tokens())
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: top-32 corpus tokens by total occurrences with
+    deterministic rank — the frequency-table step a tokenizer trainer runs
+    before merges; pairs with doc_vocab_token_counts (the inference side)
+    (operators/corpus.py vocab_top_tokens)."""
+    return corpus_ops.vocab_top_tokens(_t(spark, sf_dir, "documents"))
 
 
 @query("doc_fingerprint", oracle=text_ops.sql_doc_fingerprint())
