@@ -57,6 +57,8 @@ _PRIORITY = [
     "dup_ngram_doc_fraction",
     "quality_percentile_filter",
     "vocab_top_tokens",
+    "minhash_jaccard_estimate",
+    "cluster_balanced_sample",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

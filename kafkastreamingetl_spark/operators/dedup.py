@@ -1042,3 +1042,92 @@ def sql_dup_ngram_doc_fraction(
              AS kept
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# estimator quality: signature-based Jaccard vs the exact value
+# ---------------------------------------------------------------------------
+
+
+def minhash_jaccard_estimate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard, jaccard, est_err) for every LSH
+    candidate pair: the MinHash estimate (fraction of the 12 hash
+    functions whose minima agree — E[est] = true Jaccard) next to the
+    exact shingle-set value, signed error included.
+
+    This is the calibration report behind the sketch-vs-exact trade the
+    dedup pipeline makes at 100 TB: at full scale the verify step can run
+    on signatures alone (12 ints per doc crossing the shuffle instead of
+    the whole feature set), and this query measures exactly what that
+    buys and costs on the live corpus. All joins are id-equi against the
+    cached features; the estimate is integer compares, the exact value
+    one intersect/union — both engines produce bit-identical doubles."""
+    feats = feats if feats is not None else shingle_features(df, text_col, id_col)
+    cands = lsh_candidate_pairs(df, text_col, id_col, feats=feats)
+    n_mh = len(MINHASH_COEFFS)
+    mh_arr = F.array(*[_minhash_col(F.col("_hs"), a, b) for a, b in MINHASH_COEFFS])
+    sig = feats.select(F.col(id_col), F.col("_hs"), mh_arr.alias("_mh"))
+    a = sig.select(
+        F.col(id_col).alias("doc_a"),
+        F.col("_hs").alias("hs_a"),
+        F.col("_mh").alias("mh_a"),
+    )
+    b = sig.select(
+        F.col(id_col).alias("doc_b"),
+        F.col("_hs").alias("hs_b"),
+        F.col("_mh").alias("mh_b"),
+    )
+    matches = F.size(
+        F.filter(
+            F.zip_with("mh_a", "mh_b", lambda x, y: x == y), lambda v: v
+        )
+    )
+    inter = F.size(F.array_intersect("hs_a", "hs_b"))
+    union = F.size(F.array_union("hs_a", "hs_b"))
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (matches.cast("double") / F.lit(float(n_mh))).alias("est_jaccard"),
+            (inter.cast("double") / union).alias("jaccard"),
+        )
+        .withColumn("est_err", F.col("est_jaccard") - F.col("jaccard"))
+    )
+
+
+def sql_minhash_jaccard_estimate(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    n_mh = len(MINHASH_COEFFS)
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len([i for i in range(1, {n_mh + 1})
+                         if xm.mh[i] = ym.mh[i]]) AS DOUBLE) / {float(n_mh)}
+                 AS est_jaccard,
+               CAST(len(list_intersect(xf.hs, yf.hs)) AS DOUBLE)
+                 / len(list_distinct(list_concat(xf.hs, yf.hs))) AS jaccard
+        FROM cands c
+        JOIN mhs xm ON c.doc_a = xm.doc_id
+        JOIN mhs ym ON c.doc_b = ym.doc_id
+        JOIN feats xf ON c.doc_a = xf.doc_id
+        JOIN feats yf ON c.doc_b = yf.doc_id
+    )
+    SELECT doc_a, doc_b, est_jaccard, jaccard,
+           est_jaccard - jaccard AS est_err
+    FROM est
+    """

@@ -1542,3 +1542,75 @@ def sql_int8_topk(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# cluster-balanced (diversity) sampling
+# ---------------------------------------------------------------------------
+
+CBS_PER_CLUSTER = 5
+
+
+def cluster_balanced_sample(
+    embeddings: DataFrame,
+    *,
+    per_cluster: int = CBS_PER_CLUSTER,
+    k: int = KM_K,
+    n_iter: int = KM_ITER,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, vec_id, rank): up to ``per_cluster`` vectors from each
+    k-means cluster — diversity sampling for training-set construction
+    (uniform sampling over-represents the dense regions of embedding
+    space; sampling per cluster keeps every semantic neighborhood in the
+    mix). Deterministic survivor choice: lowest ids per cluster.
+
+    Uses the memoized :func:`fit_kmeans` model (fit once per corpus
+    refresh, not per sample draw), assignment as a packed-broadcast-model
+    projection, then one window over rows partitioned by cluster — the
+    shuffle carries (vec_id, cl) pairs only, never vectors. At 100 TB the
+    rank window sorts only within clusters; swap the deterministic id
+    order for a salted-hash order to make the draw pseudo-random while
+    keeping it replayable."""
+    model = fit_kmeans(
+        embeddings, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+    )
+    assign = _assign_clusters(
+        embeddings, _km_df(embeddings.sparkSession, model), id_col, vec_col
+    )
+    w = Window.partitionBy("cl").orderBy(F.col("vec_id").asc_nulls_first())
+    return (
+        assign.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= per_cluster)
+        .select(F.col("cl").alias("cluster"), "vec_id", "rank")
+    )
+
+
+def sql_cluster_balanced_sample(
+    table: str = "embeddings",
+    *,
+    per_cluster: int = CBS_PER_CLUSTER,
+    k: int = KM_K,
+    n_iter: int = KM_ITER,
+) -> str:
+    """DuckDB twin: unrolled Lloyd's training (shared CTE chain), final
+    assignment, per-cluster id-ordered rank."""
+    dist = _SQL_SQDIST.format(a="e.embedding", b="c.cvl")
+    return f"""
+    WITH {_sql_kmeans_ctes(table, k, n_iter)},
+    fa AS (
+        SELECT e.vec_id, c.cl
+        FROM {table} e CROSS JOIN km c
+        QUALIFY ROW_NUMBER() OVER (
+            PARTITION BY e.vec_id
+            ORDER BY {dist} ASC NULLS FIRST, c.cl ASC NULLS FIRST
+        ) = 1
+    )
+    SELECT cl AS cluster, vec_id,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY cl ORDER BY vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM fa
+    QUALIFY rank <= {per_cluster}
+    """

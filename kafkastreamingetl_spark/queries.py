@@ -1590,6 +1590,18 @@ def q_neardup_pairs_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.neardup_pairs_containment(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "minhash_jaccard_estimate",
+    oracle=dedup_ops.sql_minhash_jaccard_estimate(),
+)
+def q_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration: signature-based Jaccard (fraction of agreeing
+    minhashes) vs the exact shingle-set value per LSH candidate pair, with
+    signed error — measures what verify-on-signatures buys at scale
+    (operators/dedup.py minhash_jaccard_estimate)."""
+    return dedup_ops.minhash_jaccard_estimate(_t(spark, sf_dir, "documents"))
+
+
 @query("simhash_candidates", oracle=dedup_ops.sql_simhash_candidate_pairs())
 def q_simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-banded near-dup pairs: 4×15-bit bands, Hamming ≤ 3 — exact
@@ -1892,6 +1904,20 @@ def q_kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the final aggregation all match across engines."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.kmeans_centroid_stats(emb.select("vec_id", "embedding"))
+
+
+@query(
+    "cluster_balanced_sample",
+    oracle=sim_ops.sql_cluster_balanced_sample(),
+)
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity sampling: up to 5 lowest-id vectors per k-means cluster —
+    keeps every semantic neighborhood represented in a training draw where
+    uniform sampling over-weights dense regions. Shares the memoized
+    fitted model with kmeans_centroids (operators/similarity.py
+    cluster_balanced_sample)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.cluster_balanced_sample(emb.select("vec_id", "embedding"))
 
 
 @query(
