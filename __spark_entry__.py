@@ -59,6 +59,7 @@ _PRIORITY = [
     "vocab_top_tokens",
     "minhash_jaccard_estimate",
     "cluster_balanced_sample",
+    "salted_join_rollup",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -86,3 +86,35 @@ def salted_broadcast_join(
     skew-join split over manual salting; both are configured in
     session.get_spark.)"""
     return skewed.join(F.broadcast(small), key, how)
+
+
+def salted_shuffle_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    *,
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Replicate-and-salt equi-join for the gap the other two tools leave:
+    a skewed fact table against a dim too big to broadcast, in a context
+    where AQE's skew-join split doesn't apply (streaming joins, or plans
+    whose skewed stage AQE can't re-plan). The fact side gets a uniform
+    salt in [0, n_salts); the dim side is replicated once per salt via
+    ``explode(sequence(...))``; joining on (key, salt) spreads a hot key's
+    rows over ``n_salts`` reducers instead of one.
+
+    The trade is explicit: fact-side shuffle volume is unchanged, dim-side
+    volume multiplies by ``n_salts`` — worth it exactly when
+    ``n_salts × |dim| ≪ hot-key row count``. Results are identical to the
+    unsalted join for any ``how`` that keeps fact rows unique (inner/left):
+    every fact row still meets exactly the dim rows sharing its key, one
+    replica of each. The salt uses ``rand()`` deliberately — membership
+    does not need to be stable across runs (unlike the split/sample
+    operators' salted *hashes*), and a hash of a hot key would put the
+    whole hot key back on one reducer."""
+    f = fact.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    d = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    return f.join(d, [key, "_salt"], how).drop("_salt")

@@ -1177,6 +1177,38 @@ def q_salted_type_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_rollup",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q_salted_join_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replicate-and-salt skew join (operators/skew.py salted_shuffle_join)
+    vs a PLAIN JOIN oracle: the differential proves dim replication + fact
+    salting is result-invariant — every fact row still meets exactly one
+    replica of its dim row. events.user_id is the skewed fan-in side; the
+    customer dim replicates 8×."""
+    from .operators.skew import salted_shuffle_join
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        salted_shuffle_join(ev, dim, "user_id", n_salts=8)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+
+
+@query(
     "weekend_vs_weekday_types",
     oracle="""
     SELECT event_type FROM events WHERE dayofweek(ts) IN (0, 6)

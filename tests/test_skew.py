@@ -40,3 +40,68 @@ def test_salted_agg_matches_direct(spark, skewed):
 def test_salted_agg_rejects_non_decomposable(skewed):
     with pytest.raises(ValueError, match="non-decomposable"):
         salted_agg(skewed, ["k"], {"d": ("count_distinct", "v")})
+
+
+@pytest.fixture(scope="module")
+def dim(spark):
+    # 40 keys; fact side (``skewed_ids``) hits only half of them, and key 7
+    # is hot — the shape salted_shuffle_join exists for
+    return spark.range(0, 40).select(
+        F.col("id").alias("k"), (F.col("id") * 100).alias("attr")
+    )
+
+
+@pytest.fixture(scope="module")
+def skewed_ids(spark):
+    return spark.range(0, 10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 20).alias("k"),
+        F.col("id").alias("row_id"),
+    )
+
+
+def test_salted_shuffle_join_matches_plain(spark, skewed_ids, dim):
+    from kafkastreamingetl_spark.operators.skew import salted_shuffle_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a real shuffle join so the salt path is actually exercised
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plain = skewed_ids.join(dim, "k").select("row_id", "k", "attr")
+        salted = salted_shuffle_join(skewed_ids, dim, "k", n_salts=4).select(
+            "row_id", "k", "attr"
+        )
+        assert sorted(plain.collect()) == sorted(salted.collect())
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_shuffle_join_left_keeps_unmatched(spark, skewed_ids, dim):
+    from kafkastreamingetl_spark.operators.skew import salted_shuffle_join
+
+    # keys 20..39 exist only in the dim; fact keys 10..19 have no dim row
+    fact = skewed_ids.filter(F.col("k") >= 10)
+    plain = fact.join(dim.filter(F.col("k") < 10), "k", "left")
+    salted = salted_shuffle_join(
+        fact, dim.filter(F.col("k") < 10), "k", n_salts=4, how="left"
+    )
+    assert sorted(r.asDict().items() for r in plain.collect()) == sorted(
+        r.asDict().items() for r in salted.collect()
+    )
+    assert salted.filter(F.col("attr").isNull()).count() == fact.count()
+
+
+def test_salted_shuffle_join_partitions_on_salt(spark, skewed_ids, dim):
+    from kafkastreamingetl_spark.operators.skew import salted_shuffle_join
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            salted_shuffle_join(skewed_ids, dim, "k", n_salts=4)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "_salt" in plan and "hashpartitioning" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
