@@ -60,6 +60,8 @@ _PRIORITY = [
     "minhash_jaccard_estimate",
     "cluster_balanced_sample",
     "salted_join_rollup",
+    "orders_above_customer_avg",
+    "events_zscore_anomalies",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

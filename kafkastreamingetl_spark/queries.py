@@ -474,6 +474,87 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Correlated scalar subqueries — the SAME ANSI text through Catalyst (which
+# decorrelates them into one aggregate + join; see the registered plan test)
+# and DuckDB. The comparison is done in exact scaled integers
+# (price×100 × count vs sum of prices×100) because a correlated AVG of
+# doubles would be order-dependent and break the hash check.
+_SQL_ABOVE_AVG = """
+    SELECT o_orderkey AS orderkey,
+           o_custkey AS custkey,
+           o_totalprice AS totalprice
+    FROM orders o
+    WHERE CAST(round(o.o_totalprice * 100) AS BIGINT)
+            * (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+          > (SELECT SUM(CAST(round(o2.o_totalprice * 100) AS BIGINT))
+             FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+@query("orders_above_customer_avg", oracle=_SQL_ABOVE_AVG)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries through the SQL door: orders priced
+    above their own customer's average. The naive reading is one aggregate
+    per outer row — quadratic; Catalyst's decorrelation rewrites both
+    subqueries into a single per-customer aggregate joined back, so the
+    plan a 100 TB user gets is scan + one agg + one join regardless of how
+    the analyst phrased it. The oracle runs the identical text, so the
+    differential pins the decorrelated semantics (including the
+    every-customer-has-orders edge both engines must agree on)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_ABOVE_AVG)
+
+
+_ZSCORE_CUT = 2.5
+
+
+@query(
+    "events_zscore_anomalies",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               CAST(COUNT(value) AS BIGINT) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS s,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))
+                        * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS ss
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (e.value - s / n) / sqrt(ss / n - (s / n) * (s / n)) AS z
+    FROM events e JOIN stats USING (event_type)
+    WHERE e.value IS NOT NULL
+      AND abs((e.value - s / n) / sqrt(ss / n - (s / n) * (s / n)))
+            > {_ZSCORE_CUT}
+    """,
+)
+def q_events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection per event type: two-pass mean/variance
+    from decimal-exact sum and sum-of-squares (order-independent, so the
+    differential is bit-exact through the double sqrt — both engines
+    evaluate the identical expression tree on identical inputs), stats
+    joined back broadcast (one row per type), outliers beyond 2.5σ kept.
+    The two scans are the price of exactness; production single-pass
+    variants use Spark's var_pop over the same grouping."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    vdec = F.col("value").cast("decimal(18,4)")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        F.sum(vdec).cast("double").alias("s"),
+        F.sum(vdec * vdec).cast("double").alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = F.col("ss") / F.col("n") - mean * mean
+    z = (F.col("value") - mean) / F.sqrt(var)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > _ZSCORE_CUT)
+    )
+
+
 _SQL_DOOR = """
     SELECT e.event_id, e.user_id, e.event_type, e.value,
            c.c_name, c.c_mktsegment, c.c_acctbal,

@@ -149,3 +149,30 @@ def test_training_set_sample_scans_documents_once(spark, sf_dir):
     assert plan.count("documents.parquet") == 1, plan
     assert plan.count("embeddings.parquet") == 1, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_correlated_subqueries_decorrelate(spark, sf_dir):
+    """orders_above_customer_avg phrases two correlated scalar subqueries;
+    Catalyst must rewrite them into per-customer aggregates joined back —
+    never a per-outer-row re-execution (no nested-loop/cartesian shape).
+    This is the plan guarantee that makes analyst-phrased SQL safe at
+    100 TB."""
+    plan = plan_of(QUERIES["orders_above_customer_avg"](spark, sf_dir))
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+    assert "HashAggregate" in plan  # the decorrelated per-customer aggs
+
+
+def test_pricing_summary_pushdown_and_pruning(spark, sf_dir):
+    """TPC-H Q1 shape: the ship-date filter must reach the parquet reader
+    and the scan must read only the consumed columns (7 of 12)."""
+    plan = plan_of(QUERIES["pricing_summary"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    assert "l_orderkey" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_top_revenue_orders_take_ordered(spark, sf_dir):
+    """Global ordered LIMIT compiles to TakeOrderedAndProject: each
+    partition surrenders its local top 10, the driver merges k-per-
+    partition rows — never a full sort of the aggregate."""
+    plan = plan_of(QUERIES["top_revenue_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
