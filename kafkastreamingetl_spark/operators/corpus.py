@@ -658,11 +658,13 @@ def quality_percentile_filter(
     threshold lets high-resource languages crowd out low-resource ones
     whose score distribution sits lower. One shuffle on lang + a sort
     within each partition; the (score, doc_id) total order makes
-    percent_rank's (rank-1)/(n-1) a deterministic double on both engines.
-    At 100 TB a language is far larger than one partition - swap the exact
-    window for approx_percentile per language (broadcast the cutoffs back)
-    exactly as the HLL lanes swap exact distincts; the exact form stays
-    for the oracle."""
+    cume_dist's rank/n a deterministic double on both engines. cume_dist
+    rather than percent_rank so a single-document language keeps its doc
+    (its only row is the maximum: cume_dist 1.0, where percent_rank would
+    be 0.0 and die to the cutoff). At 100 TB a language is far larger than
+    one partition - swap the exact window for approx_percentile per
+    language (broadcast the cutoffs back) exactly as the HLL lanes swap
+    exact distincts; the exact form stays for the oracle."""
     from .text import tokens
 
     t = tokens(F.col(text_col))
@@ -678,8 +680,8 @@ def quality_percentile_filter(
             F.col(lang_col).alias("lang"),
             score.alias("score"),
         )
-        .withColumn("pct", F.percent_rank().over(w))
-        .filter(F.col("pct") >= cutoff)
+        .withColumn("pct", F.cume_dist().over(w))
+        .filter(F.col("pct") > cutoff)
     )
 
 
@@ -700,12 +702,12 @@ def sql_quality_percentile_filter(
         FROM {table}
     )
     SELECT doc_id, lang, score,
-           percent_rank() OVER (
+           cume_dist() OVER (
                PARTITION BY lang
                ORDER BY score ASC NULLS FIRST, doc_id ASC NULLS FIRST
            ) AS pct
     FROM s
-    QUALIFY pct >= {cutoff}
+    QUALIFY pct > {cutoff}
     """
 
 

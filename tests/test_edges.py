@@ -135,3 +135,109 @@ def test_kmeans_fewer_vectors_than_k(spark):
     )
     model = fit_kmeans(df, k=8, n_iter=1)
     assert [cl for cl, _ in model] == [0, 1]
+
+
+def test_empty_documents_through_span_and_vocab_operators(spark):
+    """Empty corpus: hot-gram report, dup-span fractions, quality
+    percentile filter, vocab building, and estimator calibration all
+    yield empty results rather than crashing."""
+    from kafkastreamingetl_spark.operators.corpus import (
+        hot_ngrams,
+        quality_percentile_filter,
+        vocab_top_tokens,
+    )
+    from kafkastreamingetl_spark.operators.dedup import (
+        dup_ngram_doc_fraction,
+        minhash_jaccard_estimate,
+    )
+
+    empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    assert hot_ngrams(empty).count() == 0
+    assert dup_ngram_doc_fraction(empty).count() == 0
+    assert quality_percentile_filter(empty).count() == 0
+    assert vocab_top_tokens(empty).count() == 0
+    assert minhash_jaccard_estimate(empty).count() == 0
+
+
+def test_single_doc_language_survives_percentile_filter(spark):
+    """A language with one document keeps it: its only row is also the
+    per-language maximum (cume_dist 1.0) — the low-resource-language
+    guarantee the per-language ranking exists for."""
+    from kafkastreamingetl_spark.operators.corpus import (
+        quality_percentile_filter,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d", "rare", "s", 7),
+            (2, "x x x x x x x x", "en", "s", 15),
+            (3, "p q r s t u v w", "en", "s", 15),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    kept = {r.doc_id for r in quality_percentile_filter(df).collect()}
+    assert 1 in kept  # lone 'rare' doc survives
+
+
+def test_unique_corpus_has_no_dup_spans(spark):
+    """Documents sharing no n-gram: every dup fraction is 0 and all are
+    kept; the hot-gram report is empty at min_docs=2."""
+    from kafkastreamingetl_spark.operators.corpus import hot_ngrams
+    from kafkastreamingetl_spark.operators.dedup import dup_ngram_doc_fraction
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "s", 11),
+            (2, "g h i j k l", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dup_ngram_doc_fraction(df).collect()
+    assert len(rows) == 2
+    assert all(r.dup_grams == 0 and r.kept for r in rows)
+    assert hot_ngrams(df).count() == 0
+
+
+def test_identical_docs_fully_duplicated_spans(spark):
+    """Two identical documents: dup fraction 1.0 on both (kept=False at
+    the 0.5 default), the shared grams all reach the hot report, and the
+    MinHash estimate equals exact Jaccard 1.0 with zero error."""
+    from kafkastreamingetl_spark.operators.corpus import hot_ngrams
+    from kafkastreamingetl_spark.operators.dedup import (
+        dup_ngram_doc_fraction,
+        minhash_jaccard_estimate,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f", "en", "s", 11),
+            (2, "a b c d e f", "en", "s", 11),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = dup_ngram_doc_fraction(df).collect()
+    assert all(r.dup_frac == 1.0 and not r.kept for r in rows)
+    assert hot_ngrams(df).count() == 4  # 4 trigrams over 6 tokens
+    est = minhash_jaccard_estimate(df).collect()
+    assert len(est) == 1
+    assert est[0].est_jaccard == 1.0 == est[0].jaccard and est[0].est_err == 0.0
+
+
+def test_cluster_balanced_sample_covers_every_cluster(spark):
+    """Every non-empty cluster contributes rows, none contributes more
+    than per_cluster, and ranks are 1..m within each cluster."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        cluster_balanced_sample,
+    )
+
+    vecs = [(i, [float(i % 4)] * 64) for i in range(64)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = cluster_balanced_sample(df, per_cluster=3, k=4, n_iter=1).collect()
+    by_cluster: dict[int, list[int]] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_cluster.values())
+    assert all(len(v) <= 3 for v in by_cluster.values())
+    assert len(by_cluster) == 4
