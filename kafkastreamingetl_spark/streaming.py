@@ -390,3 +390,111 @@ def alltime_dedup_sink(
         available_now=available_now,
         trigger_seconds=trigger_seconds,
     )
+
+
+def neardup_flag_sink(
+    df: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """Streaming NEAR-duplicate detection with zero executor state: the
+    LSH-banding complement to :func:`alltime_dedup_sink` (which only
+    catches bit-exact repeats). Per micro-batch, each document's MinHash
+    band signatures probe a persisted band index of everything seen in
+    earlier batches; a shared band means "probable near-dup of an earlier
+    doc". Within-batch near-dups are caught by the same bucketed self-join
+    the batch pipeline uses (lower id wins). The report row per document:
+
+        (doc_id, n_index_bands, n_batch_partners, is_neardup, batch_id)
+
+    Flagging, not dropping, is deliberate: near-dup candidates are
+    probabilistic (band collisions), so the streaming tier marks them and
+    a downstream batch verify (exact Jaccard over the flagged minority)
+    makes the drop decision — the same candidates→verify split the batch
+    dedup family uses, stretched across the stream/batch boundary.
+
+    State discipline mirrors ``alltime_dedup_sink``: executor state zero,
+    horizon = life of the index, the index probe excludes
+    ``batch_id >= current`` so a retried batch never self-suppresses, the
+    report partition is overwritten per batch id (replay-idempotent), and
+    duplicate index rows from a replay are neutralized by the distinct
+    membership probe. Documents too short to shingle have no signatures
+    and no report row (same contract as ``minhash_signatures``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .operators.dedup import minhash_signatures
+    from .session import ensure_runtime_confs
+
+    def flag_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ensure_runtime_confs(spark)  # dynamic partition overwrite
+        sigs = minhash_signatures(batch, content_col, id_col).localCheckpoint(
+            eager=True
+        )
+        try:
+            seen = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch_id") < batch_id)
+                .select("band", "sig")
+                .distinct()
+            )
+            idx_hits = (
+                sigs.join(seen, ["band", "sig"])
+                .groupBy(id_col)
+                .agg(F.count_distinct("band").alias("n_index_bands"))
+            )
+        except AnalysisException:  # first batch: no index yet
+            idx_hits = (
+                sigs.select(id_col)
+                .limit(0)
+                .withColumn("n_index_bands", F.lit(0).cast("bigint"))
+            )
+        a = sigs.select(F.col(id_col).alias("_a"), "band", "sig")
+        batch_hits = (
+            a.join(sigs, ["band", "sig"])
+            .where(F.col("_a") < F.col(id_col))
+            .groupBy(id_col)
+            .agg(F.count_distinct("_a").alias("n_batch_partners"))
+        )
+        report = (
+            sigs.select(id_col)
+            .distinct()
+            .join(idx_hits, id_col, "left")
+            .join(batch_hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_index_bands", F.lit(0)).alias("n_index_bands"),
+                F.coalesce("n_batch_partners", F.lit(0)).alias(
+                    "n_batch_partners"
+                ),
+            )
+            .withColumn(
+                "is_neardup",
+                (F.col("n_index_bands") > 0) | (F.col("n_batch_partners") > 0),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        report.write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(index_path)
+        )
+
+    return foreach_batch_sink(
+        df,
+        flag_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
