@@ -109,6 +109,20 @@ def sql_davg(expr: str) -> str:
 HASH60_HEX_CHARS = 15
 
 
+def bind(value: Column, f) -> Column:
+    """Let-binding for expression trees: evaluate ``value`` ONCE and pass
+    the result to ``f`` as a higher-order-function lambda variable.
+
+    Spark has no ``let``, and an expression referenced inside a HOF lambda
+    is re-evaluated on every element invocation (no cross-lambda
+    subexpression elimination) — a per-element reference to an O(n)
+    expression turns a linear projection quadratic. ``transform(array(v),
+    f)[1]`` routes the evaluated value in as a bound variable: one
+    evaluation, O(1) references. Works for any value type (the singleton
+    array wrapper is type-agnostic)."""
+    return F.element_at(F.transform(F.array(value), f), 1)
+
+
 def hash60(col: str | Column) -> Column:
     """Deterministic 60-bit non-negative hash of a string column."""
     c = F.col(col) if isinstance(col, str) else col

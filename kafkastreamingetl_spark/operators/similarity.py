@@ -33,7 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import cosine, dsum, ensure_parallelism
+from ..functions import bind, cosine, dsum, ensure_parallelism
 
 # Deterministic ±1 hyperplanes (module-level so Spark literals and oracle SQL
 # derive from the same values; Python's Mersenne Twister is seed-stable).
@@ -1425,7 +1425,14 @@ def _int8_quantize(vec: Column) -> Column:
     Zero vectors quantize to all-zero codes."""
     amax = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    return F.transform(vec, lambda x: F.round(x.cast("double") * scale).cast("int"))
+    # let-bound (functions.bind): an unbound ``scale`` would re-run the
+    # amax fold on every element — 64x per vector
+    return bind(
+        scale,
+        lambda s: F.transform(
+            vec, lambda x: F.round(x.cast("double") * s).cast("int")
+        ),
+    )
 
 
 def int8_topk(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import dsum, ensure_parallelism, hash60, sql_dsum, sql_hash60
+from ..functions import bind, dsum, ensure_parallelism, hash60, sql_dsum, sql_hash60
 
 # Documents tokenize on single spaces (testdata `documents.text` is
 # single-space-separated lowercase ASCII; verified in TESTDATA probes). A
@@ -50,19 +50,11 @@ def sql_tokens(expr: str) -> str:
     return f"string_split({expr}, '{TOKEN_SEP}')"
 
 
-def _bind(value: Column, f) -> Column:
-    """Let-binding for expression trees: evaluate ``value`` ONCE and pass
-    the result to ``f`` as a lambda variable.
-
-    Spark has no ``let``; an expression referenced inside a higher-order
-    lambda is re-evaluated on every element invocation (there is no
-    cross-lambda subexpression elimination). For the gram builders that
-    meant ``split(text)`` re-ran per ``element_at`` — ~3 re-tokenizations
-    per gram, quadratic in document length (measured 2.3× on the sf0.1
-    hot-gram report, and it compounds under the 12-minhash pipeline).
-    ``transform(array(value), f)[1]`` routes the evaluated value in as a
-    bound variable instead: one evaluation, O(1) references."""
-    return F.element_at(F.transform(F.array(value), f), 1)
+# Let-binding (functions.bind): for the gram builders an unbound reference
+# meant ``split(text)`` re-ran per ``element_at`` — ~3 re-tokenizations per
+# gram, quadratic in document length (measured 2.2× on the sf0.1 hot-gram
+# report, compounding under the 12-minhash pipeline).
+_bind = bind
 
 
 def _grams_over(t: Column, n: int) -> Column:

@@ -2061,24 +2061,28 @@ def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     array<int>: the differential harness canonicalizes by sorting on every
     output column, and list-typed cells are unsortable/unhashable in pandas
     — serialization keeps the check exact without weakening it."""
+    from .functions import bind
+
     emb = _t(spark, sf_dir, "embeddings")
     amax = F.array_max(
         F.transform("embedding", lambda x: F.abs(x.cast("double")))
     )
     scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(0.0))
-    return emb.select(
-        "vec_id",
-        scale.alias("scale"),
-        F.array_join(
+    # scale is let-bound (functions.bind): an unbound reference inside the
+    # transform lambda re-runs the amax fold per element — 64x per vector
+    vec_q = bind(
+        scale,
+        lambda s: F.array_join(
             F.transform(
                 "embedding",
-                lambda x: F.round(x.cast("double") * scale)
+                lambda x: F.round(x.cast("double") * s)
                 .cast("int")
                 .cast("string"),
             ),
             ",",
-        ).alias("vec_q"),
+        ),
     )
+    return emb.select("vec_id", scale.alias("scale"), vec_q.alias("vec_q"))
 
 
 @query(
