@@ -62,6 +62,8 @@ _PRIORITY = [
     "salted_join_rollup",
     "orders_above_customer_avg",
     "events_zscore_anomalies",
+    "embedding_clusters",
+    "dedup_embeddings_semantic",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -1621,3 +1621,122 @@ def sql_cluster_balanced_sample(
     FROM fa
     QUALIFY rank <= {per_cluster}
     """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup: cluster resolution + scrub in embedding space
+# ---------------------------------------------------------------------------
+
+
+def embedding_clusters(
+    embeddings: DataFrame,
+    *,
+    min_cos: float = EMB_NEARDUP_MIN_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, cluster_id): connected components over the verified
+    embedding near-dup pairs — semantic duplicate groups, the
+    embedding-space twin of ``dedup.neardup_clusters`` (same min-label
+    propagation, same materialization discipline, reused verbatim). Only
+    vectors with at least one near-dup edge appear; singletons are their
+    own cluster by absence."""
+    from .dedup import connected_components
+
+    pairs = embedding_neardup_pairs(
+        embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+    )
+    return connected_components(
+        pairs, src_col="vec_a", dst_col="vec_b"
+    ).select(F.col("node").alias("vec_id"), "cluster_id")
+
+
+def dedup_embeddings_semantic(
+    embeddings: DataFrame,
+    *,
+    min_cos: float = EMB_NEARDUP_MIN_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, label): the semantically deduplicated corpus — one
+    canonical (min-id) survivor per embedding-cosine duplicate cluster,
+    singletons untouched. The anti-join's right side is the non-survivor
+    set (duplicate-fraction-sized, AQE broadcasts it); the corpus never
+    reshuffles. This is the modern 'SemDeDup'-shaped step a training
+    pipeline runs after text-level dedup: copies that paraphrase past
+    MinHash but embed to the same point."""
+    labels = embedding_clusters(
+        embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+    )
+    losers = labels.filter(F.col("vec_id") != F.col("cluster_id")).select(
+        "vec_id"
+    )
+    return embeddings.select(id_col, "label").join(
+        losers, id_col, "left_anti"
+    )
+
+
+def _sql_emb_components_ctes(
+    table: str = "embeddings", *, min_cos: float = EMB_NEARDUP_MIN_COS
+) -> str:
+    """Recursive-CTE chain ending in ``clusters(node, cluster_id)`` — the
+    DuckDB fixpoint twin of :func:`embedding_clusters` (same shape as
+    ``dedup._sql_components_ctes`` over cosine edges)."""
+    flip = (
+        "substr(bucket, 1, i) || "
+        "(CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, i + 2, {ANN_N_PLANES})"
+    )
+    return f"""
+    corpus AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM {table}
+    ),
+    probes AS (
+        SELECT vec_id, embedding, bucket AS probe FROM corpus
+        UNION ALL
+        SELECT vec_id, embedding, {flip} AS probe
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, {ANN_N_PLANES})) AS i) f
+    ),
+    pairs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM probes a JOIN corpus b ON a.probe = b.bucket
+        WHERE a.vec_id < b.vec_id
+          AND {sql_cosine('a.embedding', 'b.embedding')} >= {min_cos}
+    ),
+    edges AS (
+        SELECT vec_a AS src, vec_b AS dst FROM pairs
+        UNION ALL
+        SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(node, r) AS (
+        SELECT DISTINCT src, src FROM edges
+        UNION
+        SELECT e.src, reach.r
+        FROM edges e JOIN reach ON e.dst = reach.node
+    ),
+    clusters AS (
+        SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node
+    )
+    """
+
+
+def sql_embedding_clusters(
+    table: str = "embeddings", *, min_cos: float = EMB_NEARDUP_MIN_COS
+) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_emb_components_ctes(table, min_cos=min_cos)}
+    SELECT node AS vec_id, cluster_id FROM clusters
+    """
+
+
+def sql_dedup_embeddings_semantic(
+    table: str = "embeddings", *, min_cos: float = EMB_NEARDUP_MIN_COS
+) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_emb_components_ctes(table, min_cos=min_cos)}
+    SELECT e.vec_id, e.label FROM {table} e
+    ANTI JOIN (
+        SELECT node FROM clusters WHERE node <> cluster_id
+    ) l ON e.vec_id = l.node
+    """

@@ -1777,6 +1777,27 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+@query("embedding_clusters", oracle=sim_ops.sql_embedding_clusters())
+def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic duplicate groups: connected components over verified
+    embedding-cosine near-dup pairs — the embedding-space twin of
+    neardup_clusters, validated against a recursive-CTE fixpoint
+    (operators/similarity.py embedding_clusters)."""
+    return sim_ops.embedding_clusters(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "dedup_embeddings_semantic",
+    oracle=sim_ops.sql_dedup_embeddings_semantic(),
+)
+def q_dedup_embeddings_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped scrub: one canonical min-id survivor per semantic
+    duplicate cluster, singletons untouched — catches paraphrased copies
+    that pass MinHash but embed to the same point
+    (operators/similarity.py dedup_embeddings_semantic)."""
+    return sim_ops.dedup_embeddings_semantic(_t(spark, sf_dir, "embeddings"))
+
+
 @query("embedding_ivf_topk", oracle=sim_ops.sql_ann_ivf_topk())
 def q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style ANN: fit label centroids (decimal-exact means), assign

@@ -241,3 +241,27 @@ def test_cluster_balanced_sample_covers_every_cluster(spark):
     assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_cluster.values())
     assert all(len(v) <= 3 for v in by_cluster.values())
     assert len(by_cluster) == 4
+
+
+def test_semantic_dedup_planted_cluster(spark):
+    """Three identical vectors + one distinct: the identical trio resolves
+    to one cluster labeled by its min id, the scrub keeps exactly the
+    min-id survivor plus the singleton."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        dedup_embeddings_semantic,
+        embedding_clusters,
+    )
+
+    rows = [
+        (5, [1.0, 2.0] * 32, 0),
+        (7, [1.0, 2.0] * 32, 0),
+        (9, [1.0, 2.0] * 32, 0),
+        (11, [-3.0, 1.0] * 32, 1),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int"
+    )
+    clusters = {r.vec_id: r.cluster_id for r in embedding_clusters(df).collect()}
+    assert clusters == {5: 5, 7: 5, 9: 5}  # singleton 11 absent by contract
+    kept = sorted(r.vec_id for r in dedup_embeddings_semantic(df).collect())
+    assert kept == [5, 11]
