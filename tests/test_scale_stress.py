@@ -59,6 +59,9 @@ STRESS_QUERIES = [
     "dup_ngram_doc_fraction",
     "minhash_jaccard_estimate",
     "cluster_balanced_sample",
+    # semantic dedup: cluster count and closure depth grow with corpus
+    "embedding_clusters",
+    "dedup_embeddings_semantic",
 ]
 
 pytestmark = pytest.mark.slow
