@@ -64,6 +64,7 @@ _PRIORITY = [
     "events_zscore_anomalies",
     "embedding_clusters",
     "dedup_embeddings_semantic",
+    "daily_dense_series",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

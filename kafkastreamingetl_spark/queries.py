@@ -29,6 +29,7 @@ from .operators import pipeline as pipe_ops
 from .operators import quality as quality_ops
 from .operators import similarity as sim_ops
 from .operators import streamjoin as sj_ops
+from .operators import timeseries as ts_ops
 from .operators import text as text_ops
 from .operators.cleaning import clean_events
 from .operators.enrichment import enrich_events
@@ -553,6 +554,15 @@ def q_events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > _ZSCORE_CUT)
     )
+
+
+@query("daily_dense_series", oracle=ts_ops.sql_daily_dense_series())
+def q_daily_dense_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled dense daily series per event type: zero-filled additive
+    metrics, forward-filled closing value, is_observed marker — the
+    relational resample/gap-fill reshape downstream forecasting needs
+    (operators/timeseries.py daily_dense_series)."""
+    return ts_ops.daily_dense_series(_t(spark, sf_dir, "events"))
 
 
 _SQL_DOOR = """

@@ -265,3 +265,37 @@ def test_semantic_dedup_planted_cluster(spark):
     assert clusters == {5: 5, 7: 5, 9: 5}  # singleton 11 absent by contract
     kept = sorted(r.vec_id for r in dedup_embeddings_semantic(df).collect())
     assert kept == [5, 11]
+
+
+def test_daily_dense_series_gapfill_semantics(spark):
+    """Planted gaps: missing days appear with zero-filled additive metrics
+    and the forward-filled close; days before a key's first observation
+    close at the 0.0 sentinel; is_observed marks real rows only."""
+    from kafkastreamingetl_spark.operators.timeseries import daily_dense_series
+
+    rows = [
+        # key "a": days 1 and 4 observed; 2-3 are gaps
+        (1, "2024-01-01 10:00:00", 1, "a", 5.0, "{}"),
+        (2, "2024-01-01 11:00:00", 1, "a", 7.0, "{}"),  # later event: close
+        (3, "2024-01-04 09:00:00", 1, "a", 9.0, "{}"),
+        # key "b": first observed on day 3
+        (4, "2024-01-03 09:00:00", 2, "b", 4.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {(r.key, str(r.day)): r for r in daily_dense_series(df).collect()}
+    assert len(out) == 8  # 2 keys x 4 days
+    a1 = out[("a", "2024-01-01")]
+    assert a1.revenue == 12.0 and a1.n_events == 2 and a1.close == 7.0
+    assert a1.is_observed
+    a2 = out[("a", "2024-01-02")]
+    assert a2.revenue == 0.0 and a2.n_events == 0 and a2.close == 7.0
+    assert not a2.is_observed
+    assert out[("a", "2024-01-04")].close == 9.0
+    b1 = out[("b", "2024-01-01")]
+    assert b1.close == 0.0 and not b1.is_observed  # before first observation
+    assert out[("b", "2024-01-03")].close == 4.0
+    assert out[("b", "2024-01-04")].close == 4.0  # forward-filled
