@@ -2270,3 +2270,54 @@ def a_value_percentiles_tdigest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.99)).alias("p99"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@approx_variant(
+    "quality_percentile_filter_approx", twin="quality_percentile_filter"
+)
+def a_quality_percentile_filter_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The production path the exact twin's docstring prescribes: per-lang
+    cutoff from approx_percentile (fixed-size mergeable sketch — one agg,
+    no per-language sort), broadcast back, filter. At 100 TB the exact
+    within-language window sort is the bottleneck; this is the standard
+    sketch swap."""
+    from .operators.corpus import QP_CUTOFF
+    from .operators.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        (
+            F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+        ).alias("score"),
+    )
+    cuts = scored.groupBy("lang").agg(
+        F.approx_percentile("score", F.lit(QP_CUTOFF)).alias("_cut")
+    )
+    return (
+        scored.join(F.broadcast(cuts), "lang")
+        .filter(F.col("score") >= F.col("_cut"))
+        .select("doc_id", "lang", "score")
+    )
+
+
+@approx_variant("events_zscore_single_pass", twin="events_zscore_anomalies")
+def a_events_zscore_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass production variant: var_pop/avg instead of the exact
+    decimal sum/sum-of-squares pair (float accumulation order makes the
+    result run-dependent in the last ulps — fine in production, not
+    hash-checkable)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mean"), F.var_pop("value").alias("_var")
+    )
+    z = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("z"))
+        .filter(F.abs(F.col("z")) > 2.5)
+    )

@@ -63,3 +63,40 @@ def test_approx_percentile_within_tolerance(spark, events):
     assert joined
     for r in joined:
         assert abs(r.p95a - r.p95) <= 0.05 * abs(r.p95) + 1e-9
+
+
+def test_percentile_filter_approx_near_exact(spark, sf_dir):
+    """The sketch-cutoff variant keeps nearly the same document set as the
+    exact per-language window: symmetric difference bounded by sketch
+    error at the quartile boundary."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.doc_id for r in QUERIES["quality_percentile_filter"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.doc_id
+        for r in APPROX_VARIANTS["quality_percentile_filter_approx"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert len(exact) > 0
+    sym = len(exact ^ approx)
+    assert sym <= max(5, 0.05 * len(exact)), (len(exact), len(approx), sym)
+
+
+def test_zscore_single_pass_matches_exact_rows(spark, sf_dir):
+    """var_pop differs from the decimal sum-of-squares only in float
+    accumulation order; the anomaly SET at a 2.5-sigma cutoff must agree
+    except for values sitting within ulps of the boundary."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.event_id for r in QUERIES["events_zscore_anomalies"](spark, sf_dir).collect()
+    }
+    single = {
+        r.event_id
+        for r in APPROX_VARIANTS["events_zscore_single_pass"](spark, sf_dir).collect()
+    }
+    assert len(exact) > 0
+    assert len(exact ^ single) <= max(1, 0.01 * len(exact))
