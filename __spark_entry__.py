@@ -65,6 +65,7 @@ _PRIORITY = [
     "embedding_clusters",
     "dedup_embeddings_semantic",
     "daily_dense_series",
+    "strip_boilerplate",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

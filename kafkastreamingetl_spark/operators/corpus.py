@@ -785,3 +785,124 @@ def sql_vocab_top_tokens(
     FROM c
     QUALIFY rank <= {top}
     """
+
+
+# ---------------------------------------------------------------------------
+# boilerplate stripping: remove hot-n-gram spans from documents
+# ---------------------------------------------------------------------------
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    *,
+    min_docs: int = HOT_NGRAM_MIN_DOCS,
+    top: int = HOT_NGRAM_TOP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, text_clean, n_tokens, n_removed): documents with every
+    token covered by a hot-n-gram occurrence removed — the scrub step the
+    :func:`hot_ngrams` report feeds (C4-style boilerplate removal, span
+    semantics: a token is dropped iff ANY hot gram occurrence covers it,
+    so overlapping occurrences union rather than double-count).
+
+    The hot-gram set is corpus-derived (one aggregate) and rides into the
+    per-document pass as a single broadcast row — the same
+    report-then-scrub split as eval_contamination/decontaminated_corpus,
+    so the corpus itself never reshuffles. Token-position logic runs in
+    bound-variable array expressions (functions.bind): per token, a
+    membership scan over the doc's hot-gram START positions — starts are
+    few, so the scan is effectively linear in document length."""
+    from ..functions import bind
+    from .text import SHINGLE_N, TOKEN_SEP, _grams_over, tokens
+
+    n = SHINGLE_N
+    hot = hot_ngrams(
+        df, min_docs=min_docs, top=top, text_col=text_col, id_col=id_col
+    ).select("gram")
+    hotset = hot.agg(F.collect_set("gram").alias("_hot"))
+
+    def clean(t: Column, hotarr: Column) -> Column:
+        grams = _grams_over(t, n)
+        return bind(
+            F.filter(
+                F.transform(grams, lambda g, i: F.when(
+                    F.array_contains(hotarr, g), i + 1
+                )),
+                lambda s: s.isNotNull(),
+            ),
+            lambda starts: F.concat_ws(
+                TOKEN_SEP,
+                F.filter(
+                    t,
+                    lambda _tok, j0: F.size(
+                        F.filter(
+                            starts,
+                            lambda i: (i <= j0 + 1) & (j0 + 1 < i + n),
+                        )
+                    )
+                    == 0,
+                ),
+            ),
+        )
+
+    out = df.crossJoin(F.broadcast(hotset)).select(
+        F.col(id_col).alias("doc_id"),
+        bind(
+            tokens(F.col(text_col)),
+            lambda t: F.struct(
+                F.size(t).alias("n_tokens"),
+                clean(t, F.col("_hot")).alias("text_clean"),
+            ),
+        ).alias("_r"),
+    )
+    return out.select(
+        "doc_id",
+        F.col("_r.text_clean").alias("text_clean"),
+        F.col("_r.n_tokens").cast("bigint").alias("n_tokens"),
+        (
+            F.col("_r.n_tokens")
+            - F.when(
+                F.col("_r.text_clean") == "", F.lit(0)
+            ).otherwise(F.size(F.split(F.col("_r.text_clean"), TOKEN_SEP)))
+        ).cast("bigint").alias("n_removed"),
+    )
+
+
+def sql_strip_boilerplate(
+    table: str = "documents",
+    *,
+    min_docs: int = HOT_NGRAM_MIN_DOCS,
+    top: int = HOT_NGRAM_TOP,
+    text_col: str = "text",
+) -> str:
+    from .text import SHINGLE_N, sql_gram_strings_over_w, sql_tokens
+
+    n = SHINGLE_N
+    hot_sql = sql_hot_ngrams(
+        table, min_docs=min_docs, top=top, text_col=text_col
+    )
+    return f"""
+    WITH hotrep AS ({hot_sql}),
+    hotset AS (SELECT list(gram) AS hot FROM hotrep),
+    docs AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    marked AS (
+        SELECT doc_id, w,
+               [i for i in range(1, greatest(len(w) - {n - 2}, 1))
+                if list_contains(hotset.hot, {sql_gram_strings_over_w(n)}[i])]
+                 AS starts
+        FROM docs CROSS JOIN hotset
+    )
+    SELECT doc_id,
+           array_to_string(
+               [w[j] for j in range(1, len(w) + 1)
+                if len([i for i in starts if i <= j AND j < i + {n}]) = 0],
+               ' ') AS text_clean,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(w) - len([w[j] for j in range(1, len(w) + 1)
+                if len([i for i in starts if i <= j AND j < i + {n}]) = 0])
+                AS BIGINT) AS n_removed
+    FROM marked
+    """

@@ -1641,6 +1641,15 @@ def q_hot_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.hot_ngrams(_t(spark, sf_dir, "documents"))
 
 
+@query("strip_boilerplate", oracle=corpus_ops.sql_strip_boilerplate())
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrub the hot-gram report feeds: every token covered by a hot
+    n-gram occurrence removed (span-union semantics), corpus-derived hot
+    set broadcast in as one row — C4-style boilerplate removal
+    (operators/corpus.py strip_boilerplate)."""
+    return corpus_ops.strip_boilerplate(_t(spark, sf_dir, "documents"))
+
+
 @query("dup_ngram_doc_fraction", oracle=dedup_ops.sql_dup_ngram_doc_fraction())
 def q_dup_ngram_doc_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level duplication filter: per-document fraction of word n-grams
