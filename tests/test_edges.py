@@ -299,3 +299,50 @@ def test_daily_dense_series_gapfill_semantics(spark):
     assert b1.close == 0.0 and not b1.is_observed  # before first observation
     assert out[("b", "2024-01-03")].close == 4.0
     assert out[("b", "2024-01-04")].close == 4.0  # forward-filled
+
+
+def test_strip_boilerplate_edges(spark):
+    """Empty corpus → empty result; an all-boilerplate doc strips to the
+    empty string with n_removed == n_tokens; a no-hot-gram corpus passes
+    through untouched."""
+    from kafkastreamingetl_spark.operators.corpus import strip_boilerplate
+
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    empty = spark.createDataFrame([], schema)
+    assert strip_boilerplate(empty).count() == 0
+
+    dup = spark.createDataFrame(
+        [(1, "a b c", "en", "s", 5), (2, "a b c", "en", "s", 5)], schema
+    )
+    rows = {r.doc_id: r for r in strip_boilerplate(dup, min_docs=2).collect()}
+    assert rows[1].text_clean == "" and rows[1].n_removed == 3
+    assert rows[2].text_clean == "" and rows[2].n_removed == 3
+
+    uniq = spark.createDataFrame(
+        [(1, "a b c d", "en", "s", 7), (2, "e f g h", "en", "s", 7)], schema
+    )
+    out = {r.doc_id: r for r in strip_boilerplate(uniq, min_docs=2).collect()}
+    assert out[1].text_clean == "a b c d" and out[1].n_removed == 0
+
+
+def test_daily_dense_series_empty_and_null_keys(spark):
+    """Empty input → empty grid; null-key events are excluded from the
+    series entirely (no phantom key)."""
+    from kafkastreamingetl_spark.operators.timeseries import daily_dense_series
+    from kafkastreamingetl_spark.sources import EVENT_SCHEMA
+
+    empty = spark.createDataFrame([], schema=EVENT_SCHEMA)
+    assert daily_dense_series(empty).count() == 0
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, None, 5.0, "{}"),
+        (2, "2024-01-02 10:00:00", 1, "a", 3.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = daily_dense_series(df).collect()
+    assert {r.key for r in out} == {"a"}
+    assert len(out) == 1  # span starts at the first non-null-key event

@@ -62,6 +62,12 @@ STRESS_QUERIES = [
     # semantic dedup: cluster count and closure depth grow with corpus
     "embedding_clusters",
     "dedup_embeddings_semantic",
+    # scan/join-heavy OLAP + reshape additions at 10× the fact rows
+    "pricing_summary",
+    "top_revenue_orders",
+    "orders_above_customer_avg",
+    "daily_dense_series",
+    "strip_boilerplate",
 ]
 
 pytestmark = pytest.mark.slow
