@@ -66,6 +66,8 @@ _PRIORITY = [
     "dedup_embeddings_semantic",
     "daily_dense_series",
     "strip_boilerplate",
+    "customer_order_distribution",
+    "events_column_profile",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -69,3 +69,71 @@ def sql_events_quality_report(table: str = "events") -> str:
            COUNT(*) - COUNT(DISTINCT event_id) AS dup_event_ids
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# column profiling (Deequ-style table statistics)
+# ---------------------------------------------------------------------------
+
+
+def profile_columns(
+    df: DataFrame, cols: list[str], *, approx: bool = False
+) -> DataFrame:
+    """(col_name, n_rows, n_nulls, n_distinct, null_frac): per-column
+    profile of a table in ONE scan — the statistics pass a pipeline runs
+    before trusting a new data drop (and the inputs to null-rate alerts
+    and cardinality-drift checks).
+
+    All per-column aggregates ride in a single ``agg`` as an array of
+    structs, exploded to long form afterwards — one job regardless of how
+    many columns are profiled; the shuffle carries one partial-state row
+    per partition. Exact distincts make the result hash-checkable (each
+    adds an Expand pass — the oracle trade); ``approx=True`` swaps them
+    for one-pass HLL sketches, the production profile at 100 TB.
+    """
+    nd = F.approx_count_distinct if approx else F.count_distinct
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.coalesce(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_nulls"),
+            nd(F.col(c)).cast("bigint").alias("n_distinct"),
+        )
+        for c in cols
+    ]
+    wide = df.agg(
+        F.count(F.lit(1)).alias("n_rows"), F.array(*structs).alias("_p")
+    )
+    return wide.select("n_rows", F.explode("_p").alias("p")).select(
+        F.col("p.col_name").alias("col_name"),
+        "n_rows",
+        F.col("p.n_nulls").alias("n_nulls"),
+        F.col("p.n_distinct").alias("n_distinct"),
+        F.when(F.col("n_rows") > 0, F.col("p.n_nulls").cast("double") / F.col("n_rows"))
+        .otherwise(F.lit(0.0))
+        .alias("null_frac"),
+    )
+
+
+def sql_profile_columns(table: str, cols: list[str]) -> str:
+    parts = [
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_nulls,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct
+    FROM {table}"""
+        for c in cols
+    ]
+    union = "\n    UNION ALL".join(parts)
+    return f"""
+    WITH p AS ({union})
+    SELECT col_name, n_rows, n_nulls, n_distinct,
+           CASE WHEN n_rows > 0
+                THEN CAST(n_nulls AS DOUBLE) / n_rows ELSE 0.0 END AS null_frac
+    FROM p
+    """

@@ -475,6 +475,41 @@ def q_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "customer_order_distribution",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY 1
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM per_cust
+    GROUP BY 1
+    """,
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q13 shape: how many customers placed exactly N orders —
+    a LEFT join (zero-order customers must appear as c_count 0, which an
+    inner join silently loses) followed by two aggregations. The second
+    groupBy's input is customer-cardinality and its output is the tiny
+    distribution histogram, so the expensive join+count happens once and
+    everything after shrinks; COUNT(o_orderkey) (not COUNT(*)) gives the
+    unmatched-row 0 both engines agree on."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
 # Correlated scalar subqueries — the SAME ANSI text through Catalyst (which
 # decorrelates them into one aggregate + join; see the registered plan test)
 # and DuckDB. The comparison is done in exact scaled integers
@@ -1398,6 +1433,23 @@ def q_events_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ===========================================================================
 # LLM-data-pipeline extensions: text / dedup / similarity / multimodal
 # ===========================================================================
+
+
+_PROFILE_COLS = ["event_id", "user_id", "event_type", "value", "props"]
+
+
+@query(
+    "events_column_profile",
+    oracle=quality_ops.sql_profile_columns("events", _PROFILE_COLS),
+)
+def q_events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style column profiling in one scan: per-column null counts,
+    exact distinct cardinality, and null fraction as long-form rows — the
+    trust-a-new-drop statistics pass; approx=True is the HLL production
+    lane (operators/quality.py profile_columns)."""
+    return quality_ops.profile_columns(
+        _t(spark, sf_dir, "events"), _PROFILE_COLS
+    )
 
 
 @query("doc_token_stats", oracle=text_ops.sql_doc_token_stats())
@@ -2329,4 +2381,13 @@ def a_events_zscore_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
         .filter(F.abs(F.col("z")) > 2.5)
+    )
+
+
+@approx_variant("events_column_profile_hll", twin="events_column_profile")
+def a_events_column_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass HLL profile: every per-column distinct becomes a mergeable
+    sketch — no Expand passes, the production profile shape."""
+    return quality_ops.profile_columns(
+        _t(spark, sf_dir, "events"), _PROFILE_COLS, approx=True
     )

@@ -346,3 +346,41 @@ def test_daily_dense_series_empty_and_null_keys(spark):
     out = daily_dense_series(df).collect()
     assert {r.key for r in out} == {"a"}
     assert len(out) == 1  # span starts at the first non-null-key event
+
+
+def test_profile_columns_counts_and_empty(spark):
+    """Planted nulls/duplicates profile exactly; the empty table yields a
+    zero profile row per column (never a crash or a null fraction)."""
+    from kafkastreamingetl_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (4, None)], "id long, s string"
+    )
+    out = {r.col_name: r for r in profile_columns(df, ["id", "s"]).collect()}
+    assert out["id"].n_nulls == 0 and out["id"].n_distinct == 4
+    assert out["s"].n_nulls == 2 and out["s"].n_distinct == 1
+    assert out["s"].null_frac == 0.5
+
+    empty = spark.createDataFrame([], "id long, s string")
+    rows = profile_columns(empty, ["id", "s"]).collect()
+    assert len(rows) == 2
+    assert all(
+        r.n_rows == 0 and r.n_nulls == 0 and r.n_distinct == 0
+        and r.null_frac == 0.0
+        for r in rows
+    )
+
+
+def test_order_distribution_keeps_zero_order_customers(spark):
+    """The LEFT join must surface customers with no orders as c_count 0 —
+    the row an inner join silently drops."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    out = {
+        r.c_count: r.n_customers
+        for r in QUERIES["customer_order_distribution"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert sum(out.values()) > 0
+    assert all(k >= 0 for k in out)
