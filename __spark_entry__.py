@@ -68,6 +68,8 @@ _PRIORITY = [
     "strip_boilerplate",
     "customer_order_distribution",
     "events_column_profile",
+    "late_order_priority",
+    "events_dow_hour_heatmap",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

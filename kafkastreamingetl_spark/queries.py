@@ -510,6 +510,62 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# TPC-H Q4 shape through the SQL door: correlated EXISTS with an extra
+# per-row condition — the SAME text in both engines; Catalyst must rewrite
+# it to a left-semi join (plan-asserted), never a per-row subquery.
+_SQL_LATE_ORDERS = """
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_late_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY 1
+"""
+
+
+@query("late_order_priority", oracle=_SQL_LATE_ORDERS)
+def q_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q4 shape: orders with at least one line shipped more than
+    90 days after order placement, counted by priority. EXISTS with a
+    correlated inequality compiles to a left-semi join with the date
+    comparison as a join condition — each order tests membership once, no
+    duplication from multi-line orders and no per-row subquery."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATE_ORDERS)
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle=f"""
+    SELECT ((CAST(ts AS DATE) - DATE '2024-01-01') % 7)::INT AS dow_idx,
+           EXTRACT(hour FROM ts)::INT AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def q_events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap: the day-of-week × hour-of-day matrix every ops
+    dashboard starts from. Day index is day-difference-mod-7 from a fixed
+    Monday anchor (the same calendar-neutral idiom as cohort_retention —
+    engine dow() conventions disagree on week start, arithmetic does not);
+    one map-side-combined aggregation over at most 168 cells."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy(
+        (
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")) % 7
+        ).cast("int").alias("dow_idx"),
+        F.hour("ts").cast("int").alias("hour"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
 # Correlated scalar subqueries — the SAME ANSI text through Catalyst (which
 # decorrelates them into one aggregate + join; see the registered plan test)
 # and DuckDB. The comparison is done in exact scaled integers

@@ -176,3 +176,12 @@ def test_top_revenue_orders_take_ordered(spark, sf_dir):
     partition rows — never a full sort of the aggregate."""
     plan = plan_of(QUERIES["top_revenue_orders"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_exists_compiles_to_semi_join(spark, sf_dir):
+    """late_order_priority's correlated EXISTS must become a left-semi
+    join (membership tested once per order, date predicate as a join
+    condition) — never a per-row subquery or nested loop."""
+    plan = plan_of(QUERIES["late_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
