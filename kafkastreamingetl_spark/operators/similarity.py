@@ -1628,6 +1628,14 @@ def sql_cluster_balanced_sample(
 # ---------------------------------------------------------------------------
 
 
+# Resolved semantic-cluster labels, memoized per (session, input plan,
+# threshold) — same discipline as dedup._CLUSTERS_CACHE: the closure is an
+# eager checkpointed computation, so clusters + scrub + any downstream
+# consumer over one corpus resolve components once, not once per query.
+_EMB_CLUSTERS_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_EMB_CLUSTERS_CACHE_MAX = 8
+
+
 def embedding_clusters(
     embeddings: DataFrame,
     *,
@@ -1638,17 +1646,32 @@ def embedding_clusters(
     """(vec_id, cluster_id): connected components over the verified
     embedding near-dup pairs — semantic duplicate groups, the
     embedding-space twin of ``dedup.neardup_clusters`` (same min-label
-    propagation, same materialization discipline, reused verbatim). Only
-    vectors with at least one near-dup edge appear; singletons are their
-    own cluster by absence."""
+    propagation, same materialization discipline, reused verbatim,
+    including the bounded label memo). Only vectors with at least one
+    near-dup edge appear; singletons are their own cluster by absence."""
     from .dedup import connected_components
 
-    pairs = embedding_neardup_pairs(
-        embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+    key = (
+        embeddings.sparkSession.sparkContext.applicationId,
+        embeddings.semanticHash(),
+        id_col,
+        vec_col,
+        round(min_cos, 9),
     )
-    return connected_components(
-        pairs, src_col="vec_a", dst_col="vec_b"
-    ).select(F.col("node").alias("vec_id"), "cluster_id")
+    labels = _EMB_CLUSTERS_CACHE.get(key)
+    if labels is None:
+        pairs = embedding_neardup_pairs(
+            embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+        )
+        labels = connected_components(
+            pairs, src_col="vec_a", dst_col="vec_b"
+        ).select(F.col("node").alias("vec_id"), "cluster_id")
+        _EMB_CLUSTERS_CACHE[key] = labels
+        while len(_EMB_CLUSTERS_CACHE) > _EMB_CLUSTERS_CACHE_MAX:
+            _EMB_CLUSTERS_CACHE.popitem(last=False)  # checkpoint RDD → GC
+    else:
+        _EMB_CLUSTERS_CACHE.move_to_end(key)
+    return labels
 
 
 def dedup_embeddings_semantic(
