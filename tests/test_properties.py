@@ -325,3 +325,27 @@ def test_percentile_filter_keeps_per_language_majority(spark, rows):
     assert {r.lang for r in kept} == {r.lang for r in df.select("lang").collect()}
     # the keep fraction per language is ≥ 1 - cutoff (within the 1-row grain)
     assert len(kept) >= (1 - QP_CUTOFF) * n_in - 1
+
+
+@SLOW
+@given(doc_corpora)
+def test_strip_boilerplate_laws(spark, rows):
+    """Output tokens are an order-preserving subsequence of the input;
+    n_removed accounts exactly for the difference; a doc sharing no gram
+    with any other doc is untouched."""
+    from kafkastreamingetl_spark.operators.corpus import strip_boilerplate
+
+    df = _corpus_df(spark, rows)
+    texts = {i: " ".join(words) for i, (_, words) in enumerate(rows)}
+    out = {r.doc_id: r for r in strip_boilerplate(df, min_docs=2).collect()}
+    assert set(out) == set(texts)
+    for i, r in out.items():
+        orig = texts[i].split(" ") if texts[i] else [""]
+        clean = r.text_clean.split(" ") if r.text_clean else []
+        # subsequence check
+        it = iter(orig)
+        assert all(any(tok == o for o in it) for tok in clean), (orig, clean)
+        kept = len(clean)
+        assert r.n_removed == r.n_tokens - kept or (
+            r.text_clean == "" and r.n_removed == r.n_tokens
+        )
