@@ -68,6 +68,9 @@ STRESS_QUERIES = [
     "orders_above_customer_avg",
     "daily_dense_series",
     "strip_boilerplate",
+    "customer_order_distribution",
+    "late_order_priority",
+    "events_column_profile",
 ]
 
 pytestmark = pytest.mark.slow
