@@ -70,6 +70,7 @@ _PRIORITY = [
     "events_column_profile",
     "late_order_priority",
     "events_dow_hour_heatmap",
+    "embedding_ann_multitable",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -39,12 +39,25 @@ from ..functions import bind, cosine, dsum, ensure_parallelism
 # derive from the same values; Python's Mersenne Twister is seed-stable).
 ANN_N_PLANES = 8
 ANN_DIM = 64
-_rng = random.Random(7)
-ANN_PLANES: tuple[tuple[float, ...], ...] = tuple(
-    tuple(1.0 if _rng.random() < 0.5 else -1.0 for _ in range(ANN_DIM))
-    for _ in range(ANN_N_PLANES)
+
+
+def _make_planes(seed: int) -> tuple[tuple[float, ...], ...]:
+    rng = random.Random(seed)
+    return tuple(
+        tuple(1.0 if rng.random() < 0.5 else -1.0 for _ in range(ANN_DIM))
+        for _ in range(ANN_N_PLANES)
+    )
+
+
+# Independent signature tables (the OTHER standard LSH recall dial next to
+# multi-probe): seeds are fixed so both engines derive identical planes.
+# Table 0 is the original single-table plane set — every existing consumer
+# keeps its exact signatures.
+ANN_TABLE_SEEDS = (7, 11, 13)
+ANN_TABLES: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
+    _make_planes(s) for s in ANN_TABLE_SEEDS
 )
-del _rng
+ANN_PLANES: tuple[tuple[float, ...], ...] = ANN_TABLES[0]
 
 
 def _sgn_dot_plane(vec: Column, plane: tuple[float, ...]) -> Column:
@@ -58,9 +71,11 @@ def _sgn_dot_plane(vec: Column, plane: tuple[float, ...]) -> Column:
     return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
 
 
-def bucket_signature(vec: Column) -> Column:
+def bucket_signature(
+    vec: Column, planes: tuple[tuple[float, ...], ...] = ANN_PLANES
+) -> Column:
     """Concatenated sign bits against every hyperplane → bucket id string."""
-    return F.concat(*[_sgn_dot_plane(vec, p) for p in ANN_PLANES])
+    return F.concat(*[_sgn_dot_plane(vec, p) for p in planes])
 
 
 def _topk_two_stage(scored: DataFrame, k: int) -> DataFrame:
@@ -489,9 +504,11 @@ def sql_cosine_topk(
     """
 
 
-def _sql_bucket(vec: str) -> str:
+def _sql_bucket(
+    vec: str, planes: tuple[tuple[float, ...], ...] = ANN_PLANES
+) -> str:
     bits = []
-    for plane in ANN_PLANES:
+    for plane in planes:
         arr = "[" + ", ".join(str(p) for p in plane) + "]::DOUBLE[]"
         dot = _SQL_DOT.format(a=vec, b=arr)
         bits.append(f"CASE WHEN {dot} > 0 THEN '1' ELSE '0' END")
@@ -1762,4 +1779,113 @@ def sql_dedup_embeddings_semantic(
     ANTI JOIN (
         SELECT node FROM clusters WHERE node <> cluster_id
     ) l ON e.vec_id = l.node
+    """
+
+
+# ---------------------------------------------------------------------------
+# multi-table hyperplane LSH: the independent-tables recall dial
+# ---------------------------------------------------------------------------
+
+
+def ann_multitable_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    n_tables: int = len(ANN_TABLES),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Approximate top-k over ``n_tables`` INDEPENDENT hyperplane signature
+    tables: a neighbor is found if it shares the query's bucket in ANY
+    table — miss probability decays exponentially with table count
+    ((1 - p^b)^T), the other standard LSH recall dial next to multi-probe
+    (which explores adjacent buckets of ONE table).
+
+    One corpus scan computes all T signatures and ``posexplode``s to
+    (table, bucket) rows — corpus-side volume ×T is the explicit price
+    (vs multi-probe's query-side-only explosion); in exchange, tables are
+    independent draws, so recall gains persist where multi-probe saturates
+    (a neighbor differing on 2+ planes of table 0 can still collide in
+    table 1). The (query, vector) pairs found by several tables collapse
+    via max-aggregation of the identical cosine BEFORE ranking — exact,
+    order-free, no window over duplicates."""
+    tables = ANN_TABLES[:n_tables]
+    q_sigs = F.array(
+        *[bucket_signature(F.col(query_vec_col), planes=t) for t in tables]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.posexplode(q_sigs).alias("_t", "_bucket"),
+        )
+    )
+    c_sigs = F.array(
+        *[bucket_signature(F.col(vec_col), planes=t) for t in tables]
+    )
+    corpus = ensure_parallelism(embeddings).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col),
+        F.posexplode(c_sigs).alias("_t", "_bucket"),
+    )
+    scored = (
+        corpus.join(q, ["_t", "_bucket"])
+        .filter(F.col("vec_id") != F.col(query_id_col))
+        .select(
+            query_id_col,
+            "vec_id",
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+        .groupBy(query_id_col, "vec_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    return _topk_two_stage(scored, k)
+
+
+def sql_ann_multitable_topk(
+    table: str = "embeddings",
+    k: int = 10,
+    n_queries: int = 8,
+    *,
+    n_tables: int = len(ANN_TABLES),
+) -> str:
+    tables = ANN_TABLES[:n_tables]
+    ql = "\n        UNION ALL\n        ".join(
+        f"SELECT query_id, query_vec, {t} AS t,"
+        f" {_sql_bucket('query_vec', planes=pl)} AS bucket FROM q"
+        for t, pl in enumerate(tables)
+    )
+    cl = "\n        UNION ALL\n        ".join(
+        f"SELECT vec_id, embedding, {t} AS t,"
+        f" {_sql_bucket('embedding', planes=pl)} AS bucket FROM {table}"
+        for t, pl in enumerate(tables)
+    )
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec
+        FROM {table} WHERE vec_id < {n_queries}
+    ),
+    ql AS (
+        {ql}
+    ),
+    cl AS (
+        {cl}
+    ),
+    scored AS (
+        SELECT ql.query_id, cl.vec_id,
+               MAX({sql_cosine('cl.embedding', 'ql.query_vec')}) AS cos
+        FROM cl JOIN ql ON cl.t = ql.t AND cl.bucket = ql.bucket
+        WHERE cl.vec_id != ql.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
     """

@@ -1883,6 +1883,20 @@ def q_embedding_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "embedding_ann_multitable",
+    oracle=sim_ops.sql_ann_multitable_topk(),
+)
+def q_embedding_ann_multitable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane LSH: three independent signature tables,
+    a neighbor found if it collides in ANY — the recall dial that keeps
+    working where multi-probe saturates; per-pair duplicates collapse by
+    exact max-aggregation before ranking (operators/similarity.py
+    ann_multitable_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.ann_multitable_topk(emb, sim_ops.self_queries(emb))
+
+
+@query(
     "embedding_ann_multiprobe",
     oracle=sim_ops.sql_ann_hyperplane_topk(hamming_probes=1),
 )

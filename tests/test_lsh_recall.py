@@ -130,3 +130,29 @@ def test_pq_adc_beats_random_baseline(spark):
         ranks.sort()
         assert [r for r, _ in ranks] == list(range(1, 11))
         assert all(a <= b for (_, a), (_, b) in zip(ranks, ranks[1:]))
+
+
+def test_multitable_ann_recall_beats_single_table(spark):
+    """Recall@10 vs exact cosine top-10 on the real sf0.01 embeddings:
+    three independent signature tables must strictly improve on one table
+    ((1 - p^b)^T miss decay), and table count must be monotone (T=3 ≥ T=2
+    in found-pair volume against the exact set)."""
+    from kafkastreamingetl_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    q = sim_ops.self_queries(emb, n_queries=32)
+
+    def pairs(df):
+        return {(r.query_id, r.vec_id) for r in df.collect()}
+
+    exact = pairs(sim_ops.cosine_topk(emb, q))
+    one = pairs(sim_ops.ann_multitable_topk(emb, q, n_tables=1))
+    two = pairs(sim_ops.ann_multitable_topk(emb, q, n_tables=2))
+    three = pairs(sim_ops.ann_multitable_topk(emb, q, n_tables=3))
+    r1 = len(one & exact) / len(exact)
+    r2 = len(two & exact) / len(exact)
+    r3 = len(three & exact) / len(exact)
+    # T=1 must equal the single-table path exactly (same planes, same rank)
+    assert one == pairs(sim_ops.ann_hyperplane_topk(emb, q))
+    assert r3 > r1, (r1, r2, r3)
+    assert r3 >= r2 >= r1, (r1, r2, r3)
