@@ -71,6 +71,7 @@ _PRIORITY = [
     "late_order_priority",
     "events_dow_hour_heatmap",
     "embedding_ann_multitable",
+    "props_variant_extract",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

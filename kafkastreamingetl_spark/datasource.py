@@ -1,0 +1,116 @@
+"""Custom Python data source (the Spark 4 DataSource API): the connector
+surface for systems Spark has no built-in reader for.
+
+The reference ingests from Kafka; in environments without a broker its
+synthetic generator (sources.py S9) stands in. This module packages that
+generator as a REGISTERED SOURCE — ``spark.read.format("synthetic_events")``
+— demonstrating the extension point a real deployment uses to mount
+first-party systems (feature stores, internal queues, proprietary formats)
+as tables:
+
+- partition planning: ``partitions()`` splits the row range into
+  ``partitions`` independent splits — Spark schedules one task per split,
+  so the source scales out like any file scan;
+- determinism: every field is a pure function of (seed, row index) via
+  md5, so the SAME rows come back regardless of partition count or
+  executor placement — replay-safe, test-stable;
+- dirtiness: the generator plants the reference pipeline's mess (null
+  types, null values, duplicate ids) at fixed row positions so cleaning
+  operators have something to clean.
+
+The per-row Python cost confines this to landing/testing duty — exactly
+like the CSV/JSONL landing sources, convert once to parquet and query
+that. Arrow-batched generation (yielding pa.RecordBatch) is the documented
+upgrade when a Python source must feed real volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+EVENT_TYPES = ("click", "view", "purchase", "scroll", "hover")
+
+SYNTH_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def _h(seed: int, i: int, field: str) -> int:
+    """Deterministic 60-bit int from (seed, row, field) — the same
+    md5-derived construction as functions.hash60, usable driver/executor
+    side without a SparkSession."""
+    d = hashlib.md5(f"{seed}:{i}:{field}".encode()).hexdigest()
+    return int(d[:15], 16)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, start: int, end: int):
+        self.start = start
+        self.end = end
+
+
+class SyntheticEventsDataSource(DataSource):
+    """``spark.read.format("synthetic_events")`` with options:
+
+    - ``rows`` (default 1000): total rows
+    - ``partitions`` (default 8): split count (content-invariant)
+    - ``seed`` (default 7): re-draws the whole dataset
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events"
+
+    def schema(self) -> str:
+        return SYNTH_SCHEMA
+
+    def reader(self, schema) -> "SyntheticEventsReader":
+        return SyntheticEventsReader(self.options)
+
+
+class SyntheticEventsReader(DataSourceReader):
+    def __init__(self, options):
+        self.rows = int(options.get("rows", 1000))
+        self.n_parts = max(1, int(options.get("partitions", 8)))
+        self.seed = int(options.get("seed", 7))
+
+    def partitions(self):
+        step = -(-self.rows // self.n_parts)  # ceil
+        return [
+            _RangePartition(s, min(s + step, self.rows))
+            for s in range(0, self.rows, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        base = datetime(2024, 1, 1)
+        for i in range(partition.start, partition.end):
+            # planted dirtiness at fixed positions (reference spark/app.py
+            # cleans exactly these): every 97th row repeats the previous
+            # event_id; every 13th has a null type; every 11th a null value
+            event_id = i - 1 if (i % 97 == 0 and i > 0) else i
+            ts = base + timedelta(
+                seconds=int(_h(self.seed, i, "ts") % 2_592_000)
+            )
+            user_id = int(_h(self.seed, i, "u") % 500)
+            event_type = (
+                None
+                if i % 13 == 0
+                else EVENT_TYPES[_h(self.seed, i, "t") % len(EVENT_TYPES)]
+            )
+            value = (
+                None
+                if i % 11 == 0
+                else round((_h(self.seed, i, "v") % 100_000) / 100.0, 2)
+            )
+            props = "{}" if i % 3 == 0 else f'{{"k": {_h(self.seed, i, "k") % 100}}}'
+            yield (event_id, ts, user_id, event_type, value, props)
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotently register the source with a session (re-registration
+    replaces the prior entry — safe to call per consumer)."""
+    spark.dataSource.register(SyntheticEventsDataSource)

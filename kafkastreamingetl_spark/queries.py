@@ -851,6 +851,45 @@ def q_props_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "props_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(k) AS BIGINT) AS n_with_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS INT) AS min_k,
+           CAST(MAX(k) AS INT) AS max_k
+    FROM (
+        SELECT event_type,
+               CAST(json_extract(props, '$.k') AS INT) AS k
+        FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def q_props_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction through VariantType (Spark 4's
+    open-schema JSON path): ``try_parse_json`` builds the binary variant
+    once, ``variant_get`` pulls typed fields by path — the third door into
+    ragged payloads next to the fixed-struct (json_decode) and MapType
+    (props_map_extract) forms. Variant keeps the parsed tree in a compact
+    binary encoding, so repeated path extraction doesn't re-parse the
+    string — the at-scale reason to prefer it over chained
+    get_json_object calls."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.variant_get(F.try_parse_json(F.col("props")), "$.k", "int")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("int").alias("min_k"),
+            F.max("k").cast("int").alias("max_k"),
+        )
+    )
+
+
+@query(
     "wire_normalize",
     oracle="""
     SELECT event_id,
