@@ -29,7 +29,12 @@ from __future__ import annotations
 import hashlib
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 EVENT_TYPES = ("click", "view", "purchase", "scroll", "hover")
 
@@ -70,6 +75,9 @@ class SyntheticEventsDataSource(DataSource):
 
     def reader(self, schema) -> "SyntheticEventsReader":
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(self.options)
 
 
 class SyntheticEventsReader(DataSourceReader):
@@ -114,3 +122,41 @@ def register_synthetic_source(spark) -> None:
     """Idempotently register the source with a session (re-registration
     replaces the prior entry — safe to call per consumer)."""
     spark.dataSource.register(SyntheticEventsDataSource)
+
+
+# ---------------------------------------------------------------------------
+# streaming reader: the same source under readStream
+# ---------------------------------------------------------------------------
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Micro-batched streaming form of the generator: offsets are plain
+    row indices, each trigger serves the next ``batch_rows`` slice, and
+    ``readBetweenOffsets`` regenerates any committed range bit-identically
+    (rows are (seed, index)-pure) — which is exactly the replayability
+    contract exactly-once recovery needs from a source. ``max_rows``
+    bounds the stream so availableNow/test runs terminate."""
+
+    def __init__(self, options):
+        self.batch_rows = int(options.get("batch_rows", 100))
+        self.max_rows = int(options.get("max_rows", 1000))
+        self.seed = int(options.get("seed", 7))
+
+    def initialOffset(self) -> dict:
+        return {"offset": 0}
+
+    def _rows(self, start: int, end: int) -> list:
+        part = _RangePartition(start, end)
+        reader = SyntheticEventsReader.__new__(SyntheticEventsReader)
+        reader.seed = self.seed
+        # materialized: the engine caches prefetched batches for replay and
+        # copies the iterator — a lazy generator cannot be copied/pickled
+        return list(reader.read(part))
+
+    def read(self, start: dict):
+        s = int(start["offset"])
+        e = min(s + self.batch_rows, self.max_rows)
+        return iter(self._rows(s, e)), {"offset": e}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter(self._rows(int(start["offset"]), int(end["offset"])))

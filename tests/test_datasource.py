@@ -51,3 +51,37 @@ def test_composes_with_cleaning_operator(spark):
     assert cleaned.filter(F.col("event_type_norm").isNull()).count() == 0
     ids = cleaned.select("event_id")
     assert ids.count() == ids.distinct().count()
+
+
+def test_streaming_reader_resumes_from_checkpoint(spark, tmp_path):
+    """readStream over the custom source: each checkpointed availableNow
+    run drains the next batch_rows slice, successive runs resume from the
+    committed offset (never re-emitting), the union of runs equals the
+    batch read of the full range, and a run past max_rows emits nothing."""
+    register_synthetic_source(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run():
+        stream = (
+            spark.readStream.format("synthetic_events")
+            .option("batch_rows", 50)
+            .option("max_rows", 150)
+            .load()
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return sorted(map(tuple, spark.read.parquet(out).collect()))
+
+    totals = [len(run()) for _ in range(3)]
+    assert totals == [50, 100, 150]  # each run drains the next slice once
+    got = run()  # 4th run: offsets exhausted, nothing new
+    assert len(got) == 150
+    want = sorted(map(tuple, _read(spark, rows=150).collect()))
+    assert got == want
