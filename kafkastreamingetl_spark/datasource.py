@@ -80,11 +80,35 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsStreamReader(self.options)
 
 
+def _gen_rows(seed: int, start: int, end: int):
+    base = datetime(2024, 1, 1)
+    for i in range(start, end):
+        # planted dirtiness at fixed positions (reference spark/app.py
+        # cleans exactly these): every 97th row repeats the previous
+        # event_id; every 13th has a null type; every 11th a null value
+        event_id = i - 1 if (i % 97 == 0 and i > 0) else i
+        ts = base + timedelta(seconds=int(_h(seed, i, "ts") % 2_592_000))
+        user_id = int(_h(seed, i, "u") % 500)
+        event_type = (
+            None
+            if i % 13 == 0
+            else EVENT_TYPES[_h(seed, i, "t") % len(EVENT_TYPES)]
+        )
+        value = (
+            None
+            if i % 11 == 0
+            else round((_h(seed, i, "v") % 100_000) / 100.0, 2)
+        )
+        props = "{}" if i % 3 == 0 else f'{{"k": {_h(seed, i, "k") % 100}}}'
+        yield (event_id, ts, user_id, event_type, value, props)
+
+
 class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.rows = int(options.get("rows", 1000))
         self.n_parts = max(1, int(options.get("partitions", 8)))
         self.seed = int(options.get("seed", 7))
+        self.arrow = str(options.get("arrow", "false")).lower() == "true"
 
     def partitions(self):
         step = -(-self.rows // self.n_parts)  # ceil
@@ -94,28 +118,30 @@ class SyntheticEventsReader(DataSourceReader):
         ]
 
     def read(self, partition: _RangePartition):
-        base = datetime(2024, 1, 1)
-        for i in range(partition.start, partition.end):
-            # planted dirtiness at fixed positions (reference spark/app.py
-            # cleans exactly these): every 97th row repeats the previous
-            # event_id; every 13th has a null type; every 11th a null value
-            event_id = i - 1 if (i % 97 == 0 and i > 0) else i
-            ts = base + timedelta(
-                seconds=int(_h(self.seed, i, "ts") % 2_592_000)
-            )
-            user_id = int(_h(self.seed, i, "u") % 500)
-            event_type = (
-                None
-                if i % 13 == 0
-                else EVENT_TYPES[_h(self.seed, i, "t") % len(EVENT_TYPES)]
-            )
-            value = (
-                None
-                if i % 11 == 0
-                else round((_h(self.seed, i, "v") % 100_000) / 100.0, 2)
-            )
-            props = "{}" if i % 3 == 0 else f'{{"k": {_h(self.seed, i, "k") % 100}}}'
-            yield (event_id, ts, user_id, event_type, value, props)
+        if not self.arrow:
+            yield from _gen_rows(self.seed, partition.start, partition.end)
+            return
+        # Arrow lane (option("arrow", "true")): the per-row values are the
+        # SAME pure function of (seed, index), but the partition ships to
+        # the JVM as one RecordBatch instead of per-row pickled tuples —
+        # the fast path when a Python source must feed real volume (the
+        # engine accepts yielded pyarrow.RecordBatch directly).
+        import pyarrow as pa
+
+        cols = list(zip(*_gen_rows(self.seed, partition.start, partition.end)))
+        if not cols:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols[0], pa.int64()),
+                pa.array(cols[1], pa.timestamp("us")),
+                pa.array(cols[2], pa.int64()),
+                pa.array(cols[3], pa.string()),
+                pa.array(cols[4], pa.float64()),
+                pa.array(cols[5], pa.string()),
+            ],
+            names=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        )
 
 
 def register_synthetic_source(spark) -> None:
@@ -146,12 +172,9 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
         return {"offset": 0}
 
     def _rows(self, start: int, end: int) -> list:
-        part = _RangePartition(start, end)
-        reader = SyntheticEventsReader.__new__(SyntheticEventsReader)
-        reader.seed = self.seed
         # materialized: the engine caches prefetched batches for replay and
         # copies the iterator — a lazy generator cannot be copied/pickled
-        return list(reader.read(part))
+        return list(_gen_rows(self.seed, start, end))
 
     def read(self, start: dict):
         s = int(start["offset"])
