@@ -72,6 +72,7 @@ _PRIORITY = [
     "events_dow_hour_heatmap",
     "embedding_ann_multitable",
     "props_variant_extract",
+    "temperature_mix_sample",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -906,3 +906,95 @@ def sql_strip_boilerplate(
                 AS BIGINT) AS n_removed
     FROM marked
     """
+
+
+# ---------------------------------------------------------------------------
+# temperature-based mixture sampling (alpha-sampling across sources)
+# ---------------------------------------------------------------------------
+
+TEMP_ALPHA = 0.5  # alpha < 1 flattens the source distribution
+
+
+def temperature_mix_sample(
+    df: DataFrame,
+    *,
+    alpha: float = TEMP_ALPHA,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    salt: str = "temp:v1",
+) -> DataFrame:
+    """Temperature (alpha) sampling across sources: keep each source at a
+    rate proportional to ``share^(alpha-1)`` so the SAMPLED distribution
+    follows ``share^alpha`` — the standard multilingual/multi-source
+    rebalancing (alpha < 1 up-samples small sources, alpha = 1 is
+    pass-through), with the largest source's rate normalized to 1 so no
+    rate exceeds certainty.
+
+    Unlike :func:`training_mix_sample` (hand-set per-source rates), the
+    rates here are DERIVED from corpus counts in one aggregate and ride
+    back as a broadcast join — re-running after ingest automatically
+    rebalances. Membership stays a salted-hash pure function of the id, so
+    a document's fate only changes when its source's rate crosses the
+    hash threshold (monotone in rate, like every sampler here). All
+    arithmetic is double pow/division of exact counts — identical in both
+    engines, hash-checkable."""
+    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    total = counts.agg(F.sum("_n").alias("_tot"))
+    # rate_s = (n_s/total)^(alpha-1), normalized by the max over sources
+    rated = (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "_src",
+            F.pow(
+                F.col("_n").cast("double") / F.col("_tot"), F.lit(alpha - 1.0)
+            ).alias("_raw"),
+        )
+    )
+    mx = rated.agg(F.max("_raw").alias("_mx"))
+    rates = rated.crossJoin(F.broadcast(mx)).select(
+        "_src", (F.col("_raw") / F.col("_mx")).alias("keep_rate")
+    )
+    u = (
+        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % QW_BUCKETS
+    ).cast("double") / F.lit(float(QW_BUCKETS))
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            u.alias("_u"),
+        )
+        .join(F.broadcast(rates), F.col("source") == F.col("_src"))
+        .where(F.col("_u") < F.col("keep_rate"))
+        .select("doc_id", "source", "keep_rate")
+    )
+
+
+def sql_temperature_mix_sample(
+    table: str = "documents",
+    *,
+    alpha: float = TEMP_ALPHA,
+    salt: str = "temp:v1",
+) -> str:
+    h = sql_hash60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH counts AS (
+        SELECT source AS _src, COUNT(*) AS _n FROM {table} GROUP BY 1
+    ),
+    rated AS (
+        SELECT _src,
+               pow(CAST(_n AS DOUBLE) / (SELECT SUM(_n) FROM counts),
+                   {alpha - 1.0}) AS _raw
+        FROM counts
+    ),
+    rates AS (
+        SELECT _src, _raw / (SELECT MAX(_raw) FROM rated) AS keep_rate
+        FROM rated
+    )
+    SELECT d.doc_id, d.source, r.keep_rate
+    FROM {table} d JOIN rates r ON d.source = r._src
+    WHERE CAST(({h}) % {QW_BUCKETS} AS DOUBLE) / {float(QW_BUCKETS)}
+          < r.keep_rate
+    """

@@ -1772,6 +1772,19 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.quality_weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+@query(
+    "temperature_mix_sample",
+    oracle=corpus_ops.sql_temperature_mix_sample(),
+)
+def q_temperature_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature (alpha=0.5) sampling across sources: keep rates derived
+    from corpus counts so the sampled distribution follows share^alpha —
+    the multilingual/multi-source rebalancing step, rates broadcast back,
+    membership a salted-hash pure function
+    (operators/corpus.py temperature_mix_sample)."""
+    return corpus_ops.temperature_mix_sample(_t(spark, sf_dir, "documents"))
+
+
 @query("dedup_rate_by_source", oracle=corpus_ops.sql_dedup_rate_by_source())
 def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-health report: exact content-hash duplication rate per

@@ -279,3 +279,32 @@ def test_quality_weighted_sample_monotone_and_weighted(spark):
     kept_w = [w for d, w in all_w.items() if d in kept]
     drop_w = [w for d, w in all_w.items() if d not in kept]
     assert kept_w and drop_w and mean(kept_w) > mean(drop_w)
+
+
+def test_temperature_sampling_flattens_skewed_sources(spark):
+    """With a 10:1 source imbalance at alpha=0.5, the small source keeps
+    rate 1.0 (it is the max after normalization), the big source keeps
+    ~sqrt(1/10) of the normalized mass, and alpha=1 is a pass-through."""
+    from kafkastreamingetl_spark.operators.corpus import temperature_mix_sample
+
+    rows = [(i, f"t {i}", "en", "big" if i < 1000 else "small", 3) for i in range(1100)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = temperature_mix_sample(df)
+    rates = {
+        r.source: r.keep_rate for r in out.select("source", "keep_rate").distinct().collect()
+    }
+    assert rates["small"] == 1.0
+    # big: (1000/1100)^-0.5 / (100/1100)^-0.5 = sqrt(100/1000) ≈ 0.316
+    assert abs(rates["big"] - (100 / 1000) ** 0.5) < 1e-12
+    kept = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # realized counts flatten: big/small ratio drops from 10 toward sqrt(10)
+    assert kept["small"] > 90  # nearly all of the small source survives
+    assert kept["big"] / kept["small"] < 5
+
+    everything = temperature_mix_sample(df, alpha=1.0)
+    assert everything.count() == 1100
