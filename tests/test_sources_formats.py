@@ -150,3 +150,23 @@ def test_csv_source_never_infers(spark, events, tmp_path):
     ]
     assert df.schema[CORRUPT_COL].dataType.typeName() == "string"
     assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across daily drops: a later write adds a column;
+    mergeSchema=true unions the schemas (missing values null), and the
+    default read still works on the stable prefix — the contract that
+    lets a 100 TB lake evolve without rewriting history."""
+    lake = str(tmp_path / "lake")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.parquet(
+        f"{lake}/day=2024-01-01"
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, v string, score double"
+    ).write.parquet(f"{lake}/day=2024-01-02")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(lake)
+    assert set(merged.columns) == {"id", "v", "score", "day"}
+    rows = {r.id: r for r in merged.collect()}
+    assert rows[1].score is None and rows[2].score == 9.5
+    assert merged.count() == 2
