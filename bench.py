@@ -20,8 +20,9 @@ scale factor first, so whole-stage-codegen JIT compilation (seconds for the
 md5/SimHash expression trees) stays out of the timings; the cache is cleared
 between queries so persisted intermediates (dedup shingle features) neither
 leak across queries nor accumulate. Engine-level memos that survive
-clearCache by design (the checkpoint-backed cluster-label memo,
-operators/dedup.neardup_clusters) are NOT reset: cross-query reuse of the
+clearCache by design (the checkpoint-backed cluster-label memos —
+operators/dedup.neardup_clusters and similarity.embedding_clusters — and
+the driver-side fitted-model lists) are NOT reset: cross-query reuse of the
 resolved closure is engine behavior every session gets, and query order is
 deterministic, so timings stay reproducible — the first cluster consumer
 pays the closure, later ones measure their own marginal work.
