@@ -29,7 +29,26 @@ pytestmark = pytest.mark.slow
 _SNAPSHOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "PLAN_SHAPES.json")
 
 
+def _reset_engine_state(spark) -> None:
+    """Return the session to the cold state the snapshot was generated in:
+    shared-session test order must not leak persisted feature sets (their
+    InMemoryRelation replaces plan subtrees) or resolved-label memos
+    (checkpoint scans replace the closure pipeline) into the plans under
+    measurement."""
+    from kafkastreamingetl_spark.operators import dedup, similarity
+
+    while dedup._FEATS_CACHE:
+        _, df = dedup._FEATS_CACHE.popitem()
+        df.unpersist()
+    dedup._CLUSTERS_CACHE.clear()
+    similarity._EMB_CLUSTERS_CACHE.clear()
+    similarity._MODEL_CACHE.clear()
+    similarity._CENTROIDS_CACHE.clear()
+    spark.catalog.clearCache()
+
+
 def test_plan_shapes_match_snapshot(spark, sf_dir):
+    _reset_engine_state(spark)
     with open(_SNAPSHOT) as f:
         expected = json.load(f)
     missing = sorted(set(QUERIES) - set(expected))
