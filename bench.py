@@ -212,15 +212,20 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     floors: dict[str, float] = {}
     base_round = None
     # The committed BENCH_DETAIL.json from the previous round carries the
-    # full per-query map (the driver-captured BENCH_r*.json now holds only
-    # the compact summary); use it as the floor base, then let any fuller
-    # driver-parsed round override below.
+    # full per-query map and is always newer than any driver-captured
+    # BENCH_r*.json (it is rewritten at the end of every round) — when it
+    # matches this run's sf, it IS the floor base; the BENCH_r scan below
+    # is the fallback for a missing/mismatched detail file. (Letting old
+    # driver rounds override the detail file compared this round against
+    # floors several rounds stale.)
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
             prior = json.load(f)
         if prior.get("sf") == sf and "queries" in prior:
-            floors = dict(prior["queries"])
-            base_round = -1  # sentinel: floor from committed detail file
+            return {
+                "baseline_round": "committed-detail",
+                "regressions": _flag(timings, dict(prior["queries"])),
+            }
     except (OSError, json.JSONDecodeError):
         pass
     for fname in sorted(os.listdir(here)):
@@ -239,7 +244,11 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
             floors = parsed["queries"]
     if base_round is None:
         return {"baseline_round": None, "regressions": {}}
-    regressions = {
+    return {"baseline_round": base_round, "regressions": _flag(timings, floors)}
+
+
+def _flag(timings: dict[str, float], floors: dict[str, float]) -> dict:
+    return {
         name: {"now": t, "floor": floors[name]}
         for name, t in timings.items()
         if name in floors
@@ -247,7 +256,6 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
         and t > 2 * floors[name]
         and t - floors[name] > 1.0
     }
-    return {"baseline_round": base_round, "regressions": regressions}
 
 
 if __name__ == "__main__":
