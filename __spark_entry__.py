@@ -73,6 +73,7 @@ _PRIORITY = [
     "embedding_ann_multitable",
     "props_variant_extract",
     "temperature_mix_sample",
+    "doc_lm_score",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

@@ -998,3 +998,105 @@ def sql_temperature_mix_sample(
     WHERE CAST(({h}) % {QW_BUCKETS} AS DOUBLE) / {float(QW_BUCKETS)}
           < r.keep_rate
     """
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+LM_MICRO = 1_000_000  # log-prob quantization: integer micro-nats
+
+
+def doc_lm_score(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_bigrams, avg_nll_micro): each document scored under a
+    bigram language model TRAINED ON THE CORPUS ITSELF — the
+    perplexity-proxy quality filter (CCNet's trick with KenLM, here with
+    the corpus as its own reference): fluent/typical documents score a low
+    average negative log-likelihood, gibberish and off-distribution text
+    score high. Add-one smoothing over the vocabulary; probabilities are
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Training is two map-side-combined count aggregations (unigrams,
+    bigrams) over one tokenization pass; scoring re-joins each document's
+    bigram occurrences to those counts (narrow shuffles on the gram
+    strings — at 100 TB, hash the grams first and the shuffle carries
+    8-byte keys). Log-probs quantize to integer micro-nats before any
+    aggregation (the tfidf trick), so per-doc sums are order-independent
+    integers and the differential stays exact despite ln(); the final
+    average is one double division. Documents with < 2 tokens have no
+    bigrams and no row."""
+    from .text import gram_strings, tokens
+
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    big = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(gram_strings(F.col(text_col), 2)).alias("g"),
+    )
+    bigc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    nll_micro = F.round(
+        -F.log(
+            (F.col("c2") + 1).cast("double")
+            / (F.col("c1") + F.col("v")).cast("double")
+        )
+        * LM_MICRO
+    ).cast("bigint")
+    scored = (
+        big.join(bigc, "g")
+        .withColumn("w1", F.split_part(F.col("g"), F.lit(TOKEN_SEP), F.lit(1)))
+        .join(uni, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll_micro.alias("_nll"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (F.sum("_nll").cast("double") / F.count(F.lit(1))).alias(
+            "avg_nll_micro"
+        ),
+    )
+
+
+def sql_doc_lm_score(
+    table: str = "documents", *, text_col: str = "text"
+) -> str:
+    from .text import sql_gram_strings_over_w, sql_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    uni AS (
+        SELECT t.tok AS w, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS tok FROM toks) t
+        GROUP BY 1
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    big AS (
+        SELECT doc_id, unnest({sql_gram_strings_over_w(2)}) AS g FROM toks
+    ),
+    bigc AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY 1),
+    scored AS (
+        SELECT big.doc_id,
+               CAST(round(-ln(CAST(bigc.c2 + 1 AS DOUBLE)
+                              / CAST(uni.c1 + vocab.v AS DOUBLE))
+                          * {LM_MICRO}) AS BIGINT) AS _nll
+        FROM big
+        JOIN bigc USING (g)
+        JOIN uni ON split_part(big.g, ' ', 1) = uni.w
+        CROSS JOIN vocab
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(_nll) AS DOUBLE) / COUNT(*) AS avg_nll_micro
+    FROM scored
+    GROUP BY 1
+    """

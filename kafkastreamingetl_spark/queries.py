@@ -1772,6 +1772,16 @@ def q_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.quality_weighted_sample(_t(spark, sf_dir, "documents"))
 
 
+@query("doc_lm_score", oracle=corpus_ops.sql_doc_lm_score())
+def q_doc_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring: every document scored under a
+    corpus-trained add-one-smoothed bigram LM (average negative
+    log-likelihood in integer micro-nats) — the CCNet-style fluency
+    filter; typical text scores low, off-distribution text high
+    (operators/corpus.py doc_lm_score)."""
+    return corpus_ops.doc_lm_score(_t(spark, sf_dir, "documents"))
+
+
 @query(
     "temperature_mix_sample",
     oracle=corpus_ops.sql_temperature_mix_sample(),

@@ -308,3 +308,23 @@ def test_temperature_sampling_flattens_skewed_sources(spark):
 
     everything = temperature_mix_sample(df, alpha=1.0)
     assert everything.count() == 1100
+
+
+def test_lm_score_orders_typical_below_rare(spark):
+    """A document made of the corpus's dominant bigrams must score a lower
+    average NLL than one made of bigrams seen nowhere else."""
+    from kafkastreamingetl_spark.operators.corpus import doc_lm_score
+
+    common = [(i, "a b a b a b a b", "en", "s", 15) for i in range(8)]
+    rows = common + [
+        (100, "a b a b a b a b", "en", "s", 15),  # typical
+        (101, "q r s t u v w x", "en", "s", 15),  # all-rare bigrams
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    out = {r.doc_id: r.avg_nll_micro for r in doc_lm_score(df).collect()}
+    assert out[100] < out[101]
+    # every scored doc has the full bigram count (7 bigrams over 8 tokens)
+    n = {r.doc_id: r.n_bigrams for r in doc_lm_score(df).collect()}
+    assert set(n.values()) == {7}
