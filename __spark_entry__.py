@@ -74,6 +74,7 @@ _PRIORITY = [
     "props_variant_extract",
     "temperature_mix_sample",
     "doc_lm_score",
+    "embedding_covariance",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

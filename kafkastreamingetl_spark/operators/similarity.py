@@ -1889,3 +1889,106 @@ def sql_ann_multitable_topk(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# embedding covariance: the whitening / anisotropy diagnostic
+# ---------------------------------------------------------------------------
+
+COV_DIMS = 16  # leading dimension slice (full d² fan-out is quadratic in d)
+
+
+def embedding_covariance(
+    embeddings: DataFrame,
+    *,
+    n_dims: int = COV_DIMS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(dim_i, dim_j, cov): the covariance matrix of the leading
+    ``n_dims`` embedding dimensions — the statistic behind whitening and
+    anisotropy checks (embedding spaces collapse toward dominant
+    directions; the covariance spectrum is how a pipeline notices).
+
+    Relational shape: each vector fans out to its (i, j) dimension pairs
+    inside the row (one nested transform — no self-join, no shuffle
+    before aggregation), then one map-side-combined aggregation computes
+    decimal-exact Σx_i·x_j, Σx_i, Σx_j per cell; cov = E[xy] − E[x]E[y]
+    evaluated in the same expression order both engines. The d² fan-out
+    per row is the cost knob (``n_dims``); at 100 TB the same statistic
+    comes from per-partition numpy outer-product partials via
+    ``mapInPandas`` merged in one reduce — the relational form stays as
+    the oracle."""
+    pairs = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_dims)),
+            lambda i: F.struct(
+                i.alias("i"),
+                F.element_at(F.col(vec_col), i).cast("double").alias("xi"),
+            ),
+        )
+    )
+    rows = embeddings.select(F.col(vec_col)).select(
+        F.col(vec_col), pairs.alias("p")
+    )
+    inner = F.explode(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(n_dims)),
+            lambda j: F.struct(
+                j.alias("j"),
+                F.element_at(F.col(vec_col), j).cast("double").alias("xj"),
+            ),
+        )
+    )
+    cells = rows.select(
+        F.col("p.i").alias("dim_i"),
+        F.col("p.xi").alias("xi"),
+        inner.alias("q"),
+    ).select("dim_i", "xi", F.col("q.j").alias("dim_j"), F.col("q.xj").alias("xj"))
+    n = F.count(F.lit(1))
+    return (
+        cells.groupBy("dim_i", "dim_j")
+        .agg(
+            dsum(F.col("xi") * F.col("xj"), "sxy"),
+            dsum("xi", "sx"),
+            dsum("xj", "sy"),
+            n.alias("n"),
+        )
+        .select(
+            F.col("dim_i").cast("int").alias("dim_i"),
+            F.col("dim_j").cast("int").alias("dim_j"),
+            (
+                F.col("sxy") / F.col("n")
+                - (F.col("sx") / F.col("n")) * (F.col("sy") / F.col("n"))
+            ).alias("cov"),
+        )
+    )
+
+
+def sql_embedding_covariance(
+    table: str = "embeddings", *, n_dims: int = COV_DIMS
+) -> str:
+    from ..functions import sql_dsum
+
+    return f"""
+    WITH cells AS (
+        SELECT i.dim_i, j.dim_j,
+               CAST(embedding[i.dim_i] AS DOUBLE) AS xi,
+               CAST(embedding[j.dim_j] AS DOUBLE) AS xj
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range(1, {n_dims + 1})) AS dim_i) i
+        CROSS JOIN (SELECT unnest(range(1, {n_dims + 1})) AS dim_j) j
+    ),
+    agg AS (
+        SELECT dim_i, dim_j,
+               {sql_dsum('xi * xj')} AS sxy,
+               {sql_dsum('xi')} AS sx,
+               {sql_dsum('xj')} AS sy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT CAST(dim_i AS INT) AS dim_i,
+           CAST(dim_j AS INT) AS dim_j,
+           sxy / n - (sx / n) * (sy / n) AS cov
+    FROM agg
+    """

@@ -1980,6 +1980,14 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.embedding_neardup_pairs(_t(spark, sf_dir, "embeddings"))
 
 
+@query("embedding_covariance", oracle=sim_ops.sql_embedding_covariance())
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Covariance matrix of the leading 16 embedding dimensions — the
+    whitening/anisotropy diagnostic; in-row d² fan-out, one decimal-exact
+    aggregation (operators/similarity.py embedding_covariance)."""
+    return sim_ops.embedding_covariance(_t(spark, sf_dir, "embeddings"))
+
+
 @query("embedding_clusters", oracle=sim_ops.sql_embedding_clusters())
 def q_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic duplicate groups: connected components over verified

@@ -211,3 +211,21 @@ def test_int8_topk_recall_near_exact(spark, emb):
     exact = {(r.query_id, r.vec_id) for r in cosine_topk(emb, q, k=10).collect()}
     got = {(r.query_id, r.vec_id) for r in int8_topk(emb, q, k=10).collect()}
     assert len(exact & got) / len(exact) >= 0.9
+
+
+def test_embedding_covariance_symmetric_positive_diagonal(spark):
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.similarity import (
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cells = {
+        (r.dim_i, r.dim_j): r.cov
+        for r in embedding_covariance(emb, n_dims=6).collect()
+    }
+    assert len(cells) == 36
+    for i in range(1, 7):
+        assert cells[(i, i)] > 0  # variances
+        for j in range(1, 7):
+            assert abs(cells[(i, j)] - cells[(j, i)]) < 1e-9  # symmetry
