@@ -75,6 +75,7 @@ _PRIORITY = [
     "temperature_mix_sample",
     "doc_lm_score",
     "embedding_covariance",
+    "user_ltv_deciles",
     # new in round 5 (first driver window: round 6)
     "kmeans_centroids",
     "embedding_ivf_kmeans_topk",

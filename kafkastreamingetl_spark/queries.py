@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_events, load_table, register_views
@@ -507,6 +507,51 @@ def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "user_ltv_deciles",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id, {sql_dsum('value')} AS ltv
+        FROM events WHERE value IS NOT NULL
+        GROUP BY 1
+    ),
+    d AS (
+        SELECT user_id, ltv,
+               CAST(ntile(10) OVER (
+                   ORDER BY ltv ASC NULLS FIRST, user_id ASC NULLS FIRST
+               ) AS INT) AS decile
+        FROM u
+    )
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {sql_dsum('ltv')} AS total_ltv,
+           MIN(ltv) AS min_ltv,
+           MAX(ltv) AS max_ltv
+    FROM d
+    GROUP BY 1
+    """,
+)
+def q_user_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile report: per-user lifetime value (decimal-
+    exact), users cut into ten equal buckets by a global ntile, per-decile
+    totals — the marketing/retention report shape. The global sort runs on
+    the post-aggregation USER frame (one row per user, not per event), the
+    only place a total-order window is affordable; the (ltv, user_id) key
+    makes bucket edges deterministic under ties."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = ev.groupBy("user_id").agg(dsum("value", "ltv"))
+    w = Window.orderBy(
+        F.col("ltv").asc_nulls_first(), F.col("user_id").asc_nulls_first()
+    )
+    d = u.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        dsum("ltv", "total_ltv"),
+        F.min("ltv").alias("min_ltv"),
+        F.max("ltv").alias("max_ltv"),
     )
 
 
