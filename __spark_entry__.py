@@ -50,7 +50,18 @@ _PRIORITY = [
     "error_impact_windows",
     "user_running_totals",
     "rolling_hour_value",
-    # new in round 6
+    # new in round 6: temporal / incremental / linkage / layout classes
+    "scd2_event_type_history",
+    "campaign_attribution_scd2",
+    "user_daily_streaks",
+    "user_value_ewma",
+    "incremental_daily_rollup",
+    "user_snapshot_diff",
+    "entity_match_suppliers",
+    "events_zorder_layout",
+    "winsorized_type_stats",
+    "corpus_shuffle_shards",
+    # new late in round 5 (first driver window: round 6)
     "pricing_summary",
     "top_revenue_orders",
     "hot_ngrams",

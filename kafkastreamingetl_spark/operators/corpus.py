@@ -1100,3 +1100,57 @@ def sql_doc_lm_score(
     FROM scored
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# deterministic global shuffle (training-order randomization)
+# ---------------------------------------------------------------------------
+
+
+def corpus_shuffle(
+    docs: DataFrame, *, seed: str = "shuffle:42", n_shards: int = 16
+) -> DataFrame:
+    """Deterministic global random permutation of a corpus, materialized as
+    (shard, position-within-shard) — the training-order randomization step
+    before examples are fed to a data loader.
+
+    A total ``ORDER BY random()`` is neither reproducible nor scalable
+    (single global sort, fresh answer per run). Instead each doc gets a
+    seeded 60-bit content-independent hash key; ``shard = key % n_shards``
+    spreads docs uniformly with NO total sort (hash-partition shuffle
+    only), and a per-shard rank orders within shards. Reading shards in
+    order replays one fixed permutation; changing ``seed`` is a fresh
+    epoch's permutation. Shard counts scale with the cluster, the per-
+    shard sort stays partition-local, and the hash key doubles as the
+    resume cursor (skip (shard, pos) pairs already consumed).
+    """
+    keyed = docs.select(
+        "doc_id",
+        hash60(F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    )
+    w = Window.partitionBy("shard").orderBy(
+        F.asc("shuffle_key"), F.asc("doc_id")
+    )
+    return (
+        keyed.withColumn("shard", (F.col("shuffle_key") % n_shards).cast("int"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shuffle_key", "shard", "pos")
+    )
+
+
+def sql_corpus_shuffle(seed: str = "shuffle:42", n_shards: int = 16) -> str:
+    key = sql_hash60(f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, {key} AS shuffle_key FROM documents
+    )
+    SELECT doc_id, shuffle_key,
+           CAST(shuffle_key % {n_shards} AS INT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY shuffle_key % {n_shards}
+               ORDER BY shuffle_key ASC NULLS FIRST, doc_id ASC NULLS FIRST
+           ) AS INT) AS pos
+    FROM keyed
+    """

@@ -11,8 +11,10 @@ combined, one 1-row result). Never one job per rule.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions import davg, dsum, sql_davg, sql_dsum
 
 
 def quality_report(df: DataFrame, rules: dict[str, Column]) -> DataFrame:
@@ -116,6 +118,103 @@ def profile_columns(
         .otherwise(F.lit(0.0))
         .alias("null_frac"),
     )
+
+
+def winsorized_type_stats(
+    events: DataFrame, *, lo_q: float = 0.05, hi_q: float = 0.95
+) -> DataFrame:
+    """Robust (winsorized) per-type value statistics: clamp each value to
+    the group's [lo_q, hi_q] order statistics, then aggregate — the
+    outlier-resistant mean/total a metrics pipeline reports when raw
+    means are hostage to a few extreme rows.
+
+    Thresholds are *exact rank-based order statistics* (the value at rank
+    ceil(q*n) under a deterministic (value, event_id) order), not
+    interpolated percentiles: value selection is engine-exact, where
+    interpolation arithmetic can differ in the last float bit between
+    engines. Cost: one rank window + one broadcast-sized threshold table
+    (|event types| rows) joined back — two scans of the group, no
+    all-pairs anything. At 100 TB swap the rank window for
+    approx_percentile thresholds (the approx lane trade documented in
+    SCALE.md).
+    """
+    e = events.filter(F.col("value").isNotNull()).select(
+        "event_type", "value", "event_id"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("value"), F.asc("event_id")
+    )
+    ranked = e.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+    )
+    thresholds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("_rn")
+                == F.greatest(F.lit(1), F.ceil(lo_q * F.col("_n"))),
+                F.col("value"),
+            )
+        ).alias("lo"),
+        F.min(
+            F.when(F.col("_rn") == F.ceil(hi_q * F.col("_n")), F.col("value"))
+        ).alias("hi"),
+    )
+    clamped = e.join(F.broadcast(thresholds), "event_type").withColumn(
+        "_vw", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(
+            F.when((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        dsum("_vw", "winsorized_total"),
+        davg("_vw", "winsorized_mean"),
+    )
+
+
+def sql_winsorized_type_stats(lo_q: float = 0.05, hi_q: float = 0.95) -> str:
+    return f"""
+    WITH e AS (
+        SELECT event_type, value, event_id
+        FROM events WHERE value IS NOT NULL
+    ),
+    ranked AS (
+        SELECT *,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY value ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM e
+    ),
+    t AS (
+        SELECT event_type,
+               MIN(CASE WHEN rn = GREATEST(1, CEIL({lo_q} * n))
+                        THEN value END) AS lo,
+               MIN(CASE WHEN rn = CEIL({hi_q} * n) THEN value END) AS hi
+        FROM ranked GROUP BY 1
+    ),
+    clamped AS (
+        SELECT e.event_type, e.value, t.lo, t.hi,
+               LEAST(GREATEST(e.value, t.lo), t.hi) AS vw
+        FROM e JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(lo) AS lo,
+           MIN(hi) AS hi,
+           CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_clipped,
+           {sql_dsum('vw')} AS winsorized_total,
+           {sql_davg('vw')} AS winsorized_mean
+    FROM clamped
+    GROUP BY 1
+    """
 
 
 def sql_profile_columns(table: str, cols: list[str]) -> str:

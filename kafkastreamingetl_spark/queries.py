@@ -22,6 +22,10 @@ from .catalog import load_events, load_table, register_views
 from .functions import davg, dsum, normalize_string, sql_davg, sql_dsum
 from .operators import asof as asof_ops
 from .operators import corpus as corpus_ops
+from .operators import incremental as inc_ops
+from .operators import layout as layout_ops
+from .operators import linkage as linkage_ops
+from .operators import temporal as temporal_ops
 from .operators import dedup as dedup_ops
 from .operators import rangejoin as range_ops
 from .operators import multimodal as mm_ops
@@ -2576,3 +2580,131 @@ def a_events_column_profile_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_ops.profile_columns(
         _t(spark, sf_dir, "events"), _PROFILE_COLS, approx=True
     )
+
+
+# ===========================================================================
+# Round 6: temporal / incremental / linkage / layout operator classes
+# ===========================================================================
+
+
+@query("scd2_event_type_history", oracle=temporal_ops.sql_scd2_history(100))
+def q_scd2_event_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 collapse of the event log: consecutive runs of equal
+    event_type per user become validity intervals (operators/temporal.py
+    scd2_history) — the gaps-and-islands reshape behind every CDC dim
+    build. One shuffle on user_id; run detection is a null-safe lag."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    return temporal_ops.scd2_history(ev)
+
+
+@query(
+    "campaign_attribution_scd2",
+    oracle=temporal_ops.sql_campaign_attribution(),
+)
+def q_campaign_attribution_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal (point-in-time) join: purchases matched to the signup-
+    campaign state valid at their timestamp. Implemented as an as-of
+    union+running-last (one shuffle); the oracle builds explicit LEAD()
+    SCD2 intervals and joins on containment — different algorithm, same
+    answer (operators/temporal.py campaign_attribution)."""
+    return temporal_ops.campaign_attribution(_t(spark, sf_dir, "events"))
+
+
+@query("user_daily_streaks", oracle=temporal_ops.sql_user_daily_streaks())
+def q_user_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-day activity streaks via the
+    date-minus-row_number anchor (operators/temporal.py) — run-length
+    analytics with no self-join."""
+    return temporal_ops.user_daily_streaks(_t(spark, sf_dir, "events"))
+
+
+@query("user_value_ewma", oracle=temporal_ops.sql_user_value_ewma(50))
+def q_user_value_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing EWMA (alpha=1/2, 16-row window) per user in exact integer
+    arithmetic — cents scaled by power-of-two weights, one double divide
+    at the end, bit-identical on any engine/partitioning
+    (operators/temporal.py user_value_ewma)."""
+    return temporal_ops.user_value_ewma(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "incremental_daily_rollup",
+    oracle=inc_ops.sql_incremental_rollup_merge(),
+)
+def q_incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: the daily rollup merged from a
+    base-period partial and a delta-period partial (both slice predicates
+    pushed to the parquet scan via load_events). The oracle recomputes
+    from scratch — the differential proves partial-merge is loss-free
+    (COUNT + decimal SUM are decomposable; operators/incremental.py)."""
+    base = load_events(spark, sf_dir, ts_end="2024-01-16")
+    delta = load_events(spark, sf_dir, ts_start="2024-01-16")
+    return inc_ops.incremental_rollup_merge(base, delta)
+
+
+@query(
+    "user_snapshot_diff",
+    oracle=inc_ops.sql_snapshot_diff("2024-01-20", "2024-01-25"),
+)
+def q_user_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC snapshot diff: per-user state at two cutoffs, full-outer joined
+    and classified added/removed/changed/unchanged with net movement per
+    class (operators/incremental.py snapshot_diff). States are key-
+    grained, so the join is dim-sized even over a 100 TB fact."""
+    old = inc_ops.user_state(load_events(spark, sf_dir, ts_end="2024-01-20"))
+    new = inc_ops.user_state(load_events(spark, sf_dir, ts_end="2024-01-25"))
+    return inc_ops.snapshot_diff(old, new)
+
+
+@query(
+    "entity_match_suppliers",
+    oracle=linkage_ops.sql_blocked_name_match(),
+)
+def q_entity_match_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: customer names fuzzy-matched to supplier names by
+    suffix-digit edit distance <= 1, blocked on suffix mod 100 so the
+    verify stage runs inside blocks, never all-pairs
+    (operators/linkage.py). Single-edit matches that change the residue
+    are the documented recall trade of this blocking key."""
+    return linkage_ops.blocked_name_match(
+        _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "supplier"),
+        left_key="c_custkey",
+        right_key="s_suppkey",
+        left_name="c_name",
+        right_name="s_name",
+    )
+
+
+@query(
+    "events_zorder_layout",
+    oracle=layout_ops.sql_zorder_layout_report(),
+)
+def q_events_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering report: events bucketed by the bit-
+    interleave of (user_id, minute-of-epoch), per-bucket bounding boxes in
+    both dimensions — the data-skipping layout for two-dimensional
+    predicates, as pure shift/mask Catalyst expressions
+    (operators/layout.py; physical write path: zorder_write)."""
+    return layout_ops.zorder_layout_report(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "winsorized_type_stats",
+    oracle=quality_ops.sql_winsorized_type_stats(),
+)
+def q_winsorized_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust statistics: per-type values clamped to exact rank-based
+    [p05, p95] order statistics, then decimal-exact totals/means plus a
+    clip count (operators/quality.py winsorized_type_stats). Rank
+    selection, not interpolation — engine-exact."""
+    return quality_ops.winsorized_type_stats(_t(spark, sf_dir, "events"))
+
+
+@query("corpus_shuffle_shards", oracle=corpus_ops.sql_corpus_shuffle())
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle: seeded 60-bit hash key,
+    shard = key mod 16 (hash shuffle only — no total sort), per-shard
+    rank = replayable training order (operators/corpus.py
+    corpus_shuffle). Change the seed, get the next epoch's permutation."""
+    return corpus_ops.corpus_shuffle(_t(spark, sf_dir, "documents"))
