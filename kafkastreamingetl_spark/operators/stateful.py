@@ -143,3 +143,100 @@ def sessionize_stream(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 arbitrary-state API): running per-user totals
+# ---------------------------------------------------------------------------
+
+RUNNING_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+_RUNNING_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total_scaled", T.LongType()),
+    ]
+)
+
+
+def running_totals_stream(df: DataFrame, *, user_col: str = "user_id") -> DataFrame:
+    """Running per-user totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state operator API (typed ValueState handles, state
+    schema evolution, timers) that supersedes ``applyInPandasWithState``
+    for new stateful operators.
+
+    Semantics: a ValueState per user accumulates (count, scaled-int value
+    sum); each micro-batch emits the user's updated running totals. Totals
+    are monotone in batch order, so the final emission per user equals the
+    batch ``groupBy(user).agg(count, dsum)`` — the differential anchor
+    (tests/test_stateful.py). Null values contribute 0 (the P5 fill
+    contract); the scaled-int64 accumulator keeps sums exact and
+    order-independent like every other decimal-contract aggregate.
+
+    Scale shape: state is 16 bytes per user in the state store (RocksDB
+    under the session's provider), input shuffles once on user_id per
+    micro-batch — identical runtime profile to the built-in streaming agg
+    this re-implements, which is exactly why it's the API-surface demo:
+    the value of transformWithState is custom policy (TTL, timers,
+    multi-state) at built-in cost.
+
+    Runtime dependency: transformWithState's Python worker speaks a
+    protobuf state-server protocol — ``google.protobuf`` must be
+    installed (absent in this container, like the Kafka connector). The
+    construct is testable everywhere; the end-to-end differential test is
+    env-gated on the import (tests/test_stateful.py), the same policy as
+    test_kafka_integration.py.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", _RUNNING_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd  # noqa: F811 — worker-side import
+
+            n = 0
+            scaled = 0
+            for pdf in rows:
+                v = pdf["value"]
+                n += int(len(pdf))
+                scaled += int(
+                    ((v.fillna(0.0) * _SCALE).round().astype("int64")
+                     * v.notna().astype("int64")).sum()
+                )
+            if self._totals.exists():
+                prev_n, prev_scaled = self._totals.get()
+                n += int(prev_n)
+                scaled += int(prev_scaled)
+            self._totals.update((n, scaled))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [scaled / _SCALE],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        df.select(user_col, "value")
+        .groupBy(user_col)
+        .transformWithStateInPandas(
+            _RunningTotals(),
+            RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -601,3 +601,126 @@ def sql_vocab_token_counts(
     )
     SELECT doc_id, n_tokens, n_unk FROM walk WHERE rem = ''
     """
+
+
+# ---------------------------------------------------------------------------
+# within-document repetition (Gopher-style repetition-removal signals)
+# ---------------------------------------------------------------------------
+# Token-based analogues of the Gopher rules (character-fraction thresholds in
+# the paper; this corpus is whitespace-token text, so token fractions carry
+# the same signal): a document dominated by one repeated n-gram is generated
+# /boilerplate junk regardless of its other quality scores.
+
+REP_TOP_BIGRAM_MAX = 0.20
+REP_DUP_BIGRAM_MAX = 0.60
+REP_MIN_DISTINCT = 0.20
+
+
+def doc_repetition_stats(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Per-document repetition profile: distinct-token fraction, most-
+    frequent-token fraction, most-frequent-bigram fraction, and the
+    fraction of bigram instances that are duplicates (occur >1 time in
+    the doc) — plus the keep decision under the Gopher-analogue
+    thresholds above.
+
+    Shape: two explode→two-level-agg pipelines (tokens, bigrams), each
+    map-side combined on (doc_id, gram) then collapsed to one row per doc,
+    joined on doc_id. Within-doc repeats collapse in the first (partial)
+    aggregation, so the shuffle carries per-doc DISTINCT grams, not
+    occurrences — the same discipline as hot_ngrams. Short docs (< 2
+    tokens) have no bigrams: left join + zero fractions.
+    """
+    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("t"))
+    tc = toks.groupBy("doc_id", "t").count()
+    ta = tc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_tokens"),
+        F.count(F.lit(1)).alias("_n_distinct"),
+        F.max("count").alias("_top_tok"),
+    )
+    bigrams = docs.select(
+        "doc_id", F.explode(gram_strings(text_col, 2)).alias("g")
+    )
+    bc = bigrams.groupBy("doc_id", "g").count()
+    ba = bc.groupBy("doc_id").agg(
+        F.sum("count").alias("_n_bigrams"),
+        F.max("count").alias("_top_big"),
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
+            "_dup_big"
+        ),
+    )
+    j = ta.join(ba, "doc_id", "left")
+    nb = F.coalesce(F.col("_n_bigrams"), F.lit(0))
+    frac = lambda num: F.when(  # noqa: E731
+        nb > 0, num.cast("double") / nb
+    ).otherwise(F.lit(0.0))
+    out = j.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("_n_distinct").cast("double") / F.col("n_tokens")).alias(
+            "distinct_token_frac"
+        ),
+        (F.col("_top_tok").cast("double") / F.col("n_tokens")).alias(
+            "top_token_frac"
+        ),
+        frac(F.coalesce(F.col("_top_big"), F.lit(0))).alias("top_bigram_frac"),
+        frac(F.coalesce(F.col("_dup_big"), F.lit(0))).alias("dup_bigram_frac"),
+    )
+    return out.withColumn(
+        "keep",
+        (F.col("top_bigram_frac") <= REP_TOP_BIGRAM_MAX)
+        & (F.col("dup_bigram_frac") <= REP_DUP_BIGRAM_MAX)
+        & (F.col("distinct_token_frac") >= REP_MIN_DISTINCT),
+    )
+
+
+def sql_doc_repetition_stats(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    tok AS (SELECT doc_id, unnest(w) AS t FROM toks),
+    tc AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    ta AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(MAX(c) AS BIGINT) AS top_tok
+        FROM tc GROUP BY 1
+    ),
+    big AS (
+        SELECT doc_id, unnest({sql_gram_strings_over_w(2)}) AS g FROM toks
+    ),
+    bc AS (SELECT doc_id, g, COUNT(*) AS c FROM big GROUP BY 1, 2),
+    ba AS (
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_bigrams,
+               CAST(MAX(c) AS BIGINT) AS top_big,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                   AS dup_big
+        FROM bc GROUP BY 1
+    ),
+    j AS (
+        SELECT ta.doc_id, ta.n_tokens, ta.n_distinct, ta.top_tok,
+               COALESCE(ba.n_bigrams, 0) AS n_bigrams,
+               COALESCE(ba.top_big, 0) AS top_big,
+               COALESCE(ba.dup_big, 0) AS dup_big
+        FROM ta LEFT JOIN ba USING (doc_id)
+    ),
+    f AS (
+        SELECT doc_id, n_tokens,
+               CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_token_frac,
+               CAST(top_tok AS DOUBLE) / n_tokens AS top_token_frac,
+               CASE WHEN n_bigrams > 0
+                    THEN CAST(top_big AS DOUBLE) / n_bigrams
+                    ELSE 0.0 END AS top_bigram_frac,
+               CASE WHEN n_bigrams > 0
+                    THEN CAST(dup_big AS DOUBLE) / n_bigrams
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM j
+    )
+    SELECT *,
+           (top_bigram_frac <= {REP_TOP_BIGRAM_MAX}
+            AND dup_bigram_frac <= {REP_DUP_BIGRAM_MAX}
+            AND distinct_token_frac >= {REP_MIN_DISTINCT}) AS keep
+    FROM f
+    """

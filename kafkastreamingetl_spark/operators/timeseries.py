@@ -139,3 +139,163 @@ def sql_daily_dense_series(
            d._close_raw IS NOT NULL AS is_observed
     FROM grid g LEFT JOIN daily d ON g.key = d.key AND g.day = d.day
     """
+
+
+# ---------------------------------------------------------------------------
+# per-key trend regression (closed-form OLS in exact integer sums)
+# ---------------------------------------------------------------------------
+
+
+def daily_value_trend(events: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """Per-key linear trend over the daily value series: OLS slope and
+    intercept of (day index, daily total) via the closed-form sums — the
+    in-SQL trend detector behind "is this metric drifting" alerts.
+
+    Everything before the final division is exact integer arithmetic:
+    x = day offset from the key's first day (int), y = daily total in
+    cents (bigint), and the OLS terms n·Σxy − Σx·Σy and n·Σx² − (Σx)²
+    are bigint sums — so any partitioning and any engine produce
+    bit-identical slopes. Two aggregations (events→days, days→key), both
+    map-side combined; no windows, no joins.
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(key_col, F.col("ts").cast("date").alias("d"))
+        .agg(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents")
+        )
+    )
+    # day offsets need the per-key min day; compute it first, join back
+    # (broadcast — |keys| rows), then aggregate the OLS sums exactly once.
+    mins = daily.groupBy(key_col).agg(F.min("d").alias("_d0"))
+    x = F.datediff(F.col("d"), F.col("_d0")).cast("bigint")
+    terms = daily.join(F.broadcast(mins), key_col).select(
+        key_col,
+        x.alias("x"),
+        F.col("cents").alias("y"),
+    )
+    agg = terms.groupBy(key_col).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n_days")
+    det = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_cents = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / det.cast("double")
+    intercept_cents = (
+        F.col("sy").cast("double") - slope_cents * F.col("sx").cast("double")
+    ) / n.cast("double")
+    return agg.select(
+        key_col,
+        "n_days",
+        (slope_cents / 100.0).alias("slope_per_day"),
+        (intercept_cents / 100.0).alias("intercept"),
+    )
+
+
+def sql_daily_value_trend(key_col: str = "event_type") -> str:
+    return f"""
+    WITH daily AS (
+        SELECT {key_col},
+               CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    mins AS (SELECT {key_col}, MIN(d) AS d0 FROM daily GROUP BY 1),
+    terms AS (
+        SELECT daily.{key_col},
+               CAST(daily.d - mins.d0 AS BIGINT) AS x,
+               daily.cents AS y
+        FROM daily JOIN mins USING ({key_col})
+    ),
+    agg AS (
+        SELECT {key_col},
+               CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM terms GROUP BY 1
+    )
+    SELECT {key_col}, n_days,
+           (CAST(n_days * sxy - sx * sy AS DOUBLE)
+            / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0
+               AS slope_per_day,
+           ((CAST(sy AS DOUBLE)
+             - (CAST(n_days * sxy - sx * sy AS DOUBLE)
+                / CAST(n_days * sxx - sx * sx AS DOUBLE))
+               * CAST(sx AS DOUBLE))
+            / CAST(n_days AS DOUBLE)) / 100.0 AS intercept
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# rolling distinct users (exact bounded-explode + sketch-merge approx lane)
+# ---------------------------------------------------------------------------
+
+ROLLING_DISTINCT_DAYS = 7
+
+
+def rolling_distinct_users(
+    events: DataFrame, *, window_days: int = ROLLING_DISTINCT_DAYS
+) -> DataFrame:
+    """Trailing ``window_days``-day distinct active users per day — the
+    rolling-reach metric. Distincts don't add across days, so the naive
+    sum-of-daily-distincts is wrong and a per-day full rescan is
+    quadratic; the exact scalable form is a BOUNDED EXPLODE: each
+    distinct (user, active_day) contributes to the ≤ ``window_days``
+    window anchor days it falls inside, then one distinct-agg per anchor.
+    Row amplification is a fixed ×7, shuffles carry (user, day) pairs —
+    never raw events. The sketch-merge production lane
+    (``rolling_distinct_users_hll``) replaces the explode with per-day
+    HLL sketches unioned over the window frame.
+
+    Anchors are restricted to observed days (a day spine join would add
+    empty anchors; consumers wanting a dense axis compose with
+    daily_dense_series).
+    """
+    pairs = events.select(
+        "user_id", F.col("ts").cast("date").alias("d")
+    ).distinct()
+    fanout = pairs.select(
+        "user_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(window_days - 1)),
+                lambda i: F.date_add(F.col("d"), i),
+            )
+        ).alias("anchor"),
+    )
+    observed = events.select(
+        F.col("ts").cast("date").alias("anchor")
+    ).distinct()
+    return (
+        fanout.join(observed, "anchor")
+        .groupBy("anchor")
+        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+    )
+
+
+def sql_rolling_distinct_users(window_days: int = ROLLING_DISTINCT_DAYS) -> str:
+    return f"""
+    WITH pairs AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    fanout AS (
+        SELECT user_id, d + CAST(i AS INT) AS anchor
+        FROM pairs, range(0, {window_days}) t(i)
+    ),
+    observed AS (SELECT DISTINCT CAST(ts AS DATE) AS anchor FROM events)
+    SELECT f.anchor,
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users_7d
+    FROM fanout f JOIN observed USING (anchor)
+    GROUP BY 1
+    """

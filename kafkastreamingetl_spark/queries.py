@@ -2708,3 +2708,61 @@ def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = replayable training order (operators/corpus.py
     corpus_shuffle). Change the seed, get the next epoch's permutation."""
     return corpus_ops.corpus_shuffle(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "doc_repetition_stats",
+    oracle=text_ops.sql_doc_repetition_stats(),
+)
+def q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition profile (Gopher-style repetition-removal
+    signals): distinct-token / top-token / top-bigram / duplicate-bigram
+    fractions + keep decision (operators/text.py doc_repetition_stats).
+    Within-doc repeats collapse in the map-side partial agg, so shuffles
+    carry per-doc distinct grams, never occurrences."""
+    return text_ops.doc_repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+@query("daily_value_trend", oracle=ts_ops.sql_daily_value_trend())
+def q_daily_value_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS trend over the daily value series: closed-form slope/
+    intercept from exact bigint sums (x = day offset, y = cents), one
+    double division at the end — bit-identical across engines and
+    partitionings (operators/timeseries.py daily_value_trend). Two
+    map-side-combined aggregations, no windows, no self-joins."""
+    return ts_ops.daily_value_trend(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "rolling_distinct_users",
+    oracle=ts_ops.sql_rolling_distinct_users(),
+)
+def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — rolling reach.
+    Distincts don't add across days; the exact scalable form is a bounded
+    ×7 explode of distinct (user, day) pairs + one distinct-agg per
+    anchor (operators/timeseries.py rolling_distinct_users). The HLL
+    sketch-merge production lane rides in APPROX_VARIANTS."""
+    return ts_ops.rolling_distinct_users(_t(spark, sf_dir, "events"))
+
+
+@approx_variant("rolling_distinct_users_hll", twin="rolling_distinct_users")
+def a_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-merge production lane: one HLL sketch per (day), unioned
+    over the trailing window frame — per-day state is a fixed-size
+    sketch, no fan-out rows at all. The mergeability HLL buys here is
+    exactly what the exact lane's explode pays for."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("anchor")).agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    w = (
+        Window.orderBy(F.col("anchor").cast("timestamp").cast("long"))
+        .rangeBetween(-(6 * 86400), 0)
+    )
+    return daily.select(
+        "anchor",
+        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
+            "n_users_7d"
+        ),
+    )

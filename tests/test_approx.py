@@ -100,3 +100,21 @@ def test_zscore_single_pass_matches_exact_rows(spark, sf_dir):
     }
     assert len(exact) > 0
     assert len(exact ^ single) <= max(1, 0.01 * len(exact))
+
+
+def test_rolling_distinct_hll_within_tolerance(spark, sf_dir):
+    """The sketch-merge rolling-reach lane lands within HLL tolerance of
+    the exact bounded-explode lane on every anchor day."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.anchor: r.n_users_7d
+        for r in QUERIES["rolling_distinct_users"](spark, sf_dir).collect()
+    }
+    approx = APPROX_VARIANTS["rolling_distinct_users_hll"](
+        spark, sf_dir
+    ).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r.anchor]
+        assert abs(r.n_users_7d - e) <= max(2, 0.1 * e), (r.anchor, r.n_users_7d, e)

@@ -71,6 +71,24 @@ STRESS_QUERIES = [
     "customer_order_distribution",
     "late_order_priority",
     "events_column_profile",
+    # temporal / incremental / linkage / layout classes: history row
+    # volume, as-of union length, ×16 join amplification, block density,
+    # global ntile frame, and rank-window occupancy all grow 10×
+    "scd2_event_type_history",
+    "campaign_attribution_scd2",
+    "user_daily_streaks",
+    "user_value_ewma",
+    "incremental_daily_rollup",
+    "user_snapshot_diff",
+    "entity_match_suppliers",
+    "events_zorder_layout",
+    "winsorized_type_stats",
+    "corpus_shuffle_shards",
+    # gram-volume (repetition profile), day-grid OLS terms, and the ×7
+    # rolling-reach fan-out all scale with the input
+    "doc_repetition_stats",
+    "daily_value_trend",
+    "rolling_distinct_users",
 ]
 
 pytestmark = pytest.mark.slow
