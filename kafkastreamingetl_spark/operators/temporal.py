@@ -358,3 +358,77 @@ def sql_user_value_ewma(max_user: int = 50) -> str:
      AND p.seq > c.seq - {k}
     GROUP BY c.user_id, c.ts, c.event_id
     """
+
+
+# ---------------------------------------------------------------------------
+# event-type transition matrix (first-order Markov over user sequences)
+# ---------------------------------------------------------------------------
+
+
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts/probabilities between event
+    types over each user's time-ordered sequence — the behavioral-model
+    input behind next-action prediction and funnel-leak diagnosis.
+
+    One lag window per user (same single-shuffle shape as
+    :func:`scd2_history`), then a global (from, to) count and a
+    per-``from`` normalize via a broadcast-sized totals join — the
+    transition matrix is |types|² rows, so everything after the lag is
+    dimension-sized. NULL event types participate as a real state
+    (they're a data-quality fact worth seeing in the matrix) under a
+    null-safe group key.
+    """
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    steps = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("_next", F.lead("event_type").over(w))
+        .withColumn("_has_next", F.lead("event_id").over(w).isNotNull())
+        .filter(F.col("_has_next"))
+        .select(
+            F.col("event_type").alias("from_type"),
+            F.col("_next").alias("to_type"),
+        )
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    # row totals as a window over the |types|²-sized counts frame, NOT a
+    # groupBy+join back: the join form makes Catalyst recompute the whole
+    # lag subtree for the totals branch (no auto-CSE across branches) —
+    # two full scans for a 25-row normalize. Window partitioning groups
+    # NULL from-states together, matching IS NOT DISTINCT FROM.
+    row_total = F.sum("n_transitions").over(
+        Window.partitionBy("from_type")
+    )
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n_transitions",
+        (F.col("n_transitions").cast("double") / row_total).alias(
+            "p_transition"
+        ),
+    )
+
+
+def sql_event_transition_matrix() -> str:
+    return """
+    WITH steps AS (
+        SELECT event_type AS from_type,
+               LEAD(event_type) OVER w AS to_type,
+               LEAD(event_id) OVER w AS next_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
+    ),
+    counts AS (
+        SELECT from_type, to_type,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM steps WHERE next_id IS NOT NULL
+        GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY from_type)
+                      AS DOUBLE) AS p_transition
+    FROM counts
+    """

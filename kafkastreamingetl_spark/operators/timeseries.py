@@ -183,9 +183,14 @@ def daily_value_trend(events: DataFrame, *, key_col: str = "event_type") -> Data
     )
     n = F.col("n_days")
     det = n * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope_cents = (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    ) / det.cast("double")
+    # det = 0 iff the key has a single observed day — a trend is undefined
+    # there; explicit NULL beats the 0/0 NaN both engines would otherwise
+    # emit (NaN survives hashing today, but NULL is the honest answer).
+    slope_cents = F.when(
+        det > 0,
+        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / det.cast("double"),
+    )
     intercept_cents = (
         F.col("sy").cast("double") - slope_cents * F.col("sx").cast("double")
     ) / n.cast("double")
@@ -223,17 +228,20 @@ def sql_daily_value_trend(key_col: str = "event_type") -> str:
                CAST(SUM(x * y) AS BIGINT) AS sxy,
                CAST(SUM(x * x) AS BIGINT) AS sxx
         FROM terms GROUP BY 1
+    ),
+    slopes AS (
+        SELECT {key_col}, n_days, sx, sy,
+               CASE WHEN n_days * sxx - sx * sx > 0
+                    THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                         / CAST(n_days * sxx - sx * sx AS DOUBLE)
+                    END AS slope_cents
+        FROM agg
     )
     SELECT {key_col}, n_days,
-           (CAST(n_days * sxy - sx * sy AS DOUBLE)
-            / CAST(n_days * sxx - sx * sx AS DOUBLE)) / 100.0
-               AS slope_per_day,
-           ((CAST(sy AS DOUBLE)
-             - (CAST(n_days * sxy - sx * sy AS DOUBLE)
-                / CAST(n_days * sxx - sx * sx AS DOUBLE))
-               * CAST(sx AS DOUBLE))
+           slope_cents / 100.0 AS slope_per_day,
+           ((CAST(sy AS DOUBLE) - slope_cents * CAST(sx AS DOUBLE))
             / CAST(n_days AS DOUBLE)) / 100.0 AS intercept
-    FROM agg
+    FROM slopes
     """
 
 

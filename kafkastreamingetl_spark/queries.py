@@ -2766,3 +2766,16 @@ def a_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_7d"
         ),
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle=temporal_ops.sql_event_transition_matrix(),
+)
+def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix between event types over
+    user-ordered sequences: one lag window per user, then dimension-sized
+    counts + per-from normalization (operators/temporal.py
+    event_transition_matrix). Null event types are a real state — a
+    data-quality fact the matrix should show, not hide."""
+    return temporal_ops.event_transition_matrix(_t(spark, sf_dir, "events"))

@@ -384,3 +384,115 @@ def test_order_distribution_keeps_zero_order_customers(spark):
     }
     assert sum(out.values()) > 0
     assert all(k >= 0 for k in out)
+
+
+def test_empty_events_through_temporal_operators(spark, empty_events):
+    """Empty inputs flow through the temporal/incremental family without
+    errors and produce empty (or all-unchanged) results."""
+    from kafkastreamingetl_spark.operators import incremental as inc_ops
+    from kafkastreamingetl_spark.operators import temporal as temporal_ops
+    from kafkastreamingetl_spark.operators.layout import zorder_layout_report
+    from kafkastreamingetl_spark.operators.quality import winsorized_type_stats
+    from kafkastreamingetl_spark.operators.timeseries import (
+        daily_value_trend,
+        rolling_distinct_users,
+    )
+
+    assert temporal_ops.scd2_history(empty_events).count() == 0
+    assert temporal_ops.campaign_attribution(empty_events).count() == 0
+    assert temporal_ops.user_daily_streaks(empty_events).count() == 0
+    assert temporal_ops.user_value_ewma(empty_events).count() == 0
+    assert daily_value_trend(empty_events).count() == 0
+    assert rolling_distinct_users(empty_events).count() == 0
+    assert winsorized_type_stats(empty_events).count() == 0
+    assert zorder_layout_report(empty_events).count() == 0
+    merged = inc_ops.incremental_rollup_merge(empty_events, empty_events)
+    assert merged.count() == 0
+    diff = inc_ops.snapshot_diff(
+        inc_ops.user_state(empty_events), inc_ops.user_state(empty_events)
+    )
+    assert diff.count() == 0
+
+
+def test_scd2_single_event_is_one_run(spark):
+    from kafkastreamingetl_spark.operators.temporal import scd2_history
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 5.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = scd2_history(df).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.run_seq == 1 and r.n_events == 1
+    assert r.valid_from == r.valid_to
+
+
+def test_ewma_single_event_equals_value(spark):
+    """With one event the decayed average IS the value (to cent rounding)."""
+    from kafkastreamingetl_spark.operators.temporal import user_value_ewma
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 7, "click", 12.34, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = user_value_ewma(df).collect()
+    assert len(rows) == 1
+    assert abs(rows[0].ewma_value - 12.34) < 0.005
+
+
+def test_trend_single_day_key_has_null_slope(spark):
+    """det = 0 (one observed day) must yield NULL slope/intercept, not a
+    0/0 NaN."""
+    from kafkastreamingetl_spark.operators.timeseries import daily_value_trend
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 5.0, "{}"),
+            (2, "2024-01-01 11:00:00", 1, "click", 7.0, "{}"),
+        ],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rows = daily_value_trend(df).collect()
+    assert len(rows) == 1
+    assert rows[0].slope_per_day is None and rows[0].intercept is None
+
+
+def test_corpus_shuffle_invariant_under_partitioning(spark):
+    """The permutation is a pure function of (seed, doc_id): any input
+    partitioning yields identical (shard, pos) assignments."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.corpus import corpus_shuffle
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    a = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(docs).collect()
+    }
+    b = {
+        r.doc_id: (r.shard, r.pos)
+        for r in corpus_shuffle(docs.repartition(13)).collect()
+    }
+    assert a == b
+
+
+def test_repetition_stats_flags_degenerate_doc(spark):
+    """A one-token-repeated document fails every repetition gate; a
+    all-distinct document passes them."""
+    from kafkastreamingetl_spark.operators.text import doc_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["spam"] * 50), "en", "web", 200),
+            (2, " ".join(f"w{i}" for i in range(50)), "en", "web", 200),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = {r.doc_id: r for r in doc_repetition_stats(df).collect()}
+    assert rows[1].keep is False
+    assert rows[1].top_bigram_frac == 1.0
+    assert rows[2].keep is True
+    assert rows[2].dup_bigram_frac == 0.0

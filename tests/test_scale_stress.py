@@ -89,6 +89,7 @@ STRESS_QUERIES = [
     "doc_repetition_stats",
     "daily_value_trend",
     "rolling_distinct_users",
+    "event_transition_matrix",
 ]
 
 pytestmark = pytest.mark.slow
