@@ -1154,3 +1154,80 @@ def sql_corpus_shuffle(seed: str = "shuffle:42", n_shards: int = 16) -> str:
            ) AS INT) AS pos
     FROM keyed
     """
+
+
+# ---------------------------------------------------------------------------
+# token-budget sampling (cap each source's contribution at a token budget)
+# ---------------------------------------------------------------------------
+
+BUDGET_TOKENS_PER_SOURCE = 800
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    *,
+    budget: int = BUDGET_TOKENS_PER_SOURCE,
+    text_col: str = "text",
+    source_col: str = "source",
+    seed: str = "budget:v1",
+) -> DataFrame:
+    """Cap each source's contribution at a token budget: docs are taken in
+    seeded-hash order (an unbiased sample, not first-N file order) until
+    the source's running token total passes ``budget``; the doc that
+    crosses the line is kept so every source with data reaches its budget.
+
+    This is the budgeted-mixture step a real pretraining recipe runs —
+    "X billion tokens of source A, Y of B" — complementing
+    ``training_mix_sample`` (rate-based, no hard cap) and
+    ``pack_token_bins`` (shapes already-selected docs into sequences).
+
+    One shuffle on source + a per-source ordered cumsum window; the order
+    key is the same seeded 60-bit hash the shuffle/split family uses, so
+    the selection is deterministic, replayable, and independent of file
+    layout. Skew = docs-per-source (same bound every per-source window op
+    here carries); the budget filter prunes the output, not the scan.
+    """
+    toks = F.size(F.split(F.col(text_col), " "))
+    keyed = docs.select(
+        "doc_id",
+        source_col,
+        toks.alias("n_tokens"),
+        hash60(
+            F.concat(F.lit(seed + ":"), F.col("doc_id").cast("string"))
+        ).alias("_k"),
+    )
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.asc("_k"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = keyed.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.filter(
+        F.col("cum_tokens") - F.col("n_tokens") < budget
+    ).select("doc_id", source_col, "n_tokens", "cum_tokens")
+
+
+def sql_token_budget_sample(
+    budget: int = BUDGET_TOKENS_PER_SOURCE, seed: str = "budget:v1"
+) -> str:
+    key = sql_hash60(f"'{seed}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               {key} AS k
+        FROM documents
+    ),
+    cum AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY source
+                   ORDER BY k ASC NULLS FIRST, doc_id ASC NULLS FIRST
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens
+        FROM keyed
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM cum
+    WHERE cum_tokens - n_tokens < {budget}
+    """

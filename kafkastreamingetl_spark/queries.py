@@ -2779,3 +2779,15 @@ def q_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     event_transition_matrix). Null event types are a real state — a
     data-quality fact the matrix should show, not hide."""
     return temporal_ops.event_transition_matrix(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "token_budget_sample",
+    oracle=corpus_ops.sql_token_budget_sample(),
+)
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted mixture: each source contributes docs in seeded-hash order
+    until its token budget is reached — the "N tokens of source X" recipe
+    step (operators/corpus.py token_budget_sample). Deterministic,
+    replayable, file-layout-independent; one per-source cumsum window."""
+    return corpus_ops.token_budget_sample(_t(spark, sf_dir, "documents"))

@@ -328,3 +328,43 @@ def test_lm_score_orders_typical_below_rare(spark):
     # every scored doc has the full bigram count (7 bigrams over 8 tokens)
     n = {r.doc_id: r.n_bigrams for r in doc_lm_score(df).collect()}
     assert set(n.values()) == {7}
+
+
+def test_token_budget_sample_reaches_but_bounds_budget(spark):
+    """Every source with enough data crosses the budget exactly once: the
+    kept set's total is >= budget (the crossing doc is kept), and
+    removing that last doc would drop it back under budget."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.corpus import (
+        BUDGET_TOKENS_PER_SOURCE,
+        token_budget_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    kept = token_budget_sample(docs).collect()
+    by_source: dict[str, list] = {}
+    for r in kept:
+        by_source.setdefault(r.source, []).append(r)
+    totals = {
+        s: sum(r.n_tokens for r in rows) for s, rows in by_source.items()
+    }
+    source_mass = {
+        r.source: r.m
+        for r in docs.groupBy("source")
+        .agg(F.expr("sum(size(split(text, ' ')))").alias("m"))
+        .collect()
+    }
+    for s, total in totals.items():
+        if source_mass[s] >= BUDGET_TOKENS_PER_SOURCE:
+            assert total >= BUDGET_TOKENS_PER_SOURCE, s
+            last = max(by_source[s], key=lambda r: r.cum_tokens)
+            assert total - last.n_tokens < BUDGET_TOKENS_PER_SOURCE, s
+        else:
+            assert total == source_mass[s], s  # small sources kept whole
+
+    # determinism: independent of input partitioning
+    kept2 = {
+        r.doc_id
+        for r in token_budget_sample(docs.repartition(17)).collect()
+    }
+    assert kept2 == {r.doc_id for r in kept}

@@ -39,6 +39,7 @@ def test_never_green_queries_sit_inside_driver_window():
         "daily_value_trend",
         "rolling_distinct_users",
         "event_transition_matrix",
+        "token_budget_sample",
     }
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (

@@ -90,6 +90,7 @@ STRESS_QUERIES = [
     "daily_value_trend",
     "rolling_distinct_users",
     "event_transition_matrix",
+    "token_budget_sample",
 ]
 
 pytestmark = pytest.mark.slow
