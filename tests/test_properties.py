@@ -349,3 +349,98 @@ def test_strip_boilerplate_laws(spark, rows):
         assert r.n_removed == r.n_tokens - kept or (
             r.text_clean == "" and r.n_removed == r.n_tokens
         )
+
+
+@SLOW
+@given(rows=events_rows)
+def test_scd2_laws(spark, rows):
+    """SCD2 collapse laws for ANY event log: (1) run event counts sum to
+    the input count per user; (2) adjacent runs differ in state
+    (null-safe); (3) replaying the history against a pure-Python collapse
+    of the sorted sequence gives identical run counts."""
+    from kafkastreamingetl_spark.operators.temporal import scd2_history
+
+    df = _events_df(spark, rows)
+    hist = scd2_history(df).collect()
+
+    inp = df.select("user_id", "ts", "event_id", "event_type").collect()
+    seqs: dict[int, list] = {}
+    for r in sorted(inp, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        seqs.setdefault(r.user_id, []).append(r.event_type)
+    py_runs = {}
+    for uid, states in seqs.items():
+        n = 1
+        for a, b in zip(states, states[1:]):
+            if a != b:
+                n += 1
+        py_runs[uid] = n
+
+    got_runs: dict[int, int] = {}
+    got_events: dict[int, int] = {}
+    for r in hist:
+        got_runs[r.user_id] = max(got_runs.get(r.user_id, 0), r.run_seq)
+        got_events[r.user_id] = got_events.get(r.user_id, 0) + r.n_events
+    assert got_runs == py_runs
+    assert got_events == {u: len(s) for u, s in seqs.items()}
+
+
+@SLOW
+@given(
+    vals=st.lists(st.floats(0.01, 99.99, allow_nan=False), min_size=1, max_size=20)
+)
+def test_ewma_constant_and_bounds_laws(spark, vals):
+    """EWMA laws: for a constant series the EWMA equals the constant (to
+    cent rounding); for any series each EWMA lies within [min, max] of
+    the values seen so far (+ cent slack)."""
+    from kafkastreamingetl_spark.operators.temporal import user_value_ewma
+
+    rows = [
+        (i, f"2024-01-01 00:{i // 60:02d}:{i % 60:02d}", 1, "click", v, "{}")
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = sorted(user_value_ewma(df).collect(), key=lambda r: r.event_id)
+    assert len(out) == len(vals)
+    cents = [round(v * 100) / 100 for v in vals]
+    for i, r in enumerate(out):
+        lo, hi = min(cents[: i + 1]), max(cents[: i + 1])
+        assert lo - 0.005 <= r.ewma_value <= hi + 0.005, (i, r.ewma_value, lo, hi)
+
+    const = spark.createDataFrame(
+        [(i, f"2024-01-01 00:00:{i:02d}", 1, "click", 41.5, "{}") for i in range(5)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    for r in user_value_ewma(const).collect():
+        assert abs(r.ewma_value - 41.5) < 1e-9
+
+
+@SLOW
+@given(rows=events_rows)
+def test_transition_matrix_laws(spark, rows):
+    """Transition-matrix laws: per-from probabilities sum to 1; total
+    transition count = sum over users of (len(sequence) - 1)."""
+    from kafkastreamingetl_spark.operators.temporal import (
+        event_transition_matrix,
+    )
+
+    df = _events_df(spark, rows)
+    out = event_transition_matrix(df).collect()
+    per_user = {
+        r.user_id: r.n for r in df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    expected_total = sum(n - 1 for n in per_user.values())
+    assert sum(r.n_transitions for r in out) == expected_total
+    from collections import defaultdict
+
+    by_from = defaultdict(float)
+    for r in out:
+        by_from[r.from_type] += r.p_transition
+    for f_, p in by_from.items():
+        assert abs(p - 1.0) < 1e-9, (f_, p)
