@@ -1,0 +1,128 @@
+"""Operational job CLI: the scheduler-facing entry points as commands.
+
+The reference's operational surface is an Airflow DAG invoking one batch
+job (reference airflow/dags/kafka_spark_etl.py); this engine's equivalent
+jobs are callables (rollup.run_daily_batch, pipeline.run_corpus_refresh,
+maintenance.compact_partitions / expire_partitions). This module gives
+each a CLI so ANY scheduler — cron, Airflow BashOperator, dagster shell
+op — can run them without writing Python:
+
+    python -m kafkastreamingetl_spark.jobs daily --sf-dir DIR --run-date 2024-01-15 [--out PATH]
+    python -m kafkastreamingetl_spark.jobs corpus-refresh --sf-dir DIR --out PATH
+    python -m kafkastreamingetl_spark.jobs compact --path PATH --partition-col COL
+    python -m kafkastreamingetl_spark.jobs expire --path PATH --partition-col COL --keep-from VALUE [--delete]
+
+Each command prints ONE JSON result line on stdout (row counts / files
+written / partitions expired) — the machine-readable contract a
+scheduler's sensor or log parser consumes — and exits nonzero on
+failure, which is all an external orchestrator needs for retry/alerting
+semantics. Scheduling itself (cron expressions, backfills, catchup)
+stays in the scheduler: the X5 boundary SURVEY.md draws.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark(app: str):
+    from .session import get_test_spark
+
+    return get_test_spark(app)
+
+
+def cmd_daily(args: argparse.Namespace) -> dict:
+    from .catalog import load_events, load_table
+    from .operators.rollup import run_daily_batch
+
+    spark = _spark("job_daily")
+    events = load_events(spark, args.sf_dir)
+    customer = load_table(spark, args.sf_dir, "customer")
+    n = run_daily_batch(events, customer, args.run_date, args.out)
+    return {"job": "daily", "run_date": args.run_date, "rows": n}
+
+
+def cmd_corpus_refresh(args: argparse.Namespace) -> dict:
+    from .catalog import load_table
+    from .operators.pipeline import run_corpus_refresh
+
+    spark = _spark("job_corpus_refresh")
+    docs = load_table(spark, args.sf_dir, "documents")
+    emb = load_table(spark, args.sf_dir, "embeddings")
+    counts = run_corpus_refresh(docs, emb, args.out)
+    return {"job": "corpus-refresh", **counts}
+
+
+def cmd_compact(args: argparse.Namespace) -> dict:
+    from .operators.maintenance import compact_partitions
+
+    spark = _spark("job_compact")
+    written = compact_partitions(spark, args.path, args.partition_col)
+    return {"job": "compact", "partitions_rewritten": written}
+
+
+def cmd_expire(args: argparse.Namespace) -> dict:
+    from .operators.maintenance import expire_partitions
+
+    spark = _spark("job_expire")
+    report = expire_partitions(
+        spark,
+        args.path,
+        args.partition_col,
+        keep_from=args.keep_from,
+        dry_run=not args.delete,
+    )
+    expired = sorted(
+        r[args.partition_col] for r in report.collect() if r["expired"]
+    )
+    return {
+        "job": "expire",
+        "dry_run": not args.delete,
+        "expired_partitions": expired,
+    }
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="kafkastreamingetl_spark.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    d = sub.add_parser("daily", help="X2 daily rollup batch")
+    d.add_argument("--sf-dir", required=True)
+    d.add_argument("--run-date", required=True)
+    d.add_argument("--out", default=None)
+    d.set_defaults(fn=cmd_daily)
+
+    c = sub.add_parser("corpus-refresh", help="training-corpus refresh")
+    c.add_argument("--sf-dir", required=True)
+    c.add_argument("--out", required=True)
+    c.set_defaults(fn=cmd_corpus_refresh)
+
+    k = sub.add_parser("compact", help="small-file compaction")
+    k.add_argument("--path", required=True)
+    k.add_argument("--partition-col", required=True)
+    k.set_defaults(fn=cmd_compact)
+
+    e = sub.add_parser("expire", help="partition retention")
+    e.add_argument("--path", required=True)
+    e.add_argument("--partition-col", required=True)
+    e.add_argument("--keep-from", required=True)
+    e.add_argument("--delete", action="store_true")
+    e.set_defaults(fn=cmd_expire)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    try:
+        result = args.fn(args)
+    except Exception as e:  # noqa: BLE001 — the scheduler contract is exit code + stderr
+        print(f"job failed: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
+    print(json.dumps(result, sort_keys=True))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

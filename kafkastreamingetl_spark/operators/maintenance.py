@@ -120,3 +120,44 @@ def compact_partitions(
         w.parquet(path)
         written[value] = target
     return written
+
+
+def expire_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    *,
+    keep_from: str,
+    dry_run: bool = True,
+) -> DataFrame:
+    """Retention enforcement: report (and optionally delete) hive
+    partitions whose value sorts strictly below ``keep_from`` — the
+    "expire data older than N days" lake job.
+
+    Returns the actioned report as a DataFrame: (value, n_files,
+    total_bytes, expired). ``dry_run=True`` (the default) only reports —
+    deletion is irreversible, so the two-phase report→approve→delete flow
+    is the operational contract; the delete leg removes whole partition
+    directories, never touching retained ones, so a concurrent writer to
+    a live partition is unaffected.
+
+    Values compare as strings, which orders correctly for the ISO
+    ``key=YYYY-MM-DD`` layouts the engine writes (rollup, upsert sink);
+    non-ISO layouts need a parsed comparator before trusting this.
+
+    At scale the listing is partition-count-sized driver work (same as
+    partition_file_stats) and the deletes are metadata operations per
+    expired partition — no row-level scan anywhere.
+    """
+    import shutil
+
+    stats = partition_file_stats(spark, path, partition_col)
+    report = stats.withColumn(
+        "expired", F.col(partition_col) < F.lit(keep_from)
+    )
+    if not dry_run:
+        for r in report.filter(F.col("expired")).collect():
+            shutil.rmtree(
+                os.path.join(path, f"{partition_col}={r[partition_col]}")
+            )
+    return report

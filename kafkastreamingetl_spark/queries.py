@@ -2791,3 +2791,38 @@ def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     step (operators/corpus.py token_budget_sample). Deterministic,
     replayable, file-layout-independent; one per-source cumsum window."""
     return corpus_ops.token_budget_sample(_t(spark, sf_dir, "documents"))
+
+
+@approx_variant("winsorized_type_stats_approx", twin="winsorized_type_stats")
+def a_winsorized_type_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-threshold production lane: t-digest approx_percentile
+    replaces the exact rank window — the 100 TB swap the exact query's
+    docstring prescribes. One aggregation for thresholds (no per-row
+    rank), broadcast back, same clamp+aggregate tail."""
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value")
+    )
+    thresholds = e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.05), F.lit(1000)).alias("lo"),
+        F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("hi"),
+    )
+    clamped = e.join(F.broadcast(thresholds), "event_type").withColumn(
+        "_vw", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("lo").alias("lo"),
+        F.min("hi").alias("hi"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_clipped"),
+        dsum("_vw", "winsorized_total"),
+        davg("_vw", "winsorized_mean"),
+    )

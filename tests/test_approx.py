@@ -118,3 +118,25 @@ def test_rolling_distinct_hll_within_tolerance(spark, sf_dir):
     for r in approx:
         e = exact[r.anchor]
         assert abs(r.n_users_7d - e) <= max(2, 0.1 * e), (r.anchor, r.n_users_7d, e)
+
+
+def test_winsorized_approx_near_exact(spark, sf_dir):
+    """The t-digest threshold lane lands near the exact rank-based lane:
+    winsorized means within 5% per type, clip counts within 10% of n."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.event_type: r
+        for r in QUERIES["winsorized_type_stats"](spark, sf_dir).collect()
+    }
+    approx = APPROX_VARIANTS["winsorized_type_stats_approx"](
+        spark, sf_dir
+    ).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[r.event_type]
+        assert r.n == e.n
+        assert abs(r.winsorized_mean - e.winsorized_mean) <= 0.05 * abs(
+            e.winsorized_mean
+        )
+        assert abs(r.n_clipped - e.n_clipped) <= max(2, 0.1 * e.n)

@@ -1,0 +1,50 @@
+"""The operational job CLI: each command runs end-to-end and prints one
+machine-readable JSON line (the scheduler contract)."""
+
+from __future__ import annotations
+
+import json
+
+from kafkastreamingetl_spark.jobs import main
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_daily_job_cli(capsys, spark):
+    rc = main(["daily", "--sf-dir", SF, "--run-date", "2024-01-15"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["job"] == "daily" and out["rows"] > 0
+
+
+def test_expire_job_cli_dry_run(capsys, spark, tmp_path):
+    path = str(tmp_path / "lake")
+    spark.createDataFrame(
+        [(i, f"2024-01-{(i % 3) + 1:02d}") for i in range(9)],
+        "event_id long, event_date string",
+    ).write.partitionBy("event_date").parquet(path)
+    rc = main(
+        [
+            "expire",
+            "--path",
+            path,
+            "--partition-col",
+            "event_date",
+            "--keep-from",
+            "2024-01-02",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] is True
+    assert out["expired_partitions"] == ["2024-01-01"]
+    # dry run: nothing deleted
+    assert spark.read.parquet(path).count() == 9
+
+
+def test_unknown_failure_is_exit_code_not_traceback(capsys):
+    rc = main(
+        ["daily", "--sf-dir", "/nonexistent", "--run-date", "2024-01-15"]
+    )
+    assert rc == 1
+    assert "job failed" in capsys.readouterr().err

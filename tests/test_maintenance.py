@@ -115,3 +115,40 @@ def test_compaction_skips_already_compact(spark, tmp_path):
     )
     ev.coalesce(1).write.partitionBy("event_date").parquet(path)
     assert compact_partitions(spark, path, "event_date") == {}
+
+
+def test_expire_partitions_dry_run_then_delete(spark, tmp_path):
+    """Retention: dry run reports without deleting; the delete leg removes
+    exactly the expired partition dirs and leaves retained rows intact."""
+    from kafkastreamingetl_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "retained")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{(i % 4) + 1:02d}", float(i)) for i in range(40)],
+        "event_id long, event_date string, value double",
+    )
+    df.write.partitionBy("event_date").parquet(path)
+
+    report = expire_partitions(
+        spark, path, "event_date", keep_from="2024-01-03", dry_run=True
+    )
+    flags = {r.event_date: r.expired for r in report.collect()}
+    assert flags == {
+        "2024-01-01": True,
+        "2024-01-02": True,
+        "2024-01-03": False,
+        "2024-01-04": False,
+    }
+    # dry run deleted nothing
+    assert spark.read.parquet(path).count() == 40
+
+    expire_partitions(
+        spark, path, "event_date", keep_from="2024-01-03", dry_run=False
+    )
+    back = spark.read.parquet(path)
+    assert back.count() == 20
+    # partition discovery infers event_date as DATE on read-back
+    assert set(
+        str(r.event_date)
+        for r in back.select("event_date").distinct().collect()
+    ) == {"2024-01-03", "2024-01-04"}
