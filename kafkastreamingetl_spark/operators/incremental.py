@@ -47,7 +47,7 @@ def merge_partial_rollups(*partials: DataFrame) -> DataFrame:
     """Merge any number of partial rollups by key: counts add, decimal sums
     add. The public schema casts the sum to double exactly once, at the
     end — merged output is bit-identical to a from-scratch recompute
-    (asserted in tests/test_incremental.py)."""
+    (asserted in tests/test_temporal_incremental.py)."""
     merged = partials[0]
     for p in partials[1:]:
         merged = merged.unionByName(p)
@@ -94,21 +94,23 @@ def user_state(events: DataFrame) -> DataFrame:
     total, and the latest event_type (deterministic: newest (ts, event_id)
     wins). Callers pre-filter ``events`` to rows before the snapshot
     cutoff — with :func:`~..catalog.load_events` the cutoff reaches the
-    parquet scan as a pushed filter."""
-    w = Window.partitionBy("user_id").orderBy(
-        F.desc("ts"), F.desc("event_id")
-    )
-    latest = (
-        events.select("user_id", "ts", "event_id", "event_type")
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("user_id", F.col("event_type").alias("last_type"))
-    )
-    agg = events.groupBy("user_id").agg(
+    parquet scan as a pushed filter.
+
+    ONE aggregation over one scan: the newest row's type rides as
+    ``max(struct(ts, event_id, event_type))`` — (ts, event_id) is unique,
+    so the struct max picks exactly the newest row and carries its type
+    even when that type is NULL (where ``max_by`` semantics around NULL
+    args differ between engines). The obvious window+filter+join
+    alternative plans a SECOND full fact scan (Catalyst does not CSE
+    across DataFrame branches), doubling snapshot-diff's I/O at scale.
+    """
+    return events.groupBy("user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.col("value").cast(DEC)).alias("_tv_dec"),
+        F.max(F.struct("ts", "event_id", "event_type"))["event_type"].alias(
+            "last_type"
+        ),
     )
-    return agg.join(latest, "user_id")
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:

@@ -157,7 +157,7 @@ def zorder_write(events: DataFrame, path: str, n_files: int = 32) -> None:
     bounds — no global sort barrier), sort within partitions so row groups
     inside each file are tight too, then write. Reading back with a
     predicate on either dimension prunes most files via row-group stats
-    (asserted in tests/test_layout.py)."""
+    (asserted in tests/test_temporal_incremental.py)."""
     z = events_zcoded(events)
     (
         z.repartitionByRange(n_files, F.col("zval"))

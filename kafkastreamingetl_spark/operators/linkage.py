@@ -39,18 +39,26 @@ def blocked_name_match(
     residue are deliberately traded away (recall/cost dial, documented at
     the query site).
     """
+    # Names without digits (or with >18, past bigint) have no numeric
+    # suffix to block on: they are EXCLUDED from this matcher, explicitly
+    # and on BOTH engines — without the filter Spark's cast('' AS BIGINT)
+    # yields NULL (row silently unmatched) while DuckDB's raises, so the
+    # same input would diverge instead of comparing.
     digits = lambda c: F.regexp_replace(F.col(c), "[^0-9]", "")  # noqa: E731
+    ok = lambda d: F.length(d).between(1, 18)  # noqa: E731
     l = left.select(
         F.col(left_key),
         F.col(left_name),
         digits(left_name).alias("l_digits"),
-        (digits(left_name).cast("bigint") % block_mod).alias("_blk"),
+    ).filter(ok(F.col("l_digits"))).withColumn(
+        "_blk", F.col("l_digits").cast("bigint") % block_mod
     )
     r = right.select(
         F.col(right_key),
         F.col(right_name),
         digits(right_name).alias("r_digits"),
-        (digits(right_name).cast("bigint") % block_mod).alias("_blk"),
+    ).filter(ok(F.col("r_digits"))).withColumn(
+        "_blk", F.col("r_digits").cast("bigint") % block_mod
     )
     cand = l.join(r, "_blk")
     return (
@@ -64,19 +72,23 @@ def blocked_name_match(
 
 def sql_blocked_name_match(block_mod: int = 100, max_dist: int = 1) -> str:
     return f"""
-    WITH l AS (
+    WITH ld AS (
         SELECT c_custkey, c_name,
-               regexp_replace(c_name, '[^0-9]', '', 'g') AS l_digits,
-               CAST(regexp_replace(c_name, '[^0-9]', '', 'g') AS BIGINT)
-                   % {block_mod} AS blk
+               regexp_replace(c_name, '[^0-9]', '', 'g') AS l_digits
         FROM customer
     ),
-    r AS (
+    l AS (
+        SELECT *, CAST(l_digits AS BIGINT) % {block_mod} AS blk
+        FROM ld WHERE length(l_digits) BETWEEN 1 AND 18
+    ),
+    rd AS (
         SELECT s_suppkey, s_name,
-               regexp_replace(s_name, '[^0-9]', '', 'g') AS r_digits,
-               CAST(regexp_replace(s_name, '[^0-9]', '', 'g') AS BIGINT)
-                   % {block_mod} AS blk
+               regexp_replace(s_name, '[^0-9]', '', 'g') AS r_digits
         FROM supplier
+    ),
+    r AS (
+        SELECT *, CAST(r_digits AS BIGINT) % {block_mod} AS blk
+        FROM rd WHERE length(r_digits) BETWEEN 1 AND 18
     )
     SELECT l.c_custkey, r.s_suppkey, l.c_name, r.s_name,
            CAST(levenshtein(l.l_digits, r.r_digits) AS INT) AS edit_dist

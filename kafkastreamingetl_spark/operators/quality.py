@@ -159,6 +159,14 @@ def winsorized_type_stats(
             F.when(F.col("_rn") == F.ceil(hi_q * F.col("_n")), F.col("value"))
         ).alias("hi"),
     )
+    return clamp_and_aggregate(e, thresholds)
+
+
+def clamp_and_aggregate(e: DataFrame, thresholds: DataFrame) -> DataFrame:
+    """The shared winsorize tail: clamp values to the (event_type, lo, hi)
+    thresholds (broadcast — |types| rows) and aggregate. Exact and approx
+    threshold sources both feed this, so the clip/aggregate CONTRACT lives
+    in exactly one place."""
     clamped = e.join(F.broadcast(thresholds), "event_type").withColumn(
         "_vw", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
     )

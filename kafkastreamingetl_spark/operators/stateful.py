@@ -69,6 +69,33 @@ STATE_SCHEMA = T.StructType(
 _SCALE = 10_000  # DECIMAL(18,4) contract — see functions.dsum
 
 
+def _scaled_int64(series) -> "pd.Series":
+    """double → scaled int64 with EXACTLY the semantics of Spark's
+    ``CAST(x AS DECIMAL(18,4))`` (functions.dsum): round the double's
+    exact binary expansion HALF_UP at scale 4, nulls → 0.
+
+    A pandas ``(x * 10000).round()`` is NOT that contract twice over —
+    the float multiply can land a 1-ulp step across the .5 boundary the
+    exact expansion sits under, and ``.round()`` ties to even where the
+    decimal cast ties up. ``Decimal(float)`` takes the exact binary
+    value, so this matches the JVM cast bit-for-bit.
+    """
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import pandas as pd  # noqa: F811 — worker-side import
+
+    one = Decimal(1)
+
+    def conv(x) -> int:
+        if x is None or x != x:  # NaN-safe null check
+            return 0
+        return int(
+            Decimal(x).scaleb(4).quantize(one, rounding=ROUND_HALF_UP)
+        )
+
+    return series.map(conv).astype("int64")
+
+
 def sessionize_stream(
     df: DataFrame,
     *,
@@ -109,10 +136,7 @@ def sessionize_stream(
             return
         batch = pd.concat(list(pdfs)).sort_values(ts_col)
         ts_us = batch[ts_col].astype("datetime64[us]").astype("int64")
-        vals = (
-            (batch[value_col].fillna(0.0) * _SCALE).round().astype("int64")
-            * batch[value_col].notna().astype("int64")  # nulls contribute 0
-        )
+        vals = _scaled_int64(batch[value_col])  # nulls contribute 0
         if state.exists:
             start, last, n, total = state.get
         else:
@@ -208,12 +232,8 @@ def running_totals_stream(df: DataFrame, *, user_col: str = "user_id") -> DataFr
             n = 0
             scaled = 0
             for pdf in rows:
-                v = pdf["value"]
                 n += int(len(pdf))
-                scaled += int(
-                    ((v.fillna(0.0) * _SCALE).round().astype("int64")
-                     * v.notna().astype("int64")).sum()
-                )
+                scaled += int(_scaled_int64(pdf["value"]).sum())
             if self._totals.exists():
                 prev_n, prev_scaled = self._totals.get()
                 n += int(prev_n)

@@ -46,6 +46,7 @@ def scd2_history(
     state_col: str = "event_type",
     ts_col: str = "ts",
     seq_col: str = "event_id",
+    value_col: str | None = "value",
 ) -> DataFrame:
     """Collapse consecutive runs of equal ``state_col`` (per ``key``, in
     (ts, seq) order) into SCD2 rows: ``valid_from``/``valid_to`` bound the
@@ -57,7 +58,10 @@ def scd2_history(
     reuses the same partitioning, so Catalyst plans a single Exchange.
     """
     w = Window.partitionBy(key).orderBy(F.asc(ts_col), F.asc(seq_col))
-    marked = events.select(key, ts_col, seq_col, state_col, "value").withColumn(
+    cols = [key, ts_col, seq_col, state_col] + (
+        [value_col] if value_col else []
+    )
+    marked = events.select(*cols).withColumn(
         "_chg",
         F.when(F.row_number().over(w) == 1, F.lit(1))
         .when(~F.lag(state_col).over(w).eqNullSafe(F.col(state_col)), F.lit(1))
@@ -69,13 +73,15 @@ def scd2_history(
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
         .cast("int"),
     )
-    return runs.groupBy(key, "run_seq").agg(
+    aggs = [
         F.min(state_col).alias(state_col),
         F.min(ts_col).alias("valid_from"),
         F.max(ts_col).alias("valid_to"),
         F.count(F.lit(1)).alias("n_events"),
-        dsum("value", "run_value"),
-    )
+    ]
+    if value_col:
+        aggs.append(dsum(value_col, "run_value"))
+    return runs.groupBy(key, "run_seq").agg(*aggs)
 
 
 def sql_scd2_history(max_user: int = 100) -> str:
@@ -382,7 +388,9 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     steps = (
         events.select("user_id", "ts", "event_id", "event_type")
         .withColumn("_next", F.lead("event_type").over(w))
-        .withColumn("_has_next", F.lead("event_id").over(w).isNotNull())
+        # end-of-sequence marker via lead of a CONSTANT: lead(event_id)
+        # would conflate "no next row" with "next row has NULL id"
+        .withColumn("_has_next", F.lead(F.lit(1)).over(w).isNotNull())
         .filter(F.col("_has_next"))
         .select(
             F.col("event_type").alias("from_type"),
@@ -415,7 +423,7 @@ def sql_event_transition_matrix() -> str:
     WITH steps AS (
         SELECT event_type AS from_type,
                LEAD(event_type) OVER w AS to_type,
-               LEAD(event_id) OVER w AS next_id
+               LEAD(1) OVER w AS has_next
         FROM events
         WINDOW w AS (PARTITION BY user_id
                      ORDER BY ts ASC NULLS FIRST, event_id ASC NULLS FIRST)
@@ -423,7 +431,7 @@ def sql_event_transition_matrix() -> str:
     counts AS (
         SELECT from_type, to_type,
                CAST(COUNT(*) AS BIGINT) AS n_transitions
-        FROM steps WHERE next_id IS NOT NULL
+        FROM steps WHERE has_next IS NOT NULL
         GROUP BY 1, 2
     )
     SELECT from_type, to_type, n_transitions,

@@ -2808,21 +2808,4 @@ def a_winsorized_type_stats_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.approx_percentile("value", F.lit(0.05), F.lit(1000)).alias("lo"),
         F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("hi"),
     )
-    clamped = e.join(F.broadcast(thresholds), "event_type").withColumn(
-        "_vw", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
-    )
-    return clamped.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.min("lo").alias("lo"),
-        F.min("hi").alias("hi"),
-        F.sum(
-            F.when(
-                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_clipped"),
-        dsum("_vw", "winsorized_total"),
-        davg("_vw", "winsorized_mean"),
-    )
+    return quality_ops.clamp_and_aggregate(e, thresholds)
