@@ -823,6 +823,11 @@ def strip_boilerplate(
     hotset = hot.agg(F.collect_set("gram").alias("_hot"))
 
     def clean(t: Column, hotarr: Column) -> Column:
+        # -> struct(text_clean, n_kept): the kept count comes from the
+        # kept ARRAY's size, never by re-splitting text_clean — a doc
+        # whose kept tokens are all empty strings ("" tokenizes to [""])
+        # would re-split to the wrong count and diverge from the oracle,
+        # which counts the kept list.
         grams = _grams_over(t, n)
         return bind(
             F.filter(
@@ -831,8 +836,7 @@ def strip_boilerplate(
                 )),
                 lambda s: s.isNotNull(),
             ),
-            lambda starts: F.concat_ws(
-                TOKEN_SEP,
+            lambda starts: bind(
                 F.filter(
                     t,
                     lambda _tok, j0: F.size(
@@ -843,6 +847,10 @@ def strip_boilerplate(
                     )
                     == 0,
                 ),
+                lambda kept: F.struct(
+                    F.concat_ws(TOKEN_SEP, kept).alias("text_clean"),
+                    F.size(kept).alias("n_kept"),
+                ),
             ),
         )
 
@@ -852,20 +860,17 @@ def strip_boilerplate(
             tokens(F.col(text_col)),
             lambda t: F.struct(
                 F.size(t).alias("n_tokens"),
-                clean(t, F.col("_hot")).alias("text_clean"),
+                clean(t, F.col("_hot")).alias("cleaned"),
             ),
         ).alias("_r"),
     )
     return out.select(
         "doc_id",
-        F.col("_r.text_clean").alias("text_clean"),
+        F.col("_r.cleaned.text_clean").alias("text_clean"),
         F.col("_r.n_tokens").cast("bigint").alias("n_tokens"),
-        (
-            F.col("_r.n_tokens")
-            - F.when(
-                F.col("_r.text_clean") == "", F.lit(0)
-            ).otherwise(F.size(F.split(F.col("_r.text_clean"), TOKEN_SEP)))
-        ).cast("bigint").alias("n_removed"),
+        (F.col("_r.n_tokens") - F.col("_r.cleaned.n_kept"))
+        .cast("bigint")
+        .alias("n_removed"),
     )
 
 
@@ -927,8 +932,10 @@ def temperature_mix_sample(
     rate proportional to ``share^(alpha-1)`` so the SAMPLED distribution
     follows ``share^alpha`` — the standard multilingual/multi-source
     rebalancing (alpha < 1 up-samples small sources, alpha = 1 is
-    pass-through), with the largest source's rate normalized to 1 so no
-    rate exceeds certainty.
+    pass-through). Rates are normalized by the LARGEST raw rate so none
+    exceeds certainty — for alpha < 1 the raw rate share^(alpha-1) is
+    DECREASING in share, so it is the smallest source that keeps rate 1
+    and the largest that is down-sampled hardest.
 
     Unlike :func:`training_mix_sample` (hand-set per-source rates), the
     rates here are DERIVED from corpus counts in one aggregate and ride
@@ -1187,7 +1194,12 @@ def token_budget_sample(
     layout. Skew = docs-per-source (same bound every per-source window op
     here carries); the budget filter prunes the output, not the scan.
     """
-    toks = F.size(F.split(F.col(text_col), " "))
+    from .text import tokens
+
+    # ONE token definition engine-wide: text.tokens()/TOKEN_SEP (the same
+    # counter pack_token_bins budgets by) — a second hardcoded separator
+    # here would let the two samplers disagree about what a token is.
+    toks = F.size(tokens(F.col(text_col)))
     keyed = docs.select(
         "doc_id",
         source_col,
@@ -1210,11 +1222,13 @@ def token_budget_sample(
 def sql_token_budget_sample(
     budget: int = BUDGET_TOKENS_PER_SOURCE, seed: str = "budget:v1"
 ) -> str:
+    from .text import sql_tokens
+
     key = sql_hash60(f"'{seed}:' || CAST(doc_id AS VARCHAR)")
     return f"""
     WITH keyed AS (
         SELECT doc_id, source,
-               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               CAST(len({sql_tokens('text')}) AS INT) AS n_tokens,
                {key} AS k
         FROM documents
     ),

@@ -73,6 +73,7 @@ _FEATS_CACHE_MAX = 8
 # (applicationId, plan semanticHash, text_col, id_col, threshold) — see
 # :func:`neardup_clusters`.
 _CLUSTERS_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_CLUSTERS_CACHE_MAX = 8  # its own bound — NOT coupled to _FEATS_CACHE_MAX
 
 
 # ---------------------------------------------------------------------------
@@ -859,7 +860,7 @@ def neardup_clusters(
             F.col("node").alias(id_col), "cluster_id"
         )
         _CLUSTERS_CACHE[key] = labels
-        while len(_CLUSTERS_CACHE) > _FEATS_CACHE_MAX:
+        while len(_CLUSTERS_CACHE) > _CLUSTERS_CACHE_MAX:
             _CLUSTERS_CACHE.popitem(last=False)  # checkpoint RDD freed by GC
     else:
         _CLUSTERS_CACHE.move_to_end(key)

@@ -319,15 +319,9 @@ def sql_embedding_neardup_pairs(
 
 from collections import OrderedDict
 
-# Fitted-quantizer memo keyed by (applicationId, input plan semanticHash) —
-# a session answering many IVF queries over one corpus fits the model once
-# (the standard train-once/serve-many model boundary). Bounded LRU; entries
-# are plain Python lists (model-sized), nothing to unpersist.
-_CENTROIDS_CACHE: OrderedDict[tuple[str, int], list] = OrderedDict()
-_CENTROIDS_CACHE_MAX = 8
-
-# Shared memo for every other fitted model (PQ codebooks, k-means centroid
-# sets): same key discipline — (applicationId, input plan semanticHash,
+# Shared memo for every fitted model (label/IVF centroids, PQ codebooks,
+# k-means centroid sets): one key discipline — (applicationId, input plan
+# semanticHash,
 # model kind, hyperparameters) — same bounded-LRU eviction. Entries are
 # model-sized Python lists; nothing is persisted on the cluster, so
 # eviction is pure GC (bounded-memory proof: tests/test_similarity.py
@@ -348,44 +342,51 @@ def _memo(key: tuple, build):
     return val
 
 
-def fit_label_centroids(embeddings: DataFrame) -> list[tuple[int, list[float]]]:
+def fit_label_centroids(
+    embeddings: DataFrame,
+    *,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
     """"Train" the IVF coarse quantizer: per-label mean vectors.
 
     Decimal partial sums (order-independent) make the centroids bit-stable,
     so the collected model is reproducible and the oracle can re-derive it.
     The collect is model-sized (n_labels × dim doubles), not data-sized —
     the same boundary as broadcasting fitted cluster centers in any IVF
-    build. Memoized per (session, input plan): refitting an identical
-    model for every query in a session is wasted jobs.
+    build. Memoized per (session, input plan, columns) through the shared
+    ``_memo`` discipline: refitting an identical model for every query in
+    a session is wasted jobs.
     """
     key = (
         embeddings.sparkSession.sparkContext.applicationId,
         embeddings.semanticHash(),
+        "label_centroids",
+        label_col,
+        vec_col,
     )
-    hit = _CENTROIDS_CACHE.get(key)
-    if hit is not None:
-        _CENTROIDS_CACHE.move_to_end(key)
-        return hit
-    long = embeddings.select(
-        "label", F.posexplode("embedding").alias("dim", "v")
-    ).select("label", "dim", F.col("v").cast("double").alias("v"))
-    cent = long.groupBy("label", "dim").agg(
-        (dsum("v") / F.count(F.lit(1))).alias("c")
-    )
-    # one Spark job: collect the (n_labels × dim) long-form rows and
-    # assemble vectors driver-side — a second distributed groupBy to pack
-    # 640 rows into arrays would cost a full extra stage for nothing
-    rows = cent.collect()
-    by_label: dict[int, dict[int, float]] = {}
-    for r in rows:
-        by_label.setdefault(r.label, {})[r.dim] = r.c
-    model = sorted(
-        (lbl, [dims[d] for d in sorted(dims)]) for lbl, dims in by_label.items()
-    )
-    _CENTROIDS_CACHE[key] = model
-    while len(_CENTROIDS_CACHE) > _CENTROIDS_CACHE_MAX:
-        _CENTROIDS_CACHE.popitem(last=False)
-    return model
+
+    def build() -> list[tuple[int, list[float]]]:
+        long = embeddings.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "v"),
+        ).select("label", "dim", F.col("v").cast("double").alias("v"))
+        cent = long.groupBy("label", "dim").agg(
+            (dsum("v") / F.count(F.lit(1))).alias("c")
+        )
+        # one Spark job: collect the (n_labels × dim) long-form rows and
+        # assemble vectors driver-side — a second distributed groupBy to
+        # pack 640 rows into arrays would cost a full extra stage
+        rows = cent.collect()
+        by_label: dict[int, dict[int, float]] = {}
+        for r in rows:
+            by_label.setdefault(r.label, {})[r.dim] = r.c
+        return sorted(
+            (lbl, [dims[d] for d in sorted(dims)])
+            for lbl, dims in by_label.items()
+        )
+
+    return _memo(key, build)
 
 
 def ann_ivf_topk(
@@ -410,7 +411,11 @@ def ann_ivf_topk(
     — the standard IVF trade. Ties in centroid distance break by label, so
     assignment is total and deterministic.
     """
-    cents = centroids if centroids is not None else fit_label_centroids(embeddings)
+    cents = (
+        centroids
+        if centroids is not None
+        else fit_label_centroids(embeddings, vec_col=vec_col)
+    )
     packed = _km_df(
         embeddings.sparkSession, [(int(lbl), cv) for lbl, cv in cents]
     ).groupBy().agg(
@@ -656,8 +661,8 @@ def _explode_sub(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
         F.posexplode(vc).alias("dim0", "v0"),
     ).select(
         out_id,
-        F.expr("dim0 div 8").cast("int").alias("s"),
-        (F.col("dim0") % 8).cast("int").alias("j"),
+        F.expr(f"dim0 div {PQ_SUB_DIM}").cast("int").alias("s"),
+        (F.col("dim0") % PQ_SUB_DIM).cast("int").alias("j"),
         F.col("v0").cast("double").alias("v"),
     )
 
@@ -1028,11 +1033,13 @@ def _sql_pq_label_cbl(table: str) -> str:
     return f"""
     sub AS (
         SELECT vec_id, label,
-               ((d.i - 1) // 8)::INT AS s,
-               ((d.i - 1) % 8)::INT AS j,
+               ((d.i - 1) // {PQ_SUB_DIM})::INT AS s,
+               ((d.i - 1) % {PQ_SUB_DIM})::INT AS j,
                CAST(embedding[d.i] AS DOUBLE) AS v
         FROM {table}
-        CROSS JOIN (SELECT unnest(range(1, 65)) AS i) d
+        CROSS JOIN (
+            SELECT unnest(range(1, {PQ_N_SUB * PQ_SUB_DIM + 1})) AS i
+        ) d
     ),
     cbm AS (
         SELECT s, j, (label % {PQ_N_CODES})::INT AS code,
@@ -1682,7 +1689,7 @@ def embedding_clusters(
         )
         labels = connected_components(
             pairs, src_col="vec_a", dst_col="vec_b"
-        ).select(F.col("node").alias("vec_id"), "cluster_id")
+        ).select(F.col("node").alias(id_col), "cluster_id")
         _EMB_CLUSTERS_CACHE[key] = labels
         while len(_EMB_CLUSTERS_CACHE) > _EMB_CLUSTERS_CACHE_MAX:
             _EMB_CLUSTERS_CACHE.popitem(last=False)  # checkpoint RDD → GC
@@ -1708,12 +1715,13 @@ def dedup_embeddings_semantic(
     labels = embedding_clusters(
         embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
     )
-    losers = labels.filter(F.col("vec_id") != F.col("cluster_id")).select(
-        "vec_id"
+    losers = labels.filter(F.col(id_col) != F.col("cluster_id")).select(
+        id_col
     )
-    return embeddings.select(id_col, "label").join(
-        losers, id_col, "left_anti"
-    )
+    # survivors keep every payload column; only the vector is projected
+    # away (the deduped corpus is what downstream joins on, not raw vecs)
+    payload = [c for c in embeddings.columns if c != vec_col]
+    return embeddings.select(*payload).join(losers, id_col, "left_anti")
 
 
 def _sql_emb_components_ctes(
@@ -1812,6 +1820,11 @@ def ann_multitable_topk(
     table 1). The (query, vector) pairs found by several tables collapse
     via max-aggregation of the identical cosine BEFORE ranking — exact,
     order-free, no window over duplicates."""
+    if not 1 <= n_tables <= len(ANN_TABLES):
+        raise ValueError(
+            f"n_tables must be in [1, {len(ANN_TABLES)}] "
+            f"(fixed seed tables available), got {n_tables}"
+        )
     tables = ANN_TABLES[:n_tables]
     q_sigs = F.array(
         *[bucket_signature(F.col(query_vec_col), planes=t) for t in tables]
@@ -1852,6 +1865,10 @@ def sql_ann_multitable_topk(
     *,
     n_tables: int = len(ANN_TABLES),
 ) -> str:
+    if not 1 <= n_tables <= len(ANN_TABLES):
+        raise ValueError(
+            f"n_tables must be in [1, {len(ANN_TABLES)}], got {n_tables}"
+        )
     tables = ANN_TABLES[:n_tables]
     ql = "\n        UNION ALL\n        ".join(
         f"SELECT query_id, query_vec, {t} AS t,"
@@ -1902,7 +1919,6 @@ def embedding_covariance(
     embeddings: DataFrame,
     *,
     n_dims: int = COV_DIMS,
-    id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(dim_i, dim_j, cov): the covariance matrix of the leading

@@ -43,7 +43,6 @@ def _reset_engine_state(spark) -> None:
     dedup._CLUSTERS_CACHE.clear()
     similarity._EMB_CLUSTERS_CACHE.clear()
     similarity._MODEL_CACHE.clear()
-    similarity._CENTROIDS_CACHE.clear()
     spark.catalog.clearCache()
 
 
