@@ -103,17 +103,29 @@ def load_events(
     raw_type = dict(df.dtypes).get("ts")
     raw_ns = raw_type == "bigint"
 
-    def _ns(iso: str) -> int:
-        # exact to the microsecond: whole seconds via integer epoch plus the
-        # parsed microseconds (float timestamp() would round above 2^53 ns).
+    def _utc(iso: str) -> datetime:
         # Naive inputs are UTC by convention (testdata timestamps are naive
         # UTC instants — see session.RUNTIME_CONFS); explicit offsets are
         # honored, not overwritten.
         dt = datetime.fromisoformat(iso)
         if dt.tzinfo is None:
             dt = dt.replace(tzinfo=timezone.utc)
+        return dt.astimezone(timezone.utc)
+
+    def _ns(iso: str) -> int:
+        # exact to the microsecond: whole seconds via integer epoch plus the
+        # parsed microseconds (float timestamp() would round above 2^53 ns).
+        dt = _utc(iso)
         whole = int(dt.replace(microsecond=0).timestamp())
         return whole * 1_000_000_000 + dt.microsecond * 1_000
+
+    def _utc_naive(iso: str) -> str:
+        # the cast-string twin of _ns for the TIMESTAMP flavors: a
+        # TIMESTAMP_NTZ cast IGNORES a trailing offset, so the offset must
+        # be applied here — otherwise the selected slice depends on which
+        # on-disk flavor a run sees, the exact divergence this function
+        # exists to prevent.
+        return _utc(iso).replace(tzinfo=None).isoformat(sep=" ")
 
     # Bounds are applied in the column's *stored* domain (raw nanos long, or
     # naive-UTC NTZ) so they stay attribute-vs-literal comparisons and reach
@@ -126,11 +138,17 @@ def load_events(
             df = df.filter(getattr(F.col("ts"), cmp)(F.lit(_ns(bound))))
         elif raw_type == "timestamp_ntz":
             df = df.filter(
-                getattr(F.col("ts"), cmp)(F.lit(bound).cast("timestamp_ntz"))
+                getattr(F.col("ts"), cmp)(
+                    F.lit(_utc_naive(bound)).cast("timestamp_ntz")
+                )
             )
         else:
+            # session tz is UTC (ensure_runtime_confs), so the UTC-naive
+            # string casts to the same instant the _ns path selects
             df = df.filter(
-                getattr(F.col("ts"), cmp)(F.lit(bound).cast("timestamp"))
+                getattr(F.col("ts"), cmp)(
+                    F.lit(_utc_naive(bound)).cast("timestamp")
+                )
             )
     return _normalize_timestamps(df, "events")
 

@@ -174,11 +174,16 @@ def write_daily_metrics(df: DataFrame, path: str) -> None:
     the classic partitioned-write mistake at scale).
 
     Overwrite is per-partition, not per-table:
-    ``spark.sql.sources.partitionOverwriteMode=dynamic`` (session.
-    RUNTIME_CONFS) makes mode('overwrite') replace only the date partitions
-    present in ``df`` — re-running day N is idempotent and days 1..N-1
-    survive (asserted in tests/test_rollup_batch.py::test_incremental_daily_writes).
+    ``spark.sql.sources.partitionOverwriteMode=dynamic`` makes
+    mode('overwrite') replace only the date partitions present in ``df`` —
+    re-running day N is idempotent and days 1..N-1 survive (asserted in
+    tests/test_rollup_batch.py::test_incremental_daily_writes). The conf is
+    applied HERE, defensively: on a caller-built session Spark defaults to
+    static overwrite, which would truncate the table root.
     """
+    from ..session import ensure_runtime_confs
+
+    ensure_runtime_confs(df.sparkSession)
     (
         df.repartition("event_date")
         .write.mode("overwrite")
@@ -188,9 +193,22 @@ def write_daily_metrics(df: DataFrame, path: str) -> None:
 
 
 def is_empty(df: DataFrame) -> bool:
-    """P8: empty-input guard (reference kafka_spark_etl.py:49-61) without a
-    full count — ``limit(1)`` stops the scan at the first row found."""
-    return df.limit(1).count() == 0
+    """P8: empty-input guard (reference kafka_spark_etl.py:49-61) — the
+    built-in ``isEmpty`` already stops at the first row found."""
+    return df.isEmpty()
+
+
+def _check_count(n: int, *, fail: bool = False) -> int:
+    """The one zero-row QC policy: warn (or raise) — shared by the
+    df-counting wrapper and callers that already hold a count."""
+    import warnings
+
+    if n == 0:
+        msg = "quality_check: output has 0 rows"
+        if fail:
+            raise ValueError(msg)
+        warnings.warn(msg, stacklevel=3)
+    return n
 
 
 def quality_check(df: DataFrame, *, fail: bool = False) -> int:
@@ -199,15 +217,7 @@ def quality_check(df: DataFrame, *, fail: bool = False) -> int:
     Returns the row count; warns (or raises with ``fail=True``) on 0 rows —
     the reference's check is warn-only, so that is the default.
     """
-    import warnings
-
-    n = df.count()
-    if n == 0:
-        msg = "quality_check: output has 0 rows"
-        if fail:
-            raise ValueError(msg)
-        warnings.warn(msg, stacklevel=2)
-    return n
+    return _check_count(df.count(), fail=fail)
 
 
 def run_daily_batch(
@@ -226,8 +236,6 @@ def run_daily_batch(
     guard→write→count sequence would run the day's plan twice more — at
     the 100 TB design point that triples the nightly job.)
     """
-    import warnings
-
     if is_empty(filter_run_date(events, run_date)):
         # cheap guard: limit(1) over the pushed-down day slice only
         return 0
@@ -244,6 +252,4 @@ def run_daily_batch(
         )
     else:
         n = metrics.count()
-    if n == 0:
-        warnings.warn("quality_check: output has 0 rows", stacklevel=2)
-    return n
+    return _check_count(n)

@@ -127,21 +127,25 @@ def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     Pure projection — no shuffle; at 100 TB this is a single scan that
     Catalyst fuses with the parquet read (column pruning keeps only the
     consumed columns). All ratios are single double divisions of exact
-    integer counts, so they are bit-identical across engines.
+    integer counts, so they are bit-identical across engines. NULL text
+    is scored as the empty document (coalesce — the same P5 null-fill
+    posture as rolling_hash/language_id), not as all-NULL metrics that
+    silently fall out of downstream ratio filters.
     """
-    t = tokens(text_col)
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    t = tokens(text)
     n_tok = F.size(t)
     n_distinct = F.size(F.array_distinct(t))
     n_stop = F.size(F.filter(t, lambda x: x.isin(*EN_STOPWORDS)))
     return df.select(
         "doc_id",
-        F.length(text_col).alias("n_chars"),
+        F.length(text).alias("n_chars"),
         n_tok.cast("bigint").alias("n_tokens"),
         n_distinct.cast("bigint").alias("n_distinct_tokens"),
         (n_distinct.cast("double") / n_tok).alias("type_token_ratio"),
         (n_stop.cast("double") / n_tok).alias("stopword_ratio"),
         # mean token length: chars minus the separators, over token count
-        ((F.length(text_col) - (n_tok - F.lit(1))).cast("double") / n_tok).alias(
+        ((F.length(text) - (n_tok - F.lit(1))).cast("double") / n_tok).alias(
             "avg_token_len"
         ),
         F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unknown")).alias("lang_guess"),
@@ -150,10 +154,12 @@ def doc_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 def sql_doc_quality(table: str = "documents", text_col: str = "text") -> str:
     stop = ", ".join(f"'{s}'" for s in EN_STOPWORDS)
-    w = sql_tokens(text_col)
     return f"""
     WITH toks AS (
-        SELECT doc_id, {text_col} AS text, {w} AS w FROM {table}
+        SELECT doc_id,
+               COALESCE({text_col}, '') AS text,
+               {sql_tokens(f"COALESCE({text_col}, '')")} AS w
+        FROM {table}
     )
     SELECT doc_id,
            length(text) AS n_chars,
@@ -560,9 +566,15 @@ def vocab_token_counts(
             "_prefix"
         ),
     )
-    return pruned.mapInPandas(
-        tokenize_batches, schema="doc_id long, n_tokens long, n_unk long"
+    # the id field's type follows the INPUT column (a hardcoded `long`
+    # would crash Arrow conversion for string ids), and the output keeps
+    # the caller's id_col name so joins back are name-stable
+    id_type = pruned.schema["doc_id"].dataType.simpleString()
+    out = pruned.mapInPandas(
+        tokenize_batches,
+        schema=f"doc_id {id_type}, n_tokens long, n_unk long",
     )
+    return out.withColumnRenamed("doc_id", id_col) if id_col != "doc_id" else out
 
 
 def sql_vocab_token_counts(
@@ -623,37 +635,54 @@ def doc_repetition_stats(docs: DataFrame, *, text_col: str = "text") -> DataFram
     the doc) — plus the keep decision under the Gopher-analogue
     thresholds above.
 
-    Shape: two explode→two-level-agg pipelines (tokens, bigrams), each
-    map-side combined on (doc_id, gram) then collapsed to one row per doc,
-    joined on doc_id. Within-doc repeats collapse in the first (partial)
-    aggregation, so the shuffle carries per-doc DISTINCT grams, not
-    occurrences — the same discipline as hot_ngrams. Short docs (< 2
-    tokens) have no bigrams: left join + zero fractions.
+    Shape: ONE scan — tokens and bigrams ride the same explode as tagged
+    (kind, gram) items (the document splits once, grams derive from the
+    bound token array), then a map-side-combined (doc, kind, gram) count
+    and a single per-doc conditional aggregation. Separate token/bigram
+    pipelines joined on doc_id would read and tokenize the corpus twice
+    (no cross-branch CSE). Within-doc repeats collapse in the first
+    (partial) aggregation, so the shuffle carries per-doc DISTINCT grams,
+    not occurrences — the same discipline as hot_ngrams. Short docs (< 2
+    tokens) contribute no bigram items: coalesce to zero fractions.
     """
-    toks = docs.select("doc_id", F.explode(tokens(text_col)).alias("t"))
-    tc = toks.groupBy("doc_id", "t").count()
-    ta = tc.groupBy("doc_id").agg(
-        F.sum("count").alias("n_tokens"),
-        F.count(F.lit(1)).alias("_n_distinct"),
-        F.max("count").alias("_top_tok"),
-    )
-    bigrams = docs.select(
-        "doc_id", F.explode(gram_strings(text_col, 2)).alias("g")
-    )
-    bc = bigrams.groupBy("doc_id", "g").count()
-    ba = bc.groupBy("doc_id").agg(
-        F.sum("count").alias("_n_bigrams"),
-        F.max("count").alias("_top_big"),
-        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias(
-            "_dup_big"
+    from ..functions import bind
+
+    items = bind(
+        tokens(text_col),
+        lambda t: F.concat(
+            F.transform(t, lambda x: F.struct(F.lit(0).alias("kind"), x.alias("g"))),
+            F.transform(
+                _grams_over(t, 2),
+                lambda x: F.struct(F.lit(1).alias("kind"), x.alias("g")),
+            ),
         ),
     )
-    j = ta.join(ba, "doc_id", "left")
-    nb = F.coalesce(F.col("_n_bigrams"), F.lit(0))
+    exploded = docs.select("doc_id", F.explode(items).alias("i")).select(
+        "doc_id", F.col("i.kind").alias("kind"), F.col("i.g").alias("g")
+    )
+    gc = exploded.groupBy("doc_id", "kind", "g").count()
+    tok = F.col("kind") == 0
+    big = F.col("kind") == 1
+    agg = gc.groupBy("doc_id").agg(
+        F.sum(F.when(tok, F.col("count")).otherwise(0)).alias("n_tokens"),
+        F.count(F.when(tok, F.lit(1))).alias("_n_distinct"),
+        F.max(F.when(tok, F.col("count"))).alias("_top_tok"),
+        F.coalesce(
+            F.sum(F.when(big, F.col("count"))), F.lit(0)
+        ).alias("_n_bigrams"),
+        F.coalesce(F.max(F.when(big, F.col("count"))), F.lit(0)).alias(
+            "_top_big"
+        ),
+        F.coalesce(
+            F.sum(F.when(big & (F.col("count") > 1), F.col("count"))),
+            F.lit(0),
+        ).alias("_dup_big"),
+    )
+    nb = F.col("_n_bigrams")
     frac = lambda num: F.when(  # noqa: E731
         nb > 0, num.cast("double") / nb
     ).otherwise(F.lit(0.0))
-    out = j.select(
+    out = agg.select(
         "doc_id",
         "n_tokens",
         (F.col("_n_distinct").cast("double") / F.col("n_tokens")).alias(
@@ -662,8 +691,8 @@ def doc_repetition_stats(docs: DataFrame, *, text_col: str = "text") -> DataFram
         (F.col("_top_tok").cast("double") / F.col("n_tokens")).alias(
             "top_token_frac"
         ),
-        frac(F.coalesce(F.col("_top_big"), F.lit(0))).alias("top_bigram_frac"),
-        frac(F.coalesce(F.col("_dup_big"), F.lit(0))).alias("dup_bigram_frac"),
+        frac(F.col("_top_big")).alias("top_bigram_frac"),
+        frac(F.col("_dup_big")).alias("dup_bigram_frac"),
     )
     return out.withColumn(
         "keep",

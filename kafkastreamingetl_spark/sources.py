@@ -177,8 +177,13 @@ def quarantine_split(
     then read the one parse. At 100 TB the same rule applies with storage
     instead of cache: land the parsed frame to parquet once, split from
     that; pass ``materialize=False`` when the input is already materialized.
+
+    Streaming frames cannot persist (and a streaming split re-reads the
+    source per sink anyway — that IS the materialization), so the cache is
+    batch-only; both halves of a streaming split stay valid readStream
+    lineage.
     """
-    if materialize:
+    if materialize and not df.isStreaming:
         df = df.persist()
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)

@@ -164,7 +164,17 @@ def upsert_parquet_sink(
        full-column tiebreak, same deterministic-survivor contract as
        operators.cleaning.dedup_deterministic;
     4. rewrite exactly the touched partitions (dynamic partition overwrite,
-       set in session.RUNTIME_CONFS; untouched history is never rewritten).
+       applied defensively per batch via ``ensure_runtime_confs`` — on a
+       caller-built session Spark's default is STATIC overwrite, which
+       would truncate the whole table root on step 4).
+
+    Contract: ``partition_col`` must be an immutable function of the key
+    (event_date of the key's first event, a hash bucket, ...). The merge
+    reads only the partitions the batch touches, so a "correction" that
+    MOVES a key to a different partition value would leave the stale row
+    behind in the old partition — the same immutable-partition-path rule
+    Hudi-style upsert tables impose. Keys with a NULL partition value are
+    supported (they merge against the hive default partition).
 
     Exactly-once: the write is a deterministic function of (table state,
     batch content), so replaying a failed micro-batch from the checkpoint
@@ -178,19 +188,30 @@ def upsert_parquet_sink(
     from pyspark.sql.utils import AnalysisException
 
     from .operators.cleaning import dedup_deterministic
+    from .session import ensure_runtime_confs
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
         spark = batch.sparkSession
+        # dynamic partition overwrite is load-bearing for step 4; apply it
+        # on THIS session — the sink must not depend on the caller having
+        # built the session through this engine's factory
+        ensure_runtime_confs(spark)
         touched = [
             r[0] for r in batch.select(partition_col).distinct().collect()
         ]
+        # SQL IN never matches NULL: a null partition value needs an
+        # explicit isNull leg, or existing null-partition rows would be
+        # dropped from the merge while the overwrite still replaces
+        # __HIVE_DEFAULT_PARTITION__ — silently losing them
+        non_null = [v for v in touched if v is not None]
+        pred = F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+        if any(v is None for v in touched):
+            pred = pred | F.col(partition_col).isNull()
         merged = batch
         try:
-            existing = spark.read.parquet(path).where(
-                F.col(partition_col).isin(touched)
-            )
+            existing = spark.read.parquet(path).where(pred)
             merged = batch.unionByName(existing)
         except AnalysisException:
             pass  # first batch: nothing to merge
