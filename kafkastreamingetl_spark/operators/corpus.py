@@ -20,7 +20,7 @@ designs (JVM-side, whole-stage codegen):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import hash60, sql_hash60
@@ -54,16 +54,25 @@ def train_test_split(
     re-draws the split; bumping ``train_pct`` only *moves the boundary*
     (train ⊆ new train), enabling monotone split growth.
     """
-    bucket = (
-        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
-        % SPLIT_BUCKETS
-    ).alias("split_bucket")
+    bucket = split_bucket_col(id_col, salt=salt).alias("split_bucket")
     split = (
         F.when(F.col("split_bucket") < train_pct, F.lit("train"))
         .otherwise(F.lit("test"))
         .alias("split")
     )
     return df.select(id_col, bucket).select("*", split)
+
+
+def split_bucket_col(id_col: str = "doc_id", *, salt: str = "split:v1") -> Column:
+    """The split-membership expression itself (salted id-hash bucket), for
+    callers that want the split as a derived COLUMN on an existing frame —
+    a join against :func:`train_test_split`'s projection would re-execute
+    the caller's whole upstream plan for the join's right side (no
+    cross-branch CSE) to recompute what is a pure function of the id."""
+    return (
+        hash60(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+        % SPLIT_BUCKETS
+    )
 
 
 def sql_train_test_split(

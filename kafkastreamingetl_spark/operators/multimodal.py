@@ -73,27 +73,52 @@ def with_binary_payload(
     return df.withColumn(payload_col, F.encode(F.col(source_col), "utf-8"))
 
 
+def _slim(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """The shared (id, payload) prologue of every multimodal stage: prune
+    to the two consumed columns BEFORE the Arrow boundary (a 100 TB row
+    must not ship its siblings into Python) and widen under-partitioned
+    scans. One definition — the projection/parallelism contract is not
+    copy-pasted per stage."""
+    return ensure_parallelism(df).select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+
+def _opt_bytes(p) -> bytes | None:
+    """NULL-safe payload access: a null binary cell reaches the worker as
+    None, and ``bytes(None)`` raises — null payloads must propagate as
+    null outputs (the engines' shared NULL-in/NULL-out contract), not
+    fail the task."""
+    return None if p is None else bytes(p)
+
+
 def extract_features(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
     """Arrow-batched per-item feature extraction over a binary column.
 
-    Output: (doc_id, n_bytes, content_md5, fake_width, fake_height).
+    Output: (doc_id, n_bytes, content_md5, fake_width, fake_height);
+    null payloads yield null features.
     """
-    slim = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    slim = _slim(df, id_col, payload_col)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            raws = [_opt_bytes(p) for p in pdf["payload"]]
             digests = [
-                hashlib.md5(bytes(p)).hexdigest() for p in pdf["payload"]
+                None if r is None else hashlib.md5(r).hexdigest()
+                for r in raws
             ]
-            dims = [_fake_decode(d) for d in digests]
+            dims = [
+                (None, None) if d is None else _fake_decode(d)
+                for d in digests
+            ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "n_bytes": [
+                        None if r is None else len(r) for r in raws
+                    ],
                     "content_md5": digests,
                     "fake_width": [w for w, _ in dims],
                     "fake_height": [h for _, h in dims],
@@ -137,19 +162,25 @@ def resize_payloads(
     the decoded pixels inside the same batch loop; the Arrow batch shape,
     output schema, and 1:1 row contract are what this operator pins down).
     """
-    slim = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    slim = _slim(df, id_col, payload_col)
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = [bytes(p) for p in pdf["payload"]]
+            payloads = [_opt_bytes(p) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "payload_resized": [p[:target_bytes] for p in payloads],
-                    "n_bytes_in": [len(p) for p in payloads],
-                    "n_bytes_out": [min(len(p), target_bytes) for p in payloads],
+                    "payload_resized": [
+                        None if p is None else p[:target_bytes]
+                        for p in payloads
+                    ],
+                    "n_bytes_in": [
+                        None if p is None else len(p) for p in payloads
+                    ],
+                    "n_bytes_out": [
+                        None if p is None else min(len(p), target_bytes)
+                        for p in payloads
+                    ],
                 }
             )
 
@@ -200,15 +231,15 @@ def sample_frames(
     Chunking stands in for ffmpeg keyframe extraction; frame_idx keeps the
     original frame position so downstream work can reconstruct timing.
     """
-    slim = ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
-    )
+    slim = _slim(df, id_col, payload_col)
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, blobs, totals = [], [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                raw = bytes(p)
+                raw = _opt_bytes(p)
+                if raw is None:
+                    continue  # 1->N shape: a null payload has no frames
                 n_frames = (len(raw) + frame_bytes - 1) // frame_bytes
                 for i in range(0, n_frames, stride):
                     ids.append(doc_id)

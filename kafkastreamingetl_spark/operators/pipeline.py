@@ -149,9 +149,16 @@ def run_corpus_refresh(
 
     Cost shape: the corpus dedup and the sample's cluster branch share the
     memoized shingle features + resolved cluster labels, so text is hashed
-    once per refresh; every write is partition-scoped dynamic overwrite.
+    once per refresh. Split membership is DERIVED as a column on the
+    sample (corpus.split_bucket_col) — joining back against
+    train_test_split's projection would re-execute the whole sample plan
+    for the join's right side. The training-set write is an explicit
+    STATIC overwrite: this is a full-recompute job, and under the
+    session's dynamic default a refresh yielding rows for only one split
+    value would leave the other split's stale partition from the previous
+    refresh on disk — silently mixing runs.
     """
-    from .corpus import train_test_split
+    from .corpus import split_bucket_col
 
     corpus = neardup_dedup(documents)
     corpus.write.mode("overwrite").parquet(f"{output_path}/corpus")
@@ -159,16 +166,36 @@ def run_corpus_refresh(
     sample = training_set_sample(
         documents, embeddings, k_per_label=k_per_label
     )
-    split = train_test_split(sample, train_pct=train_pct).select(
-        "doc_id", "split"
+    training = sample.withColumn(
+        "split",
+        F.when(split_bucket_col("doc_id") < train_pct, F.lit("train")).otherwise(
+            F.lit("test")
+        ),
     )
-    training = sample.join(split, "doc_id").write.mode("overwrite")
-    training.partitionBy("split").parquet(f"{output_path}/training_set")
+    (
+        training.write.mode("overwrite")
+        .option("partitionOverwriteMode", "static")
+        .partitionBy("split")
+        .parquet(f"{output_path}/training_set")
+    )
 
     spark = documents.sparkSession
+
+    def _count(path: str) -> int:
+        # an EMPTY partitioned write leaves only _SUCCESS; reading that
+        # back raises UNABLE_TO_INFER_SCHEMA — which is exactly the 0-row
+        # case the quality gate below exists to catch, so it must count
+        # as zero, not crash the scheduler with a schema error
+        from pyspark.sql.utils import AnalysisException
+
+        try:
+            return spark.read.parquet(path).count()
+        except AnalysisException:
+            return 0
+
     counts = {
-        "corpus": spark.read.parquet(f"{output_path}/corpus").count(),
-        "training_set": spark.read.parquet(f"{output_path}/training_set").count(),
+        "corpus": _count(f"{output_path}/corpus"),
+        "training_set": _count(f"{output_path}/training_set"),
     }
     if counts["training_set"] < fail_below_rows:
         raise ValueError(

@@ -688,7 +688,11 @@ def q_events_zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s") / F.col("n")
     var = F.col("ss") / F.col("n") - mean * mean
-    z = (F.col("value") - mean) / F.sqrt(var)
+    # zero-variance groups (single event / all-equal values): no z-score
+    # exists — and under Spark 4's default ANSI mode the bare division
+    # would raise DIVIDE_BY_ZERO rather than yield NULL like the oracle,
+    # so the guard is a correctness fix, not a style choice
+    z = F.when(var > 0, (F.col("value") - mean) / F.sqrt(var))
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))
@@ -1111,8 +1115,6 @@ def q_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact sum, sequence number, and lag-gap per user ordered by
     event time. One exchange on user_id; frames evaluate within the sorted
     partition."""
-    from pyspark.sql import Window
-
     from .functions import DEC
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
@@ -1156,8 +1158,6 @@ def q_rolling_hour_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact; frame bound = 3.6e9 µs). One exchange on user_id; peers with
     equal timestamps are in-frame regardless of tie order, so the result
     is deterministic without a tiebreak column."""
-    from pyspark.sql import Window
-
     from .functions import DEC
 
     ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 50)
@@ -1260,8 +1260,6 @@ def q_value_quartiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     percent_rank per event type, deterministic via the (value, event_id)
     total order. percent_rank is (rank-1)/(n-1) in both engines — exact
     double division of the same integers."""
-    from pyspark.sql import Window
-
     ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
     w = Window.partitionBy("event_type").orderBy(
         F.asc_nulls_first("value"), F.asc_nulls_first("event_id")
@@ -2141,10 +2139,14 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames project to base64 for type-stable hashing."""
     docs = _t(spark, sf_dir, "documents")
     out = mm_ops.sample_frames(mm_ops.with_binary_payload(docs))
+    # same MIME-chunk strip as the resize query: 32-byte frames encode
+    # under the 76-char CRLF wrap today, but the strip must live next to
+    # EVERY F.base64 or a frame_bytes bump silently breaks the oracle
+    b64 = F.regexp_replace(F.base64("frame_bytes"), "[\\r\\n]", "")
     return out.select(
         "doc_id",
         "frame_idx",
-        F.base64("frame_bytes").alias("frame_b64"),
+        b64.alias("frame_b64"),
         "n_frames_total",
     )
 
@@ -2565,7 +2567,11 @@ def a_events_zscore_single_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = ev.groupBy("event_type").agg(
         F.avg("value").alias("_mean"), F.var_pop("value").alias("_var")
     )
-    z = (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var"))
+    # same zero-variance guard as the exact twin (ANSI DIVIDE_BY_ZERO)
+    z = F.when(
+        F.col("_var") > 0,
+        (F.col("value") - F.col("_mean")) / F.sqrt(F.col("_var")),
+    )
     return (
         ev.join(F.broadcast(stats), "event_type")
         .select("event_id", "event_type", "value", z.alias("z"))

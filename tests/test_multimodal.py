@@ -61,3 +61,29 @@ def test_frame_sampling_stride_and_indices(spark):
     assert len(bytes(got[0].frame_bytes)) == 32
     assert len(bytes(got[1].frame_bytes)) == 32
     assert bytes(got[1].frame_bytes) == ("ab" * 50).encode()[64:96]
+
+
+def test_null_payload_propagates_not_crashes(spark):
+    """A null binary cell must propagate as null features / null resize
+    output and contribute zero frames — bytes(None) in the worker would
+    otherwise fail the whole task."""
+    from kafkastreamingetl_spark.operators.multimodal import (
+        extract_features,
+        resize_payloads,
+        sample_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(1, b"hello world"), (2, None)], "doc_id long, payload binary"
+    )
+    feats = {r.doc_id: r for r in extract_features(df).collect()}
+    assert feats[1].content_md5 is not None
+    assert feats[2].content_md5 is None and feats[2].n_bytes is None
+
+    rs = {r.doc_id: r for r in resize_payloads(df).collect()}
+    assert rs[1].payload_resized is not None
+    assert rs[2].payload_resized is None and rs[2].n_bytes_in is None
+
+    frames = sample_frames(df).collect()
+    assert all(r.doc_id == 1 for r in frames)
+    assert len(frames) > 0
