@@ -111,6 +111,9 @@ class SyntheticEventsReader(DataSourceReader):
         self.arrow = str(options.get("arrow", "false")).lower() == "true"
 
     def partitions(self):
+        if self.rows <= 0:
+            # zero-row budget = a valid empty scan, not range(0, 0, 0)
+            return [_RangePartition(0, 0)]
         step = -(-self.rows // self.n_parts)  # ceil
         return [
             _RangePartition(s, min(s + step, self.rows))

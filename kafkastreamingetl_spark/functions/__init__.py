@@ -24,22 +24,16 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     thousands of row groups) the condition is false and this is a no-op, so
     it never introduces a shuffle where data is already wide.
 
-    Two-tier check, cheap path first: a file-backed plan with ≥ n input
-    files always splits into ≥ n scan partitions, so the scan's file list
-    (logical-plan metadata — no physical planning) decides the common
-    at-scale case without touching ``df.rdd``. Only plans that *might* be
-    narrow (few/no input files: single-file test tables, in-memory ranges)
-    pay the accurate ``rdd.getNumPartitions()`` probe — a many-files scan
-    may still split one large file into many partitions, which the file
-    count alone can't see, so the file gate only ever short-circuits the
-    no-op direction.
+    The check is the accurate ``rdd.getNumPartitions()`` probe (physical
+    planning, no job). An earlier file-count shortcut ("≥ n input files ⇒
+    ≥ n scan partitions") was UNSOUND: Spark's file bin-packing derives
+    its split size from ``spark.sql.files.minPartitionNum`` and can pack
+    many small files into fewer than n partitions — skipping the
+    repartition in exactly the under-partitioned case this guard exists
+    for. The probe's planning cost is trivial next to the expression- or
+    Python-heavy stages the guard protects.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    try:
-        if len(df.inputFiles()) >= n:
-            return df
-    except Exception:  # non-file-backed plans: fall through to the probe
-        pass
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

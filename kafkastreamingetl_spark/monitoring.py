@@ -44,9 +44,13 @@ class ProgressRecorder(StreamingQueryListener):
     """Collects every query's per-batch progress until detached."""
 
     def __init__(self, max_events: int = 10_000):
-        self._events: list[dict] = []
+        # ring buffer: the bound must drop the OLDEST events — a
+        # keep-first cap would freeze telemetry at the cap while the
+        # stream keeps running, hiding every later regression
+        from collections import deque
+
+        self._events: deque[dict] = deque(maxlen=max_events)
         self._lock = Lock()
-        self._max = max_events
 
     # StreamingQueryListener interface -------------------------------------
     def onQueryStarted(self, event):  # noqa: N802 (Spark API casing)
@@ -55,8 +59,7 @@ class ProgressRecorder(StreamingQueryListener):
     def onQueryProgress(self, event):  # noqa: N802
         p = json.loads(event.progress.json)
         with self._lock:
-            if len(self._events) < self._max:
-                self._events.append(p)
+            self._events.append(p)  # deque evicts the oldest at maxlen
 
     def onQueryIdle(self, event):  # noqa: N802
         pass

@@ -46,6 +46,22 @@ DECOMPOSABLE = {
 }
 
 
+def _row_salt(df: DataFrame, n_salts: int) -> Column:
+    """Uniform [0, n_salts) salt as a DETERMINISTIC function of the whole
+    row (xxhash64 over every column). An unseeded ``rand()`` here would be
+    a nondeterministic expression feeding a shuffle key: when a fetch
+    failure forces phase-1 map tasks to recompute, re-drawn salts land
+    rows in different reduce partitions than already-fetched outputs
+    assumed — rows silently double-counted or lost, precisely at the
+    scale this module exists for. Hashing the full row (not just the hot
+    key, which would collapse back to one reducer) spreads a hot key's
+    rows across salts; only bit-identical duplicate rows share a salt.
+    """
+    return F.pmod(
+        F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts)
+    ).cast("int")
+
+
 def salted_agg(
     df: DataFrame,
     keys: list[str],
@@ -65,8 +81,9 @@ def salted_agg(
     unknown = {a for a, _ in aggs.values()} - set(DECOMPOSABLE)
     if unknown:
         raise ValueError(f"non-decomposable aggregates cannot be salted: {unknown}")
-    salt = (F.rand() * n_salts).cast("int").alias("_salt")
-    phase1 = df.withColumn("_salt", salt).groupBy(*keys, "_salt").agg(
+    phase1 = df.withColumn("_salt", _row_salt(df, n_salts)).groupBy(
+        *keys, "_salt"
+    ).agg(
         *[DECOMPOSABLE[name][0](col, out) for out, (name, col) in aggs.items()]
     )
     return phase1.groupBy(*keys).agg(
@@ -107,13 +124,17 @@ def salted_shuffle_join(
     The trade is explicit: fact-side shuffle volume is unchanged, dim-side
     volume multiplies by ``n_salts`` — worth it exactly when
     ``n_salts × |dim| ≪ hot-key row count``. Results are identical to the
-    unsalted join for any ``how`` that keeps fact rows unique (inner/left):
-    every fact row still meets exactly the dim rows sharing its key, one
-    replica of each. The salt uses ``rand()`` deliberately — membership
-    does not need to be stable across runs (unlike the split/sample
-    operators' salted *hashes*), and a hash of a hot key would put the
-    whole hot key back on one reducer."""
-    f = fact.withColumn("_salt", (F.rand() * n_salts).cast("int"))
+    unsalted join ONLY for ``how`` that keeps fact rows unique
+    (inner/left) — a right/full join would surface each unmatched dim row
+    once per salt replica, so those are rejected rather than silently
+    inflated ×``n_salts``."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            "salted_shuffle_join is only result-identical for how in "
+            f"('inner', 'left'); got {how!r} (unmatched dim rows would "
+            "appear once per salt replica)"
+        )
+    f = fact.withColumn("_salt", _row_salt(fact, n_salts))
     d = dim.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )

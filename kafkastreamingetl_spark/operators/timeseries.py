@@ -89,7 +89,11 @@ def daily_dense_series(
             F.coalesce(
                 F.last("_close_raw", ignorenulls=True).over(ff), F.lit(0.0)
             ).alias("close"),
-            F.col("_close_raw").isNotNull().alias("is_observed"),
+            # observed = a daily row EXISTS — not "_close_raw is non-null",
+            # which would mislabel a real day whose newest event has a
+            # null value as imputed (close still forward-fills there: the
+            # last KNOWN state persists through a null-valued close)
+            F.col("n_events").isNotNull().alias("is_observed"),
         )
     )
 
@@ -136,7 +140,7 @@ def sql_daily_dense_series(
                PARTITION BY g.key ORDER BY g.day ASC NULLS FIRST
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
            ), 0.0) AS close,
-           d._close_raw IS NOT NULL AS is_observed
+           d.n_events IS NOT NULL AS is_observed
     FROM grid g LEFT JOIN daily d ON g.key = d.key AND g.day = d.day
     """
 
@@ -285,10 +289,14 @@ def rolling_distinct_users(
     observed = events.select(
         F.col("ts").cast("date").alias("anchor")
     ).distinct()
+    # the metric name carries its window so 7- and 30-day variants can
+    # coexist in one schema without silent semantic collisions
     return (
         fanout.join(observed, "anchor")
         .groupBy("anchor")
-        .agg(F.count_distinct("user_id").alias("n_users_7d"))
+        .agg(
+            F.count_distinct("user_id").alias(f"n_users_{window_days}d")
+        )
     )
 
 
@@ -303,7 +311,8 @@ def sql_rolling_distinct_users(window_days: int = ROLLING_DISTINCT_DAYS) -> str:
     ),
     observed AS (SELECT DISTINCT CAST(ts AS DATE) AS anchor FROM events)
     SELECT f.anchor,
-           CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_users_7d
+           CAST(COUNT(DISTINCT f.user_id) AS BIGINT)
+               AS n_users_{window_days}d
     FROM fanout f JOIN observed USING (anchor)
     GROUP BY 1
     """

@@ -114,6 +114,12 @@ def run_compare(spark, sf_dir: str, names: list[str] | None = None) -> list[Comp
 
     con = duckdb_connection(sf_dir)
     results = []
+    # a typo'd subset name must FAIL, not silently filter to "0/0 OK"
+    if names:
+        for unknown in sorted(set(names) - set(QUERIES)):
+            results.append(
+                CompareResult(unknown, False, notes=["unknown query name"])
+            )
     for name, fn in QUERIES.items():
         if names and name not in names:
             continue

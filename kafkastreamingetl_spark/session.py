@@ -105,9 +105,18 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     # getOrCreate ignores builder configs on an already-running session;
-    # re-apply everything runtime-settable so the tuning profile holds.
+    # re-apply everything runtime-settable so the tuning profile holds —
+    # but the CALLER's explicit extra_conf wins over the profile defaults
+    # (re-applying only the defaults here would silently stomp e.g. a
+    # caller-supplied shuffle.partitions or session timezone).
     ensure_runtime_confs(spark)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    if extra_conf:
+        for k, v in extra_conf.items():
+            try:
+                spark.conf.set(k, v)
+            except Exception:  # noqa: BLE001 — static conf on live session
+                pass
     spark.sparkContext.setLogLevel("WARN")
     return spark
 
