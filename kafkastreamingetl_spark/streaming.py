@@ -145,6 +145,7 @@ def upsert_parquet_sink(
     key_cols: list[str],
     order_col: str,
     partition_col: str,
+    delete_col: str | None = None,
     available_now: bool = False,
     trigger_seconds: int | None = 30,
 ) -> StreamingQuery:
@@ -176,6 +177,18 @@ def upsert_parquet_sink(
     Hudi-style upsert tables impose. Keys with a NULL partition value are
     supported (they merge against the hive default partition).
 
+    CDC deletes: with ``delete_col`` set (a boolean column), a key whose
+    NEWEST version is a tombstone is deleted — the WHEN MATCHED THEN
+    DELETE leg of MERGE, implemented as a SOFT delete: the winning
+    tombstone row stays in the table (flag true) and consumers read
+    through :func:`read_upserted`, which filters it. Keeping the
+    tombstone is what makes deletes correct under late data and replays:
+    a stale update arriving in a LATER batch still loses the newest-wins
+    contest to the persisted tombstone — dropping tombstones at write
+    would silently resurrect deleted keys. (Real lake formats do the
+    same, then garbage-collect tombstones past a retention window — that
+    compaction step composes with operators/maintenance.)
+
     Exactly-once: the write is a deterministic function of (table state,
     batch content), so replaying a failed micro-batch from the checkpoint
     converges to the same bytes — idempotent, asserted by replay in
@@ -189,6 +202,11 @@ def upsert_parquet_sink(
 
     from .operators.cleaning import dedup_deterministic
     from .session import ensure_runtime_confs
+
+    if delete_col is not None and delete_col not in df.columns:
+        raise ValueError(
+            f"delete_col {delete_col!r} not in stream columns {df.columns}"
+        )
 
     def merge_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -233,6 +251,20 @@ def upsert_parquet_sink(
         available_now=available_now,
         trigger_seconds=trigger_seconds,
     )
+
+
+def read_upserted(spark, path: str, *, delete_col: str | None = None) -> DataFrame:
+    """Read an :func:`upsert_parquet_sink` table as its CURRENT state:
+    one live row per key, soft-deleted keys (newest version a tombstone)
+    filtered out. This is the sink's read contract — raw readers see
+    tombstone rows, which exist precisely so late stale updates cannot
+    resurrect deleted keys."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    if delete_col is not None:
+        df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
+    return df
 
 
 def fan_out(

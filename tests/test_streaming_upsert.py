@@ -130,3 +130,84 @@ def test_upsert_replay_is_idempotent(spark, paths):
     # micro-batch retry after checkpoint loss): table is unchanged
     _run_upsert(spark, src, table, ckpt + "_retry")
     assert _table_rows(spark, table) == want
+
+
+def test_upsert_soft_delete_tombstone(spark, tmp_path):
+    """CDC delete leg: a newer tombstone soft-deletes the key (hidden by
+    read_upserted, persisted in the raw table), a late stale update
+    arriving AFTER the delete cannot resurrect it, and a genuine
+    reinsert newer than the tombstone brings the key back."""
+    from kafkastreamingetl_spark.streaming import read_upserted
+
+    src = str(tmp_path / "src")
+    table = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def ev(rows):
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, value double, deleted boolean",
+        )
+        return (
+            df.withColumn("ts", F.col("ts").cast("timestamp"))
+            .withColumn("event_date", F.to_date("ts"))
+        )
+
+    def run(batch_dir):
+        stream = spark.readStream.schema(ev([]).schema).parquet(batch_dir)
+        q = upsert_parquet_sink(
+            stream,
+            table,
+            ckpt,
+            key_cols=["event_id"],
+            order_col="ts",
+            partition_col="event_date",
+            delete_col="deleted",
+            available_now=True,
+        )
+        run_available_now([q])
+
+    # batch 1: two live keys
+    b1 = str(tmp_path / "b1")
+    ev(
+        [
+            (1, "2024-01-01 10:00:00", 1.0, False),
+            (2, "2024-01-01 11:00:00", 2.0, False),
+        ]
+    ).write.parquet(b1)
+    os.makedirs(src)
+    for f in os.listdir(b1):
+        os.rename(os.path.join(b1, f), os.path.join(src, f))
+    run(src)
+
+    # batch 2: tombstone for key 1
+    ev([(1, "2024-01-01 12:00:00", 0.0, True)]).write.mode("append").parquet(src)
+    run(src)
+    live = {r.event_id for r in read_upserted(spark, table, delete_col="deleted").collect()}
+    assert live == {2}
+    raw = {r.event_id: r.deleted for r in spark.read.parquet(table).collect()}
+    assert raw[1] is True  # tombstone persisted, not dropped
+
+    # batch 3: STALE update for key 1 (older ts than the tombstone) must
+    # NOT resurrect; a genuine reinsert (newer ts) must
+    ev(
+        [
+            (1, "2024-01-01 11:30:00", 9.9, False),  # stale — loses
+            (2, "2024-01-01 13:00:00", 2.5, False),
+        ]
+    ).write.mode("append").parquet(src)
+    run(src)
+    cur = {
+        r.event_id: r.value
+        for r in read_upserted(spark, table, delete_col="deleted").collect()
+    }
+    assert 1 not in cur
+    assert cur[2] == 2.5
+
+    ev([(1, "2024-01-01 14:00:00", 5.0, False)]).write.mode("append").parquet(src)
+    run(src)
+    cur = {
+        r.event_id: r.value
+        for r in read_upserted(spark, table, delete_col="deleted").collect()
+    }
+    assert cur[1] == 5.0  # reinsert newer than tombstone wins
