@@ -49,7 +49,10 @@ from __spark_entry__ import queries  # noqa: E402
 def main() -> None:
     sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else 0.0
+    # no sfN in the path -> sf is UNKNOWN (None), not 0.0: a coalesced 0.0
+    # would let two unrelated custom datasets "match" in the regression
+    # gate's sf check and compare floors across datasets
+    sf = float(m.group(1)) if m else None
 
     spark = get_test_spark("kafkastreamingetl_spark_bench")
     qs = queries()
@@ -66,16 +69,20 @@ def main() -> None:
     # the driver lost the entire round's numbers). Failures are recorded
     # per-query and the summary line always prints.
     errors: dict[str, str] = {}
+    warm_failed: set[str] = set()
     for name, fn in qs.items():
         try:
             fn(spark, warm_dir).count()
         except Exception as e:  # noqa: BLE001 — record and keep benching
+            # ADVISORY: the warm dir can be stale/partial independently of
+            # the bench sf — the timed run below still executes (cold) and
+            # records its own error if IT fails; only then is the query
+            # excluded from timings
             errors[name] = f"warmup: {type(e).__name__}: {e}"
+            warm_failed.add(name)
 
     timings: dict[str, float] = {}
     for name, fn in qs.items():
-        if name in errors:
-            continue
         # clear persisted intermediates (e.g. dedup shingle features) so no
         # query benefits from a predecessor's cache and nothing accumulates
         spark.catalog.clearCache()
@@ -86,6 +93,11 @@ def main() -> None:
             errors[name] = f"run: {type(e).__name__}: {e}"
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        if name in warm_failed:
+            # timed run succeeded: the warm failure was warm-dir-specific;
+            # drop the advisory error so the summary's n_errors reflects
+            # queries that actually failed AT the bench sf
+            errors.pop(name, None)
 
     # Fit lane: the model trainers timed in isolation (memos cleared first),
     # then a warm-serving lane re-times the model-backed queries with the
@@ -208,6 +220,9 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     are untouched.
     """
     here = os.path.dirname(os.path.abspath(__file__))
+    if sf is None:
+        # unknown dataset: no floor comparison is meaningful
+        return {"baseline_round": None, "regressions": {}}
     floors: dict[str, float] = {}
     base_round = None
     # The committed BENCH_DETAIL.json from the previous round carries the

@@ -50,19 +50,24 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(s).astype("datetime64[us]")
         elif s.dtype == object:
             sample = s.dropna()
-            if len(sample) and not isinstance(sample.iloc[0], str):
-                first = sample.iloc[0]
-                if hasattr(first, "isoformat"):  # date / datetime objects
+            # The normalization decision must look at EVERY observed type,
+            # not sample.iloc[0]: the two engines can order rows
+            # differently pre-sort, so a first-value probe could leave one
+            # frame raw and stringify the other (and a raw mixed-type
+            # column then crashes sort_values).
+            types = {type(v) for v in sample}
+            if types and types != {str}:
+                if all(hasattr(t, "isoformat") for t in types):
                     df[c] = pd.to_datetime(s, errors="coerce").astype("datetime64[us]")
-                elif isinstance(first, (bool, np.bool_)):
+                elif types <= {bool, np.bool_}:
                     df[c] = s.astype("boolean")
-                elif isinstance(first, (bytes, bytearray, memoryview)):
+                elif types <= {bytes, bytearray, memoryview}:
                     # binary columns: Spark yields bytes, DuckDB bytearray —
                     # normalize to bytes so repr comparison is type-blind
                     df[c] = s.apply(
                         lambda v: str(bytes(v)) if v is not None else None
                     )
-                elif isinstance(first, (list, np.ndarray)):
+                elif types <= {list, np.ndarray}:
                     df[c] = s.apply(lambda v: str(list(v)) if v is not None else None)
                 else:
                     df[c] = s.apply(lambda v: str(v) if v is not None else None)
@@ -97,10 +102,16 @@ def compare_frames(name: str, sdf: pd.DataFrame, odf: pd.DataFrame) -> CompareRe
                 res.ok = False
                 res.notes.append(f"float col '{c}' mismatch (max abs diff {diff!r})")
         else:
-            eq = (sa == sb) | (sa.isna() & sb.isna())
+            # fillna(False): on nullable extension dtypes (boolean/Int64) a
+            # null-vs-value row makes (sa == sb) pd.NA, and
+            # BooleanArray.all() SKIPS NA — a genuine mismatch would pass
+            # silently (and ~eq with NA crashes argmax). One-sided nulls
+            # are mismatches, full stop.
+            eq = ((sa == sb) | (sa.isna() & sb.isna())).fillna(False)
             if not eq.all():
-                n_bad = int((~eq).sum())
-                i = int(np.argmax(~eq.values))
+                bad = ~eq.astype(bool)
+                n_bad = int(bad.sum())
+                i = int(np.argmax(bad.values))
                 res.ok = False
                 res.notes.append(
                     f"col '{c}': {n_bad} mismatches, first at row {i}: "
@@ -138,7 +149,20 @@ def run_compare(spark, sf_dir: str, names: list[str] | None = None) -> list[Comp
         except Exception as e:  # noqa: BLE001
             results.append(CompareResult(name, False, rows_spark=len(sdf), notes=[f"oracle error: {e}"]))
             continue
-        results.append(compare_frames(name, sdf, odf))
+        try:
+            results.append(compare_frames(name, sdf, odf))
+        except Exception as e:  # noqa: BLE001 — one bad column must be ONE
+            # failing row, not a crash that takes out the whole run (and,
+            # via the module-scoped test fixture, every parametrized test)
+            results.append(
+                CompareResult(
+                    name,
+                    False,
+                    rows_spark=len(sdf),
+                    rows_oracle=len(odf),
+                    notes=[f"compare error: {type(e).__name__}: {e}"],
+                )
+            )
     return results
 
 

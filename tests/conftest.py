@@ -11,8 +11,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from kafkastreamingetl_spark.session import get_test_spark  # noqa: E402
 
+# Tests default to the smallest sf for iteration speed; the full-suite
+# differential at sf0.01 runs via `python -m kafkastreamingetl_spark.oracle`
+# (the verify recipe) and at sf0.1 via tests/test_scale_stress.py.
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_ORACLE = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")

@@ -107,7 +107,6 @@ def test_partitioned_lake_prunes_on_read(spark, sf_dir, tmp_path):
     assert back.count() > 0
 
 
-@pytest.mark.usefixtures("spark")
 def test_bucketed_join_has_no_shuffle(spark, sf_dir, tmp_path):
     """H-surface at scale: orders/lineitem bucketed on the join key join
     with zero Exchange operators — the co-located-join design for 100 TB
