@@ -12,6 +12,19 @@ Each module covers one slice of the reference's operator inventory
 - ``text``        — language-guess, quality scoring, token counts, fingerprints
 - ``multimodal``  — binary-column decode/feature plumbing (stubbed decode)
 - ``skew``        — salted two-phase aggregation for hot-key groupBys
+- ``corpus``      — training-corpus prep: splits, sampling, packing, TF-IDF,
+  boilerplate/PII scrubs, budgeted mixtures, deterministic shuffle
+- ``asof`` / ``rangejoin`` / ``streamjoin`` — point-in-time, interval, and
+  stream-stream time-bounded joins
+- ``temporal``    — SCD2 history, temporal join, streaks, EWMA, transitions
+- ``incremental`` — aggregate delta-merge and CDC snapshot diff
+- ``linkage``     — blocked fuzzy entity matching
+- ``layout``      — Z-order clustering and the layout-quality report
+- ``timeseries``  — gap fill, OLS trend, rolling distinct reach
+- ``quality``     — one-scan rule reports, column profiles, winsorized stats
+- ``maintenance`` — compaction and partition retention
+- ``pipeline``    — composed training-set / corpus-refresh jobs
+- ``stateful``    — applyInPandasWithState + transformWithState operators
 
 Every function is pure (no session state), takes and returns DataFrames, and
 works on both batch and streaming inputs unless documented otherwise.
