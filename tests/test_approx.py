@@ -140,3 +140,31 @@ def test_winsorized_approx_near_exact(spark, sf_dir):
             e.winsorized_mean
         )
         assert abs(r.n_clipped - e.n_clipped) <= max(2, 0.1 * e.n)
+
+
+def test_ltv_deciles_approx_near_exact(spark, sf_dir):
+    """The percentile-edge decile lane (zero sorts) stays near the exact
+    range-shuffled ntile lane: same user total, every decile's population
+    within 15% of the exact equal split, decile value ranges ordered."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.decile: r for r in QUERIES["user_ltv_deciles"](spark, sf_dir).collect()
+    }
+    approx = sorted(
+        APPROX_VARIANTS["user_ltv_deciles_approx"](spark, sf_dir).collect(),
+        key=lambda r: r.decile,
+    )
+    n_total = sum(r.n_users for r in exact.values())
+    assert sum(r.n_users for r in approx) == n_total
+    assert {r.decile for r in approx} <= set(range(1, 11))
+    target = n_total / 10
+    for r in approx:
+        assert abs(r.n_users - target) <= max(3, 0.15 * target), (
+            r.decile,
+            r.n_users,
+            target,
+        )
+    # buckets are genuine value ranges: non-overlapping and ascending
+    for lo, hi in zip(approx, approx[1:]):
+        assert lo.max_ltv <= hi.min_ltv

@@ -33,14 +33,10 @@ def test_never_green_queries_sit_inside_driver_window():
     # prior failures and adds new operators; same-round additions are the
     # ones that wait (they rotate in next round). That deferral must be a
     # DECISION, not an accident: any never-green query outside the window
-    # has to be on this explicit list.
-    deferred_this_round = {
-        "doc_repetition_stats",
-        "daily_value_trend",
-        "rolling_distinct_users",
-        "event_transition_matrix",
-        "token_budget_sample",
-    }
+    # has to be on this explicit list. Round 7: the round-6 deferrals all
+    # sit at positions 1-5 and every round-7 addition is inside the
+    # window, so nothing is deferred.
+    deferred_this_round: set[str] = set()
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (
         f"queries with no green driver row outside the first "

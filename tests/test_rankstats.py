@@ -1,0 +1,104 @@
+"""Exact distributed ntile (operators/rankstats) — semantics equal to
+``F.ntile`` bit-for-bit, execution without a single-partition global sort.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.rankstats import with_exact_ntile
+
+
+def _reference_ntile(df, n, cols):
+    w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
+    return df.withColumn("bucket", F.ntile(n).over(w).cast("int"))
+
+
+@pytest.mark.parametrize(
+    ("rows", "n"),
+    [
+        (97, 10),   # N % n != 0: first N%n buckets one row larger
+        (100, 10),  # even split
+        (7, 10),    # N < n: every row its own bucket 1..N
+        (1, 10),
+        (33, 4),
+        (1000, 32),
+    ],
+)
+def test_exact_ntile_matches_window_ntile(spark, rows, n):
+    df = spark.range(rows).select(
+        (F.col("id") * 37 % 53).alias("v"), F.col("id").alias("uid")
+    )
+    expected = _reference_ntile(df, n, ["v", "uid"])
+    got = with_exact_ntile(df, n, ["v", "uid"])
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_exact_ntile_null_leading_values_bucket_first(spark):
+    df = spark.range(40).select(
+        F.when(F.col("id") < 5, None).otherwise(F.col("id")).alias("v"),
+        F.col("id").alias("uid"),
+    )
+    expected = _reference_ntile(df, 4, ["v", "uid"])
+    got = with_exact_ntile(df, 4, ["v", "uid"])
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_exact_ntile_heavy_tie_on_leading_key(spark):
+    # one value carries half the frame: range buckets degrade to skew,
+    # the ANSWER must not (ties broken by uid exactly like the window)
+    df = spark.range(200).select(
+        F.when(F.col("id") % 2 == 0, 7).otherwise(F.col("id")).alias("v"),
+        F.col("id").alias("uid"),
+    )
+    expected = _reference_ntile(df, 10, ["v", "uid"])
+    got = with_exact_ntile(df, 10, ["v", "uid"])
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
+
+
+def test_exact_ntile_rejects_helper_column_collisions(spark):
+    df = spark.range(3).select(F.col("id").alias("_rn"), "id")
+    with pytest.raises(ValueError):
+        with_exact_ntile(df, 2, ["id"])
+
+
+def test_exact_ntile_plan_has_no_unpartitioned_big_window(spark):
+    """The whole point: every Window in the physical plan is partitioned —
+    either by the range bucket (the data-sized sort) or by a literal (the
+    bounded offsets frame). A windowspec starting with an empty partition
+    clause over the data frame would be the single-task funnel."""
+    df = spark.range(500).select(
+        (F.col("id") % 97).alias("v"), F.col("id").alias("uid")
+    )
+    got = with_exact_ntile(df, 10, ["v", "uid"])
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        if "Window" in line and "windowspecdefinition" in line:
+            assert (
+                "_rbucket" in line.split("windowspecdefinition")[1][:120]
+                or "0 AS" in line
+                or "partitionBy" not in line
+            ), f"unexpected window spec: {line}"
+    # the reference-side check that matters operationally: Spark only
+    # warns 'No Partition Defined' for empty partition specs, and both
+    # specs here carry one (asserted structurally above via _rbucket /
+    # literal partition keys appearing in the exchanges)
+    assert "hashpartitioning(_rbucket" in plan
+
+
+def test_registered_decile_and_zorder_lanes_use_rankstats(spark, sf_dir):
+    """The two queries VERDICT r6 flagged as scale-weak now route through
+    with_exact_ntile: no empty-partition window over their data frames."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    for name in ("user_ltv_deciles", "events_zorder_layout"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "hashpartitioning(_rbucket" in plan, name
+        # ntile() never appears — the closed-form bucket arithmetic does
+        assert "ntile" not in plan.lower(), name
