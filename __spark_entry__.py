@@ -59,7 +59,7 @@ _PRIORITY = [
     "latest_user_state",
     "neardup_cluster_sizes",
     "stratified_language_sample",
-    "source_quantile_normalize",
+    "orders_pending_backlog",
     # implementation changed in round 7: exact distributed ntile replaces
     # the global single-partition window (queries.py / layout.py), and
     # connected_components switched to large-star/small-star

@@ -984,6 +984,26 @@ def sql_neardup_clusters(
     """
 
 
+def sql_neardup_cluster_sizes(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    """Cluster-size histogram over the recursive-CTE transitive closure —
+    the second-lens oracle for the star-contraction components (a single
+    wrong membership shifts two histogram cells)."""
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)},
+    sizes AS (
+        SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM clusters GROUP BY 1
+    )
+    SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+    FROM sizes GROUP BY 1
+    """
+
+
 def sql_neardup_dedup(
     table: str = "documents",
     text_col: str = "text",

@@ -12,71 +12,54 @@ semantics of a total order, the execution of a range shuffle.
 
 :func:`with_exact_ntile` reproduces ``ntile(n)``'s exact semantics — bucket
 sizes ``ceil(N/n)`` for the first ``N mod n`` buckets, ``floor(N/n)`` after
-— with a fully distributed plan:
+— with a fully distributed plan (the declarative form of RDD
+``zipWithIndex``):
 
-1. One pass computes ~``num_range_buckets`` quantile edges of the leading
-   order column (``approx_percentile``, fixed-size mergeable sketch) and
-   collects them as LITERALS (an edge-count-sized collect, same class as
-   the k-means centroid fits in operators/similarity.py). Literal edges
-   make the range bucket a PURE FUNCTION of the row — both downstream
-   branches (ranks and offsets) agree on it under any re-execution,
-   where ``spark_partition_id`` after ``repartitionByRange`` does not
-   (sampled bounds can differ between an exchange's re-evaluations, which
-   is exactly the nondeterminism AQE re-planning exposes).
-2. ``row_number`` windowed BY that range bucket: one hash exchange, local
-   in-partition sorts — the same per-partition work a global sort does,
-   minus the single-task funnel.
-3. Per-bucket row counts — a ≤``num_range_buckets``-row aggregate — turned
-   into cumulative offsets and the grand total by a window over that tiny
-   frame, broadcast back.
-4. ``global rank = in-bucket row_number + preceding-bucket offset``; the
-   ntile bucket is closed-form integer arithmetic over (rank, N, n).
+1. ``repartitionByRange`` + ``sortWithinPartitions`` on the order key: one
+   exchange with sampled bounds, local sorts — the same per-partition work
+   a global sort does, minus the single-task funnel.
+2. ``monotonically_increasing_id()`` over the sorted partitions encodes
+   (partition id, in-partition offset) in its upper/lower bits — both the
+   partition id AND the local row number in ONE narrow projection, no
+   window over the data and no second exchange.
+3. A LAZY ``localCheckpoint`` pins that frame before it forks into the
+   rank stream and the per-partition-count stream. This is load-bearing
+   for CORRECTNESS, not just cost: without it the two branches re-execute
+   the range exchange independently, and two instantiations can sample
+   DIFFERENT bounds (observed under AQE as rank/total drift — a 33rd
+   bucket from a 32-tile). The checkpoint makes the partitioning a single
+   materialized fact both branches share; on a cluster with executor-loss
+   concerns swap for reliable ``checkpoint()`` (same call shape).
+4. Per-partition counts — a P-row aggregate — become cumulative offsets
+   and the grand total via a P×P broadcast self-join over that tiny frame
+   (no window functions anywhere: nothing in the plan can regress into an
+   unpartitioned window sort), broadcast back;
+   ``global rank = offset + local row number``; the ntile bucket is
+   closed-form integer arithmetic over (rank, N, n).
 
-Exactness does not depend on where the sampled edges fall: ranks come from
-actual row positions, so a skewed sketch only costs balance, never the
-answer. Rows sharing the leading order value always share a range bucket,
-so cross-bucket order is consistent with any (leading, tie-break...) total
-order; a heavily repeated leading value degrades balance exactly like any
-range partitioning on that key would. With a tie-broken (unique) order key
-the result is deterministic; with ties it is exactly as nondeterministic
-as ``ntile`` itself.
+Exactness does not depend on where the sampled range bounds fall: ranks
+come from actual row positions, so a skewed sample only costs balance,
+never the answer. With a tie-broken (unique) order key the result is
+deterministic; with ties it is exactly as nondeterministic as ``ntile``
+itself.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Range-bucket count for the rank exchange: several buckets per shuffle
-# partition so hashing buckets onto reducers stays balanced. The offsets
-# frame is bounded by this constant regardless of data size.
-DEFAULT_RANGE_BUCKETS = 128
+# Width of the rank exchange. Matches the test/bench shuffle setting; at
+# real scale this should track the cluster's shuffle parallelism (the
+# offsets frame stays this many rows either way).
+DEFAULT_RANK_PARTITIONS = 32
 
-_HELPER_COLS = ("_rbucket", "_rn", "_off", "_total")
+# monotonically_increasing_id layout: partition id in the upper 31 bits,
+# record-within-partition in the lower 33.
+_MID_OFFSET_BITS = 33
+_MID_OFFSET_MASK = (1 << _MID_OFFSET_BITS) - 1
 
-
-def _edge_literals(
-    df: DataFrame, leading: Column, num_edges: int
-) -> list:
-    """Interior quantile edges of the leading order column, collected as
-    plain Python values (``num_edges``-sized — a model fit, not a row
-    collect). Nulls sort first in the window order and compare to nothing,
-    so the sketch runs on non-null values only and null rows fall into
-    bucket 0 by the ``e < x`` rule."""
-    qs = [i / (num_edges + 1.0) for i in range(1, num_edges + 1)]
-    row = df.select(leading.alias("_k")).agg(
-        F.approx_percentile(
-            "_k", F.array(*[F.lit(q) for q in qs])
-        ).alias("_edges")
-    ).first()
-    edges = row["_edges"] if row and row["_edges"] is not None else []
-    # strictly increasing edges: duplicates add empty buckets, not wrong
-    # answers, but deduping keeps the tiny frames tiny
-    out: list = []
-    for e in edges:
-        if e is not None and (not out or e > out[-1]):
-            out.append(e)
-    return out
+_HELPER_COLS = ("_mid", "_pid", "_rn", "_off", "_total")
 
 
 def with_exact_ntile(
@@ -85,18 +68,20 @@ def with_exact_ntile(
     order_cols: list[str | Column],
     *,
     bucket_col: str = "bucket",
-    num_range_buckets: int = DEFAULT_RANGE_BUCKETS,
+    num_partitions: int = DEFAULT_RANK_PARTITIONS,
 ) -> DataFrame:
     """``df`` plus an INT ``bucket_col`` equal to
     ``ntile(n) OVER (ORDER BY order_cols ASC NULLS FIRST)`` — computed with
-    a quantile-edge range bucketing instead of a single-partition global
-    sort.
+    a range shuffle instead of a single-partition global sort.
 
     ``order_cols`` should end in a unique tie-breaker for a deterministic
     answer (both registered callers do: (ltv, user_id), (zval, event_id)).
-    The leading order column drives the range bucketing and must be
-    NUMERIC (``approx_percentile``'s domain) — cast dates/timestamps to
-    epoch numbers first. Ascending NULLS FIRST, Spark's window default.
+    String columns are accepted and sort ASC NULLS FIRST — Spark's window
+    default — in both the range partitioner and the in-partition sort.
+
+    Calling this materializes a lazy ``localCheckpoint`` of the ranked
+    frame on first action (required for fork consistency — see module
+    docstring); the block is freed when the returned DataFrame is GC'd.
     """
     if any(c in df.columns for c in _HELPER_COLS):
         raise ValueError(f"input must not contain helper columns {_HELPER_COLS}")
@@ -104,48 +89,49 @@ def with_exact_ntile(
         F.col(c).asc_nulls_first() if isinstance(c, str) else c
         for c in order_cols
     ]
-    lead = order_cols[0]
-    lead_col = F.col(lead) if isinstance(lead, str) else lead
-    edges = _edge_literals(df, lead_col, num_range_buckets - 1)
-
-    # bucket = count of edges strictly below the leading value: a pure
-    # row-local expression (codegen-eligible CASE chain over literals).
-    # NULL leading values fail every `e < x` test -> bucket 0 (nulls
-    # first). Equal leading values always share a bucket.
-    rb = F.lit(0)
-    for e in edges:
-        rb = rb + F.when(F.lit(e) < lead_col, 1).otherwise(0)
-    bucketed = df.withColumn("_rbucket", rb.cast("int"))
-
-    w_local = Window.partitionBy("_rbucket").orderBy(*ordering)
-    rn = bucketed.withColumn("_rn", F.row_number().over(w_local))
-
-    counts = rn.groupBy("_rbucket").agg(F.count(F.lit(1)).alias("_cnt"))
-    # <= num_range_buckets rows (bounded by construction). partitionBy a
-    # literal: the frame IS single-partition by design, and declaring that
-    # keeps Spark's "No Partition Defined" warning an honest signal for
-    # the unbounded-frame mistakes it exists to catch.
-    w_cum = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_rbucket")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_all = (
-        Window.partitionBy(F.lit(0))
-        .orderBy("_rbucket")
-        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    )
-    offsets = counts.select(
-        "_rbucket",
-        F.coalesce(F.sum("_cnt").over(w_cum), F.lit(0)).alias("_off"),
-        F.sum("_cnt").over(w_all).alias("_total"),
+    rn = (
+        df.repartitionByRange(num_partitions, *ordering)
+        .sortWithinPartitions(*ordering)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn(
+            "_pid", F.shiftrightunsigned("_mid", _MID_OFFSET_BITS).cast("int")
+        )
+        .withColumn(
+            "_rn",
+            F.col("_mid").bitwiseAND(F.lit(_MID_OFFSET_MASK)) + F.lit(1),
+        )
+        .drop("_mid")
+        .localCheckpoint(eager=False)
     )
 
-    ranked = rn.join(F.broadcast(offsets), "_rbucket")
+    counts = rn.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    # Cumulative offsets + grand total over the P-row counts frame
+    # (bounded by construction: P = num_partitions) via a P×P broadcast
+    # self-join — NO window functions, so the plan contains zero
+    # unpartitioned window sorts, structurally (a literal partition key
+    # would be constant-folded back into an empty spec and re-trigger
+    # Spark's "No Partition Defined" warning).
+    b = counts.select(
+        F.col("_pid").alias("_bpid"), F.col("_cnt").alias("_bcnt")
+    )
+    offsets = (
+        counts.join(F.broadcast(b))
+        .groupBy("_pid")
+        .agg(
+            F.sum(
+                F.when(F.col("_bpid") < F.col("_pid"), F.col("_bcnt")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("_off"),
+            F.sum("_bcnt").alias("_total"),
+        )
+    )
+
+    ranked = rn.join(F.broadcast(offsets), "_pid")
     # ntile(n) over N rows: the first N%n buckets take ceil(N/n) rows, the
     # rest floor(N/n). Integer-exact: DIV keeps everything in bigint; the
     # global rank is _rn + _off.
-    rank = "(CAST(_rn AS BIGINT) + _off)"
+    rank = "(_rn + _off)"
     bucket = F.expr(
         f"""CAST(CASE
             WHEN {rank} <= (_total % {n}) * ((_total DIV {n}) + 1)

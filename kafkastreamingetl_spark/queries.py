@@ -19,7 +19,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_events, load_table, register_views
-from .functions import davg, dsum, normalize_string, sql_davg, sql_dsum
+from .functions import (
+    davg,
+    dsum,
+    hash60,
+    normalize_string,
+    sql_davg,
+    sql_dsum,
+    sql_hash60,
+)
 from .operators import asof as asof_ops
 from .operators import corpus as corpus_ops
 from .operators import incremental as inc_ops
@@ -2856,3 +2864,230 @@ def a_winsorized_type_stats_approx(spark: SparkSession, sf_dir: str) -> DataFram
         F.approx_percentile("value", F.lit(0.95), F.lit(1000)).alias("hi"),
     )
     return quality_ops.clamp_and_aggregate(e, thresholds)
+
+
+# ===========================================================================
+# Round 7: runtime-filter join, compaction, backlog, dedup/report additions
+# ===========================================================================
+
+# Bloom-style prefilter width: 2^16 positions. At testdata scale every
+# position set is tiny; at 100 TB the position table is AT MOST 64k rows
+# (~512 KB broadcast) no matter how large the dimension grows.
+_BLOOM_M = 1 << 16
+
+
+@query(
+    "bloom_prefilter_join",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           {sql_dsum('value')} AS total_value
+    FROM events e
+    WHERE EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_acctbal >= 7000
+    )
+    GROUP BY 1
+    """,
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime-filter (Bloom-style) join pruning, expressed declaratively:
+    the dimension's join keys collapse to a bounded set of hash POSITIONS
+    (k=1 Bloom: ``pmod(xxhash64(key), 2^16)``, at most 64k rows however
+    large the dim), broadcast-semi-joined against the fact FIRST — pruning
+    most non-matching fact rows before the exact semi join pays its
+    shuffle. Spark's optimizer injects this same shape automatically when
+    ``runtime.bloomFilter`` fires; writing it out makes the pattern
+    available unconditionally and testable. False positives are possible
+    (two keys sharing a position), false negatives are not — so the exact
+    semi join downstream makes the prefilter semantically TRANSPARENT: the
+    oracle is the plain semi join with no hashing at all, and the
+    differential proves transparency. tests/test_plans.py asserts the
+    prefilter side stays a broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    dim = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") >= 7000)
+        .select("c_custkey")
+    )
+    positions = dim.select(
+        F.pmod(F.xxhash64("c_custkey"), F.lit(_BLOOM_M)).alias("_pos")
+    ).distinct()
+    prefiltered = ev.join(
+        F.broadcast(positions),
+        F.pmod(F.xxhash64("user_id"), F.lit(_BLOOM_M)) == F.col("_pos"),
+        "left_semi",
+    )
+    exact = prefiltered.join(
+        dim, prefiltered.user_id == dim.c_custkey, "left_semi"
+    )
+    return exact.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "latest_user_state",
+    oracle="""
+    SELECT user_id,
+           ts AS last_ts,
+           event_type AS last_event_type,
+           value AS last_value,
+           CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id
+        ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST
+    ) = 1
+    """,
+)
+def q_latest_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: the current state per user = the newest event
+    (keep-latest upsert semantics — what a compacted changelog topic or a
+    materialized MERGE target holds). One shuffle on user_id serves both
+    the row_number survivor pick and the per-user event count; ties break
+    on event_id so replays are deterministic. The row-dropping twin of
+    scd2_event_type_history (full history) and user_snapshot_diff (two
+    cutoffs): this is the AS-OF-NOW snapshot."""
+    ev = _t(spark, sf_dir, "events")
+    w_latest = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
+    )
+    w_all = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("_rn", F.row_number().over(w_latest))
+        .withColumn("n_events", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_event_type"),
+            F.col("value").alias("last_value"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "neardup_cluster_sizes",
+    oracle=dedup_ops.sql_neardup_cluster_sizes(),
+)
+def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram: how big near-dup families get —
+    the report that decides whether transitive closure is even needed (all
+    pairs?) or which templates to strip (giant clusters). Rides the
+    memoized cluster labels (one closure per corpus per session) and
+    re-verifies the large-star/small-star components through a second
+    lens: sizes are wrong if ANY membership is wrong. Two tiny
+    aggregations after the closure."""
+    labels = dedup_ops.neardup_clusters(_t(spark, sf_dir, "documents"))
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )
+
+
+STRATIFIED_SAMPLE_K = 40
+_STRAT_SALT = "strat7|"
+
+
+@query(
+    "stratified_language_sample",
+    oracle=f"""
+    SELECT doc_id, lang, sample_rank FROM (
+        SELECT doc_id, lang,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY {sql_hash60(f"'{_STRAT_SALT}' || CAST(doc_id AS VARCHAR)")} ASC NULLS FIRST,
+                            doc_id ASC NULLS FIRST
+               ) AS INT) AS sample_rank
+        FROM documents
+    )
+    WHERE sample_rank <= {STRATIFIED_SAMPLE_K}
+    """,
+)
+def q_stratified_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified EXACT-COUNT sampling: precisely K documents per language
+    (the eval-set / human-review draw where "5% of each" is not enough —
+    you need exactly K per stratum). Membership is the first K in seeded-
+    hash order, so the draw is uniform-without-replacement, deterministic
+    across re-runs and file layouts, and STABLE UNDER APPEND-ONLY GROWTH
+    for the kept prefix ranks. One shuffle on lang; the per-stratum
+    row_number window never sees more than one language's rows in a
+    partition. Complements the rate-based samplers (train_test_split,
+    training_mix_sample: fixed PROBABILITY) with fixed COUNT."""
+    docs = _t(spark, sf_dir, "documents")
+    hkey = hash60(F.concat(F.lit(_STRAT_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(
+        hkey.asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+    )
+    return (
+        docs.select(
+            "doc_id", "lang", F.row_number().over(w).cast("int").alias("sample_rank")
+        )
+        .filter(F.col("sample_rank") <= STRATIFIED_SAMPLE_K)
+    )
+
+
+@query(
+    "orders_pending_backlog",
+    oracle=f"""
+    WITH close AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+        FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
+        FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_day AS day, -1 AS delta FROM spans
+    ),
+    daily AS (
+        SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1
+    )
+    SELECT day, CAST(SUM(d) OVER (
+        ORDER BY day ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+)
+def q_orders_pending_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap counting by delta prefix-sum: how many orders are
+    OPEN (placed, not yet fully shipped) on each calendar day. The naive
+    form joins every day against every order's [open, close) interval —
+    quadratic; the scalable form turns each interval into +1/-1 deltas,
+    aggregates to the DAY grid (calendar-bounded: ~365 rows/year no matter
+    the order count), and prefix-sums over that bounded grid. The prefix
+    sum itself is a triangle broadcast self-join over the day grid — NO
+    window at all, so nothing in the plan is an unpartitioned sort (the
+    oracle uses the window form: different algorithm, same answer). The
+    half-open convention means a same-day open+close order never counts."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+    )
+    close = (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_day"))
+    )
+    spans = orders.join(close, orders.o_orderkey == close.l_orderkey)
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d"))
+    grid = daily.select(
+        F.col("day").alias("_day2"), F.col("_d").alias("_d2")
+    )
+    return (
+        daily.join(F.broadcast(grid), F.col("_day2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum("_d2").alias("open_orders"))
+    )

@@ -184,3 +184,30 @@ def test_exists_compiles_to_semi_join(spark, sf_dir):
     plan = plan_of(QUERIES["late_order_priority"](spark, sf_dir))
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_bloom_prefilter_both_stages_shaped_right(spark, sf_dir):
+    """The runtime-filter join: the position prefilter is a broadcast
+    (hash-position side is bounded at 2^16 rows), and the exact semi join
+    exists downstream — prefilter alone would admit false positives."""
+    plan = plan_of(QUERIES["bloom_prefilter_join"](spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2
+    assert "BroadcastHashJoin" in plan
+
+
+def test_backlog_prefix_sum_has_no_window(spark, sf_dir):
+    """orders_pending_backlog: the prefix sum is a triangle broadcast
+    self-join over the calendar-bounded day grid — no window operator, no
+    single-partition sort anywhere in the plan."""
+    plan = plan_of(QUERIES["orders_pending_backlog"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_latest_user_state_single_exchange(spark, sf_dir):
+    """Compaction: one hash exchange on user_id serves both windows
+    (row_number survivor + per-user count) — the second window must not
+    add a shuffle."""
+    plan = plan_of(QUERIES["latest_user_state"](spark, sf_dir))
+    assert plan.count("hashpartitioning(") == 1
+    assert plan.count("hashpartitioning(user_id") == 1
