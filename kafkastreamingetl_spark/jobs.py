@@ -11,6 +11,7 @@ op — can run them without writing Python:
     python -m kafkastreamingetl_spark.jobs corpus-refresh --sf-dir DIR --out PATH
     python -m kafkastreamingetl_spark.jobs compact --path PATH --partition-col COL
     python -m kafkastreamingetl_spark.jobs expire --path PATH --partition-col COL --keep-from VALUE [--delete]
+    python -m kafkastreamingetl_spark.jobs kafka-smoke [--bootstrap HOST:9092] [--n-events N]
 
 Each command prints ONE JSON result line on stdout (row counts / files
 written / partitions expired) — the machine-readable contract a
@@ -84,6 +85,36 @@ def cmd_expire(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_kafka_smoke(args: argparse.Namespace) -> dict:
+    """The Kafka runtime leg (S1/S8/T7) as a one-command probe. With no
+    broker configured it SKIPS CLEANLY (exit 0, status=skipped) — the gap
+    stays visible but a broker-less scheduler run is not an error; with
+    ``--bootstrap`` or SPARK_GRAFT_KAFKA_BOOTSTRAP set it runs the real
+    produce→consume→replay loop and fails loudly on any mismatch or on a
+    missing spark-sql-kafka connector jar."""
+    import os
+
+    bootstrap = args.bootstrap or os.getenv("SPARK_GRAFT_KAFKA_BOOTSTRAP")
+    if not bootstrap:
+        return {
+            "job": "kafka-smoke",
+            "status": "skipped",
+            "reason": (
+                "no broker: pass --bootstrap host:9092 or set "
+                "SPARK_GRAFT_KAFKA_BOOTSTRAP (the session also needs the "
+                "spark-sql-kafka-0-10 connector jar on its classpath, e.g. "
+                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>)"
+            ),
+        }
+    from .streaming import kafka_round_trip_smoke
+
+    spark = _spark("job_kafka_smoke")
+    result = kafka_round_trip_smoke(spark, bootstrap, n_events=args.n_events)
+    if not result["ok"]:
+        raise RuntimeError(f"kafka round trip mismatch: {result}")
+    return {"job": "kafka-smoke", "status": "ok", **result}
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kafkastreamingetl_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -110,6 +141,15 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--keep-from", required=True)
     e.add_argument("--delete", action="store_true")
     e.set_defaults(fn=cmd_expire)
+
+    s = sub.add_parser(
+        "kafka-smoke",
+        help="S1/S8/T7 runtime probe: produce -> consume -> replay "
+        "(skips cleanly without a broker)",
+    )
+    s.add_argument("--bootstrap", default=None)
+    s.add_argument("--n-events", type=int, default=200)
+    s.set_defaults(fn=cmd_kafka_smoke)
     return p
 
 

@@ -73,13 +73,20 @@ def incremental_rollup_merge(
 
 def sql_incremental_rollup_merge() -> str:
     # The oracle is the from-scratch recompute: if partial-merge were not
-    # exactly decomposable the differential would catch it.
+    # exactly decomposable the differential would catch it. The explicit
+    # `ts IS NOT NULL` keeps the contract honest: the Spark side is the
+    # union of two half-open ts slices whose pushed-down bounds both drop
+    # NULL ts rows, while an unfiltered oracle would group them under a
+    # NULL event_date — the slices partition the NON-NULL ts domain, and
+    # the filter states that instead of depending on testdata having no
+    # NULL ts (ADVICE r6).
     return f"""
     SELECT CAST(ts AS DATE) AS event_date,
            event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            {sql_dsum('value')} AS total_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """
 

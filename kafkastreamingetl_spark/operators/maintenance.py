@@ -143,12 +143,19 @@ def expire_partitions(
 
     Values compare as strings, which orders correctly for the ISO
     ``key=YYYY-MM-DD`` layouts the engine writes (rollup, upsert sink);
-    non-ISO layouts need a parsed comparator before trusting this.
+    non-ISO layouts need a parsed comparator before trusting this. The
+    DELETE leg enforces that precondition instead of assuming it
+    (ADVICE r6): unless ``keep_from`` AND every expired partition value
+    are ISO-date-shaped, the irreversible branch refuses with a
+    ``ValueError`` and the caller gets the report-only behavior — a
+    lexicographic comparison over ``DD-MM-YYYY`` or integer partition
+    values would otherwise rmtree the wrong directories.
 
     At scale the listing is partition-count-sized driver work (same as
     partition_file_stats) and the deletes are metadata operations per
     expired partition — no row-level scan anywhere.
     """
+    import re
     import shutil
 
     stats = partition_file_stats(spark, path, partition_col)
@@ -156,7 +163,22 @@ def expire_partitions(
         "expired", F.col(partition_col) < F.lit(keep_from)
     )
     if not dry_run:
-        for r in report.filter(F.col("expired")).collect():
+        iso = re.compile(r"\d{4}-\d{2}-\d{2}$")
+        if not iso.fullmatch(keep_from):
+            raise ValueError(
+                f"expire_partitions: keep_from={keep_from!r} is not an "
+                "ISO date; string-ordered expiry is only safe on "
+                "key=YYYY-MM-DD layouts — refusing to delete"
+            )
+        expired = report.filter(F.col("expired")).collect()
+        bad = [r[partition_col] for r in expired if not iso.fullmatch(str(r[partition_col]))]
+        if bad:
+            raise ValueError(
+                f"expire_partitions: non-ISO partition values {bad[:5]!r} "
+                "under string comparison — refusing to delete; use a "
+                "parsed comparator for this layout"
+            )
+        for r in expired:
             shutil.rmtree(
                 os.path.join(path, f"{partition_col}={r[partition_col]}")
             )

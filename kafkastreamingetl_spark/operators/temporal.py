@@ -282,6 +282,14 @@ def user_value_ewma(events: DataFrame, *, max_user: int = 50) -> DataFrame:
     and denominator are exact BIGINT sums; only the final division is
     floating point — a single deterministic double op.
 
+    Domain bound, enforced loudly: ``|cents| < 2^43`` (≈ $87B per event).
+    The shift multiplies by up to ``2^(K-1)`` and the window sums K terms,
+    so 43 + 15 + 4 bits stays inside signed-64; beyond it Spark's
+    ``shiftleft`` would WRAP silently while DuckDB's ``<<`` raises — a
+    wrong answer versus an error instead of a differential catch (ADVICE
+    r6). An ``assert_true`` guard turns the out-of-domain case into the
+    same loud failure on both engines.
+
     Implemented as a bounded self-join on (user_id, seq distance < K):
     row amplification is a fixed ×K, shuffle key is user_id on both sides
     (one co-partitioned join). At 100 TB with K this small the windowed
@@ -300,6 +308,16 @@ def user_value_ewma(events: DataFrame, *, max_user: int = 50) -> DataFrame:
             "ts",
             "event_id",
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+        # loud overflow guard: see docstring domain bound. assert_true
+        # returns NULL when the predicate holds (filter keeps every row)
+        # and raises when it doesn't — evaluated per row, never wraps.
+        .filter(
+            F.assert_true(
+                F.abs(F.col("cents")) < F.lit(1 << 43),
+                F.lit("user_value_ewma: |value| exceeds the 2^43-cent "
+                      "exact-shift domain"),
+            ).isNull()
         )
         .withColumn("seq", F.row_number().over(w))
     )

@@ -551,3 +551,51 @@ def neardup_flag_sink(
         available_now=available_now,
         trigger_seconds=trigger_seconds,
     )
+
+
+def kafka_round_trip_smoke(
+    spark, bootstrap: str, *, n_events: int = 200
+) -> dict:
+    """The S8 → S1 → T7 runtime loop as a callable: produce the reference
+    wire format (to_json(struct(*)) — reference producer/producer.py:50)
+    to a fresh topic, consume from earliest, then replay with a second
+    fresh reader and compare counts.
+
+    This is the runtime leg the sandbox cannot exercise (no broker, no
+    spark-sql-kafka connector jar): tests/test_kafka_integration.py gates
+    it behind SPARK_GRAFT_KAFKA_BOOTSTRAP, and ``jobs.py kafka-smoke``
+    exposes the same loop as a one-command probe for any environment that
+    grows a broker. Requires the spark-sql-kafka connector on the
+    classpath; fails loudly (not silently) without it.
+    """
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from .sources import decode_json_events, kafka_source, synthetic_events_batch
+
+    topic = f"spark_graft_smoke_{uuid.uuid4().hex[:8]}"
+    events = synthetic_events_batch(spark, n_events, seed=5)
+    n_src = events.count()
+    payload = events.select(
+        F.to_json(F.struct(*[F.col(c) for c in events.columns])).alias("value")
+    )
+    (
+        payload.write.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap)
+        .option("topic", topic)
+        .save()
+    )
+    decoded = decode_json_events(kafka_source(spark, bootstrap, topic))
+    run_available_now([write_memory_stream(decoded, "kafka_smoke_job_1")])
+    consumed = spark.table("kafka_smoke_job_1").count()
+    replay = decode_json_events(kafka_source(spark, bootstrap, topic))
+    run_available_now([write_memory_stream(replay, "kafka_smoke_job_2")])
+    replayed = spark.table("kafka_smoke_job_2").count()
+    return {
+        "topic": topic,
+        "produced": n_src,
+        "consumed": consumed,
+        "replayed": replayed,
+        "ok": consumed == n_src and replayed == n_src,
+    }

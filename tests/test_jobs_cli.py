@@ -48,3 +48,19 @@ def test_unknown_failure_is_exit_code_not_traceback(capsys):
     )
     assert rc == 1
     assert "job failed" in capsys.readouterr().err
+
+
+def test_kafka_smoke_skips_cleanly_without_broker(monkeypatch, capsys):
+    """The runtime-leg probe: with no broker configured the command exits
+    0 with status=skipped (a scheduler can run it unconditionally); the
+    gap stays visible in the JSON rather than silently absent."""
+    import json
+
+    from kafkastreamingetl_spark.jobs import main
+
+    monkeypatch.delenv("SPARK_GRAFT_KAFKA_BOOTSTRAP", raising=False)
+    rc = main(["kafka-smoke"])
+    out = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert out["status"] == "skipped"
+    assert "spark-sql-kafka" in out["reason"]

@@ -152,3 +152,36 @@ def test_expire_partitions_dry_run_then_delete(spark, tmp_path):
         str(r.event_date)
         for r in back.select("event_date").distinct().collect()
     ) == {"2024-01-03", "2024-01-04"}
+
+
+def test_expire_partitions_refuses_non_iso_delete(spark, tmp_path):
+    """The irreversible leg validates its ordering precondition: non-ISO
+    partition values (or keep_from) under string comparison would expire
+    the wrong directories, so the delete branch raises and nothing is
+    removed. Dry-run reporting still works on any layout."""
+    import pytest
+    from kafkastreamingetl_spark.operators.maintenance import expire_partitions
+
+    path = str(tmp_path / "noniso")
+    df = spark.createDataFrame(
+        [(i, f"{(i % 3) + 1:02d}-01-2024", float(i)) for i in range(30)],
+        "event_id long, event_date string, value double",
+    )
+    df.write.partitionBy("event_date").parquet(path)
+
+    # report-only is allowed (it is explicitly untrustworthy per docstring)
+    expire_partitions(
+        spark, path, "event_date", keep_from="02-01-2024", dry_run=True
+    )
+    with pytest.raises(ValueError, match="not an ISO date"):
+        expire_partitions(
+            spark, path, "event_date", keep_from="02-01-2024", dry_run=False
+        )
+    assert spark.read.parquet(path).count() == 30
+
+    # ISO keep_from but non-ISO partition values: still refused
+    with pytest.raises(ValueError, match="non-ISO partition values"):
+        expire_partitions(
+            spark, path, "event_date", keep_from="2024-01-02", dry_run=False
+        )
+    assert spark.read.parquet(path).count() == 30

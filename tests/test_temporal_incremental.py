@@ -194,3 +194,18 @@ def test_zvalue_matches_python_reference(spark):
     ).collect()
     for r in got:
         assert r["z"] == py_z(r["x"], r["y"])
+
+
+def test_ewma_overflow_guard_fails_loudly(spark):
+    """Values outside the 2^43-cent exact-shift domain raise on the Spark
+    side too (DuckDB's << already raises) — a wrong-answer-vs-error
+    divergence becomes error-vs-error (ADVICE r6)."""
+    import pytest
+    from kafkastreamingetl_spark.operators.temporal import user_value_ewma
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, float(1 << 45))],
+        "event_id long, ts string, user_id long, value double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    with pytest.raises(Exception, match="2\\^43-cent"):
+        user_value_ewma(ev).collect()
