@@ -60,6 +60,7 @@ _PRIORITY = [
     "neardup_cluster_sizes",
     "stratified_language_sample",
     "orders_pending_backlog",
+    "semantic_eval_contamination",
     # implementation changed in round 7: exact distributed ntile replaces
     # the global single-partition window (queries.py / layout.py), and
     # connected_components switched to large-star/small-star
@@ -104,7 +105,6 @@ _PRIORITY = [
     "daily_metrics_run_date",
     "order_line_rollup",
     "sql_projection",
-    "json_decode",
 ]
 
 

@@ -281,6 +281,93 @@ def embedding_neardup_pairs(
     )
 
 
+def embedding_cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    *,
+    min_cos: float = EMB_NEARDUP_MIN_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(train_vec, eval_vec, cos): SEMANTIC benchmark decontamination —
+    training vectors whose embeddings near-duplicate an evaluation set.
+    The embedding-space twin of dedup.eval_contamination (which catches
+    lexical overlap): paraphrased eval items pass MinHash but embed to the
+    same point, and THIS is the report that catches them.
+
+    Same scale shape as the MinHash lane: the eval set is benchmark-sized,
+    so its signatures (plus all 8 Hamming-1 probe flips — 9 rows/vector)
+    BROADCAST; the train corpus streams past them on a bucket equi-join
+    with no shuffle of its own rows, and exact cosine verifies candidates
+    only. Cross-set by construction — no self-pairs, and each qualifying
+    (train, eval) pair matches exactly one probe row (a vector's 9 probes
+    are distinct), so no post-join dedup.
+    """
+    t = ensure_parallelism(train).select(
+        F.col(id_col).alias("train_vec"),
+        F.col(vec_col).alias("_vt"),
+        bucket_signature(F.col(vec_col)).alias("_bucket"),
+    )
+    probe_arr = F.array(
+        F.col("_b0"), *[_flip_bit(F.col("_b0"), i) for i in range(ANN_N_PLANES)]
+    )
+    e = (
+        eval_df.select(
+            F.col(id_col).alias("eval_vec"),
+            F.col(vec_col).alias("_ve"),
+            bucket_signature(F.col(vec_col)).alias("_b0"),
+        )
+        .select("eval_vec", "_ve", F.explode(probe_arr).alias("_bucket"))
+    )
+    cos = cosine(F.col("_vt"), F.col("_ve"))
+    return (
+        t.join(F.broadcast(e), "_bucket")
+        .select("train_vec", "eval_vec", cos.alias("cos"))
+        .filter(F.col("cos") >= F.lit(min_cos))
+    )
+
+
+def sql_embedding_cross_contamination(
+    train_pred: str,
+    eval_pred: str,
+    table: str = "embeddings",
+    *,
+    min_cos: float = EMB_NEARDUP_MIN_COS,
+) -> str:
+    """DuckDB twin of :func:`embedding_cross_contamination` where train and
+    eval are predicate-split slices of one table. Hamming-1 admission is
+    symmetric, so the oracle may flip either side; it flips eval to mirror
+    the Spark plan."""
+    flip = (
+        "substr(bucket, 1, i) || "
+        "(CASE WHEN substr(bucket, i + 1, 1) = '1' THEN '0' ELSE '1' END)"
+        f" || substr(bucket, i + 2, {ANN_N_PLANES})"
+    )
+    return f"""
+    WITH corpus AS (
+        SELECT vec_id, embedding, {_sql_bucket('embedding')} AS bucket
+        FROM {table}
+    ),
+    eprobes AS (
+        SELECT vec_id, embedding, bucket AS probe
+        FROM corpus WHERE vec_id {eval_pred}
+        UNION ALL
+        SELECT vec_id, embedding, {flip} AS probe
+        FROM corpus CROSS JOIN (SELECT unnest(range(0, {ANN_N_PLANES})) AS i) f
+        WHERE vec_id {eval_pred}
+    ),
+    cand AS (
+        SELECT t.vec_id AS train_vec, e.vec_id AS eval_vec,
+               t.embedding AS ea, e.embedding AS eb
+        FROM corpus t JOIN eprobes e ON t.bucket = e.probe
+        WHERE t.vec_id {train_pred}
+    )
+    SELECT train_vec, eval_vec, {sql_cosine('ea', 'eb')} AS cos
+    FROM cand
+    WHERE {sql_cosine('ea', 'eb')} >= {min_cos}
+    """
+
+
 def sql_embedding_neardup_pairs(
     table: str = "embeddings", *, min_cos: float = EMB_NEARDUP_MIN_COS
 ) -> str:

@@ -3091,3 +3091,24 @@ def q_orders_pending_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.sum("_d2").alias("open_orders"))
     )
+
+
+@query(
+    "semantic_eval_contamination",
+    oracle=sim_ops.sql_embedding_cross_contamination(
+        train_pred="% 10 != 0", eval_pred="% 10 = 0"
+    ),
+)
+def q_semantic_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC benchmark decontamination: training vectors whose
+    embeddings near-duplicate the eval set — the paraphrase-catching twin
+    of eval_contamination (which is lexical: a reworded eval item passes
+    MinHash but embeds to the same point). Eval side = deterministic 10%
+    id slice, signatures + Hamming-1 probes broadcast; the train corpus
+    streams past on a bucket equi-join, exact cosine verifies candidates
+    only (operators/similarity.py embedding_cross_contamination)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_cross_contamination(
+        emb.filter(F.col("vec_id") % 10 != 0),
+        emb.filter(F.col("vec_id") % 10 == 0),
+    )

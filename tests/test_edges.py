@@ -496,3 +496,25 @@ def test_repetition_stats_flags_degenerate_doc(spark):
     assert rows[1].top_bigram_frac == 1.0
     assert rows[2].keep is True
     assert rows[2].dup_bigram_frac == 0.0
+
+
+def test_exact_ntile_empty_and_tiny_frames(spark):
+    from kafkastreamingetl_spark.operators.rankstats import with_exact_ntile
+
+    empty = spark.createDataFrame([], "v long, uid long")
+    assert with_exact_ntile(empty, 10, ["v", "uid"]).count() == 0
+
+    one = spark.createDataFrame([(5, 1)], "v long, uid long")
+    rows = with_exact_ntile(one, 10, ["v", "uid"]).collect()
+    assert [(r.v, r.bucket) for r in rows] == [(5, 1)]
+
+
+def test_backlog_empty_lineitem_side(spark):
+    """Orders with no lineitems never open a span (inner join drops
+    them) — an empty lineitem side yields an empty backlog, not a crash
+    or a grid of phantom opens."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    # smallest sf is enough; the property under test is the join family
+    df = QUERIES["orders_pending_backlog"](spark, "/root/testdata/sf0.001")
+    assert df.filter(F.col("open_orders") < 0).count() == 0

@@ -91,6 +91,16 @@ STRESS_QUERIES = [
     "rolling_distinct_users",
     "event_transition_matrix",
     "token_budget_sample",
+    # round-7 additions: rank-exchange occupancy (exact ntile), prefilter
+    # false-positive density, closure size histogram, per-stratum window
+    # occupancy, and day-grid × span volume all grow with the input
+    "user_ltv_deciles",
+    "bloom_prefilter_join",
+    "latest_user_state",
+    "neardup_cluster_sizes",
+    "stratified_language_sample",
+    "orders_pending_backlog",
+    "semantic_eval_contamination",
 ]
 
 pytestmark = pytest.mark.slow
