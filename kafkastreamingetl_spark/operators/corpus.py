@@ -740,10 +740,13 @@ def vocab_top_tokens(
     longest-match against a fixed vocab).
 
     Same two-level aggregation as :func:`hot_ngrams` (map-side collapse to
-    (token, doc), then per-token counts). The global rank window runs over
-    the post-aggregation frame — vocabulary-sized, not corpus-sized — so
-    the single-partition sort it implies is bounded by |vocab| regardless
-    of input scale; rank ties break lexically."""
+    (token, doc), then per-token counts). The global top-``top`` is a
+    ``Sort+Limit`` pair Spark plans as TakeOrderedAndProject — per-partition
+    top-k then a k×partitions merge, so not even the vocabulary-sized
+    aggregate funnels through one sort (the last unpartitioned window in
+    the registry, removed in round 7); the rank is then recomputed inside
+    the k-row result by a k×k broadcast count-ahead join. Rank ties break
+    lexically; (n_occurrences, token) is unique so the rank is total."""
     from .text import tokens
 
     per_doc = (
@@ -758,12 +761,20 @@ def vocab_top_tokens(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("occ").cast("bigint").alias("n_occurrences"),
     )
-    w = Window.orderBy(
+    topk = counts.orderBy(
         F.col("n_occurrences").desc_nulls_last(), F.col("token").asc_nulls_first()
+    ).limit(top)
+    ahead = topk.select(
+        F.col("token").alias("_t2"), F.col("n_occurrences").alias("_n2")
     )
-    return counts.withColumn(
-        "rank", F.row_number().over(w).cast("int")
-    ).filter(F.col("rank") <= top)
+    strictly_ahead = (F.col("_n2") > F.col("n_occurrences")) | (
+        (F.col("_n2") == F.col("n_occurrences")) & (F.col("_t2") < F.col("token"))
+    )
+    return (
+        topk.join(F.broadcast(ahead), strictly_ahead, "left")
+        .groupBy("token", "n_docs", "n_occurrences")
+        .agg((F.count("_t2") + 1).cast("int").alias("rank"))
+    )
 
 
 def sql_vocab_top_tokens(

@@ -21,7 +21,9 @@ import os
 
 import pytest
 
-from kafkastreamingetl_spark.plans import plan_shape
+import re
+
+from kafkastreamingetl_spark.plans import plan_shape_and_text
 from kafkastreamingetl_spark.queries import QUERIES
 
 pytestmark = pytest.mark.slow
@@ -46,6 +48,18 @@ def _reset_engine_state(spark) -> None:
     spark.catalog.clearCache()
 
 
+def _unpartitioned_window_specs(plan_text: str) -> set[str]:
+    """windowspecdefinition(...) whose FIRST argument is an ordering (col
+    ASC/DESC) rather than a partition column — the empty-partition specs
+    Spark warns 'No Partition Defined' about at execution."""
+    hits = set()
+    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan_text):
+        first = m.group(1).split(",")[0].strip()
+        if " ASC" in first or " DESC" in first:
+            hits.add(first[:60])
+    return hits
+
+
 def test_plan_shapes_match_snapshot(spark, sf_dir):
     _reset_engine_state(spark)
     with open(_SNAPSHOT) as f:
@@ -53,8 +67,17 @@ def test_plan_shapes_match_snapshot(spark, sf_dir):
     missing = sorted(set(QUERIES) - set(expected))
     assert not missing, f"queries without a snapshot (run --shapes-write): {missing}"
     diffs = {}
+    unpartitioned: dict[str, set[str]] = {}
     for name, fn in QUERIES.items():
-        got = plan_shape(fn(spark, sf_dir))
+        got, text = plan_shape_and_text(fn(spark, sf_dir))
         if got != expected[name]:
             diffs[name] = {"expected": expected[name], "got": got}
+        specs = _unpartitioned_window_specs(text)
+        if specs:
+            unpartitioned[name] = specs
     assert not diffs, json.dumps(diffs, indent=1, sort_keys=True)
+    # Registry-wide invariant since round 7: NO query plans a window with
+    # an empty partition spec (the single-task global sort). Bounded-frame
+    # ranks ride TakeOrderedAndProject + k-by-k count-ahead joins
+    # (vocab_top_tokens), data-sized ranks ride operators/rankstats.
+    assert not unpartitioned, f"unpartitioned window specs: {unpartitioned}"
