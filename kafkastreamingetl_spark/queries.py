@@ -2804,22 +2804,24 @@ def q_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 @approx_variant("rolling_distinct_users_hll", twin="rolling_distinct_users")
 def a_rolling_distinct_users_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-merge production lane: one HLL sketch per (day), unioned
-    over the trailing window frame — per-day state is a fixed-size
-    sketch, no fan-out rows at all. The mergeability HLL buys here is
-    exactly what the exact lane's explode pays for."""
+    over the trailing 7 days — per-day state is a fixed-size sketch, no
+    fan-out rows at all. The mergeability HLL buys here is exactly what
+    the exact lane's explode pays for. The union runs as a triangle
+    broadcast self-join over the calendar-bounded day grid (the same
+    no-window prefix-sum shape as orders_pending_backlog), keeping the
+    registry+bench surface free of unpartitioned window sorts."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("anchor")).agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    w = (
-        Window.orderBy(F.col("anchor").cast("timestamp").cast("long"))
-        .rangeBetween(-(6 * 86400), 0)
+    contrib = daily.select(F.col("anchor").alias("_day2"), F.col("sk").alias("_sk2"))
+    in_frame = (F.col("_day2") <= F.col("anchor")) & (
+        F.col("_day2") >= F.date_sub(F.col("anchor"), 6)
     )
-    return daily.select(
-        "anchor",
-        F.hll_sketch_estimate(F.hll_union_agg("sk").over(w)).alias(
-            "n_users_7d"
-        ),
+    return (
+        daily.join(F.broadcast(contrib), in_frame)
+        .groupBy("anchor")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("_sk2")).alias("n_users_7d"))
     )
 
 

@@ -81,3 +81,19 @@ def test_plan_shapes_match_snapshot(spark, sf_dir):
     # ranks ride TakeOrderedAndProject + k-by-k count-ahead joins
     # (vocab_top_tokens), data-sized ranks ride operators/rankstats.
     assert not unpartitioned, f"unpartitioned window specs: {unpartitioned}"
+
+
+def test_approx_lanes_have_no_unpartitioned_windows(spark, sf_dir):
+    """The same invariant over the sketch/production lanes bench.py times
+    next to the exact ones — the driver's bench tail must stay free of
+    'No Partition Defined' warnings from ANY benched plan."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+
+    _reset_engine_state(spark)
+    unpartitioned = {}
+    for name, fn in APPROX_VARIANTS.items():
+        _, text = plan_shape_and_text(fn(spark, sf_dir))
+        specs = _unpartitioned_window_specs(text)
+        if specs:
+            unpartitioned[name] = specs
+    assert not unpartitioned, f"unpartitioned window specs: {unpartitioned}"
