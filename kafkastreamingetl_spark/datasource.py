@@ -32,8 +32,10 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 EVENT_TYPES = ("click", "view", "purchase", "scroll", "hover")
@@ -186,3 +188,109 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 
     def readBetweenOffsets(self, start: dict, end: dict):
         return iter(self._rows(int(start["offset"]), int(end["offset"])))
+
+
+# ---------------------------------------------------------------------------
+# writer: the connector API's WRITE contract (two-phase commit)
+# ---------------------------------------------------------------------------
+
+
+class _FileCommit(WriterCommitMessage):
+    """Per-task commit message: which temp file this task staged and how
+    many rows it holds. Must be picklable — it travels executor → driver."""
+
+    def __init__(self, tmp_name: str, n_rows: int):
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class JsonLinesSinkDataSource(DataSource):
+    """``df.write.format("jsonl_dir").option("path", DIR).save()`` — a
+    writable custom source demonstrating the OTHER half of the Spark 4
+    connector API (the reader half is ``synthetic_events`` above): what a
+    deployment implements to mount an internal system as a SINK.
+
+    The write is two-phase, the part of the contract that matters at 1000
+    executors: every task stages its partition as an invisible
+    ``*.jsonl.tmp`` under the target and reports a commit message; only
+    the DRIVER's ``commit()`` renames staged files into place and writes a
+    ``_MANIFEST`` (file list + row counts), so readers keyed on the
+    manifest never observe a half-written dataset, and ``abort()`` removes
+    stragglers after any task failure. Rename-based publish assumes a
+    same-directory atomic rename (local FS, HDFS; on S3-like stores the
+    real implementation uploads + completes multipart instead)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def schema(self) -> str:
+        # writer-only source: schema comes from the frame being written
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> "JsonLinesWriter":
+        return JsonLinesWriter(self.options, overwrite)
+
+
+class JsonLinesWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        path = options.get("path")
+        if not path:
+            raise ValueError("jsonl_dir writer requires option('path', ...)")
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _FileCommit:
+        """Executor side: stage this partition as one temp file."""
+        import json as _json
+        import os as _os
+        import uuid as _uuid
+
+        _os.makedirs(self.path, exist_ok=True)
+        tmp_name = f"part-{_uuid.uuid4().hex}.jsonl.tmp"
+        n = 0
+        with open(_os.path.join(self.path, tmp_name), "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return _FileCommit(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        """Driver side: publish atomically-renamed finals + manifest."""
+        import json as _json
+        import os as _os
+
+        if self.overwrite:
+            for name in _os.listdir(self.path):
+                if name.endswith(".jsonl") or name == "_MANIFEST":
+                    _os.remove(_os.path.join(self.path, name))
+        manifest = {"files": {}, "n_rows": 0}
+        for m in messages:
+            final = m.tmp_name[: -len(".tmp")]
+            _os.rename(
+                _os.path.join(self.path, m.tmp_name),
+                _os.path.join(self.path, final),
+            )
+            manifest["files"][final] = m.n_rows
+            manifest["n_rows"] += m.n_rows
+        with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
+            _json.dump(manifest, f, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        """Driver side: a task failed somewhere — remove every staged file
+        this run managed to report (tmp stragglers from unreported tasks
+        are invisible to readers either way: they keep the .tmp suffix)."""
+        import os as _os
+
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                _os.remove(_os.path.join(self.path, m.tmp_name))
+            except FileNotFoundError:
+                pass
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotently register the sink with a session."""
+    spark.dataSource.register(JsonLinesSinkDataSource)

@@ -244,3 +244,40 @@ def sql_profile_columns(table: str, cols: list[str]) -> str:
                 THEN CAST(n_nulls AS DOUBLE) / n_rows ELSE 0.0 END AS null_frac
     FROM p
     """
+
+
+def observe_qc(
+    df: DataFrame,
+    name: str = "qc",
+    *,
+    key_cols: tuple[str, ...] = (),
+    value_col: str | None = None,
+):
+    """(observed_df, observation): attach free-rider QC metrics to a plan.
+
+    ``observe()`` computes its aggregates DURING whatever action executes
+    the returned frame (a write, a collect) — zero extra jobs, zero extra
+    scans. This is the 100 TB form of the reference's post-hoc row-count
+    check (reference airflow/dags/kafka_spark_etl.py:127-142): the naive
+    guard→write→count sequence runs the day's scan+join+aggregate once
+    per step; an observation rides the write.
+
+    Metrics: ``n_rows`` always; ``n_null_<col>`` per ``key_cols`` entry
+    (null keys mean a join or partition column is about to misbehave);
+    decimal-exact ``total_value`` when ``value_col`` is given (a
+    run-over-run drift sentinel). Read them with ``observation.get`` AFTER
+    the action — it blocks until one has run.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for k in key_cols:
+        aggs.append(
+            F.sum(F.when(F.col(k).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"n_null_{k}")
+        )
+    if value_col is not None:
+        aggs.append(dsum(value_col, "total_value"))
+    return df.observe(obs, *aggs), obs

@@ -230,26 +230,34 @@ def run_daily_batch(
     quality-check. Returns the output row count, as the reference's batch
     job does (kafka_spark_etl.py:106-109).
 
-    The expensive join+aggregate plan executes ONCE: when writing, the QC
-    row count comes from re-reading the (tiny) written metrics table
-    instead of re-running the day's scan+join+aggregate. (A naive
-    guard→write→count sequence would run the day's plan twice more — at
-    the 100 TB design point that triples the nightly job.)
+    The expensive join+aggregate plan executes ONCE, and on the write path
+    the QC metrics ride the write itself: an ``observe()`` node
+    (quality.observe_qc) computes row count, null-key count, and the
+    decimal value total DURING the write action — zero extra jobs, where
+    the naive guard→write→count sequence would re-run the day's
+    scan+join+aggregate (or even a read-back of the written partition)
+    just to count rows. A null event_date is escalated to a hard failure
+    regardless of ``fail`` policy: it means the partition column is about
+    to write a __HIVE_DEFAULT_PARTITION__ directory.
     """
     if is_empty(filter_run_date(events, run_date)):
         # cheap guard: limit(1) over the pushed-down day slice only
         return 0
     metrics = daily_segment_metrics_for_date(events, customer, run_date)
     if output_path is not None:
-        write_daily_metrics(metrics, output_path)
-        # QC counts THIS run's partition only (partition-pruned directory
-        # read) — the table holds every prior day under incremental
-        # dynamic-overwrite writes
-        n = (
-            metrics.sparkSession.read.parquet(output_path)
-            .where(F.col("event_date") == F.lit(run_date).cast("date"))
-            .count()
+        from .quality import observe_qc
+
+        observed, obs = observe_qc(
+            metrics, "daily_qc", key_cols=("event_date",)
         )
+        write_daily_metrics(observed, output_path)
+        facts = obs.get
+        if facts["n_null_event_date"]:
+            raise ValueError(
+                f"daily batch wrote {facts['n_null_event_date']} rows with "
+                "a NULL event_date partition key"
+            )
+        n = facts["n_rows"]
     else:
         n = metrics.count()
     return _check_count(n)

