@@ -256,15 +256,37 @@ class JsonLinesWriter(DataSourceWriter):
         return _FileCommit(tmp_name, n)
 
     def commit(self, messages) -> None:
-        """Driver side: publish atomically-renamed finals + manifest."""
+        """Driver side: publish the new generation with the manifest swap
+        as the single visibility point. Ordering is the contract:
+
+        1. rename every staged ``.tmp`` to its final name (uuid names —
+           never colliding with the previous generation's files);
+        2. write the new manifest to ``_MANIFEST.tmp`` and RENAME it over
+           ``_MANIFEST`` (atomic on POSIX) — a reader keyed on the
+           manifest sees either the complete old generation or the
+           complete new one, never a mixture or a truncated manifest;
+        3. only then, under overwrite, delete the previous generation's
+           files (anything published but absent from the new manifest).
+           A long-running reader that pinned the OLD manifest just before
+           the swap can still lose files under it — rename-based stores
+           cannot close that window; real implementations retain N
+           generations and vacuum later.
+
+        Zero write tasks (an empty frame plans no partitions) is a valid
+        commit: the directory is created here and an n_rows=0 manifest
+        published."""
         import json as _json
         import os as _os
 
-        if self.overwrite:
-            for name in _os.listdir(self.path):
-                if name.endswith(".jsonl") or name == "_MANIFEST":
-                    _os.remove(_os.path.join(self.path, name))
+        _os.makedirs(self.path, exist_ok=True)
         manifest = {"files": {}, "n_rows": 0}
+        if not self.overwrite:
+            # append: the new generation = previous manifest + this run
+            try:
+                with open(_os.path.join(self.path, "_MANIFEST")) as f:
+                    manifest = _json.load(f)
+            except (OSError, ValueError):
+                pass
         for m in messages:
             final = m.tmp_name[: -len(".tmp")]
             _os.rename(
@@ -273,8 +295,14 @@ class JsonLinesWriter(DataSourceWriter):
             )
             manifest["files"][final] = m.n_rows
             manifest["n_rows"] += m.n_rows
-        with open(_os.path.join(self.path, "_MANIFEST"), "w") as f:
+        tmp_manifest = _os.path.join(self.path, "_MANIFEST.tmp")
+        with open(tmp_manifest, "w") as f:
             _json.dump(manifest, f, sort_keys=True)
+        _os.replace(tmp_manifest, _os.path.join(self.path, "_MANIFEST"))
+        if self.overwrite:
+            for name in _os.listdir(self.path):
+                if name.endswith(".jsonl") and name not in manifest["files"]:
+                    _os.remove(_os.path.join(self.path, name))
 
     def abort(self, messages) -> None:
         """Driver side: a task failed somewhere — remove every staged file

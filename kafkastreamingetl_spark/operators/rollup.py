@@ -236,9 +236,12 @@ def run_daily_batch(
     decimal value total DURING the write action — zero extra jobs, where
     the naive guard→write→count sequence would re-run the day's
     scan+join+aggregate (or even a read-back of the written partition)
-    just to count rows. A null event_date is escalated to a hard failure
-    regardless of ``fail`` policy: it means the partition column is about
-    to write a __HIVE_DEFAULT_PARTITION__ directory.
+    just to count rows. A null event_date fails BEFORE any file lands: a
+    per-row ``assert_true`` guard aborts the write job itself — a
+    post-hoc check would notice only after a __HIVE_DEFAULT_PARTITION__
+    directory had committed, and under dynamic partition overwrite a
+    corrected rerun never cleans a partition it does not carry, so the
+    poison directory would be permanent.
     """
     if is_empty(filter_run_date(events, run_date)):
         # cheap guard: limit(1) over the pushed-down day slice only
@@ -247,17 +250,15 @@ def run_daily_batch(
     if output_path is not None:
         from .quality import observe_qc
 
-        observed, obs = observe_qc(
-            metrics, "daily_qc", key_cols=("event_date",)
+        guarded = metrics.filter(
+            F.assert_true(
+                F.col("event_date").isNotNull(),
+                F.lit("daily batch: NULL event_date partition key"),
+            ).isNull()
         )
+        observed, obs = observe_qc(guarded, "daily_qc", value_col="daily_revenue")
         write_daily_metrics(observed, output_path)
-        facts = obs.get
-        if facts["n_null_event_date"]:
-            raise ValueError(
-                f"daily batch wrote {facts['n_null_event_date']} rows with "
-                "a NULL event_date partition key"
-            )
-        n = facts["n_rows"]
+        n = obs.get["n_rows"]
     else:
         n = metrics.count()
     return _check_count(n)

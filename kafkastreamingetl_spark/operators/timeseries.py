@@ -316,3 +316,77 @@ def sql_rolling_distinct_users(window_days: int = ROLLING_DISTINCT_DAYS) -> str:
     FROM fanout f JOIN observed USING (anchor)
     GROUP BY 1
     """
+
+
+def pending_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """(day, open_orders): how many orders are OPEN (placed, not yet fully
+    shipped) on each calendar day — interval-overlap counting by delta
+    prefix-sum.
+
+    The naive form joins every day against every order's [open, close)
+    interval — quadratic; this form turns each interval into +1/-1 deltas,
+    aggregates to the DAY grid (calendar-bounded: ~365 rows/year no matter
+    the order count), and prefix-sums over that bounded grid. The prefix
+    sum itself is a triangle broadcast self-join over the day grid — NO
+    window, so nothing in the plan is an unpartitioned sort. Half-open
+    [open, close): a same-day open+close order never counts.
+
+    Domain edges, stated not assumed: orders with no lineitems never open
+    a span (the close join is inner); a span with a NULL endpoint on
+    EITHER side contributes nothing — filtering only the null DELTA rows
+    would leak the interval's other half as an unmatched ±1 and skew
+    every later running total (and a NULL day would also diverge between
+    the Spark-side `<=` join and a windowed oracle's NULLS FIRST fold),
+    so both engine twins drop the whole span.
+    """
+    o = orders.select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
+    )
+    close = lineitem.groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("close_day")
+    )
+    spans = o.join(close, o.o_orderkey == close.l_orderkey).filter(
+        F.col("open_day").isNotNull() & F.col("close_day").isNotNull()
+    )
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("delta")
+    ).unionByName(
+        spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d"))
+    grid = daily.select(F.col("day").alias("_day2"), F.col("_d").alias("_d2"))
+    return (
+        daily.join(F.broadcast(grid), F.col("_day2") <= F.col("day"))
+        .groupBy("day")
+        .agg(F.sum("_d2").alias("open_orders"))
+    )
+
+
+def sql_pending_backlog() -> str:
+    """DuckDB twin of :func:`pending_backlog` — window-form prefix sum
+    (different algorithm, same answer), same NULL-day filter."""
+    return """
+    WITH close AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
+        FROM lineitem GROUP BY 1
+    ),
+    spans AS (
+        SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
+        FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
+        WHERE CAST(o.o_orderdate AS DATE) IS NOT NULL
+          AND c.close_day IS NOT NULL
+    ),
+    deltas AS (
+        SELECT open_day AS day, 1 AS delta FROM spans
+        UNION ALL
+        SELECT close_day AS day, -1 AS delta FROM spans
+    ),
+    daily AS (
+        SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1
+    )
+    SELECT day, CAST(SUM(d) OVER (
+        ORDER BY day ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS open_orders
+    FROM daily
+    """

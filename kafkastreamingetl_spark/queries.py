@@ -3033,65 +3033,17 @@ def q_stratified_language_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "orders_pending_backlog",
-    oracle=f"""
-    WITH close AS (
-        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS close_day
-        FROM lineitem GROUP BY 1
-    ),
-    spans AS (
-        SELECT CAST(o.o_orderdate AS DATE) AS open_day, c.close_day
-        FROM orders o JOIN close c ON o.o_orderkey = c.l_orderkey
-    ),
-    deltas AS (
-        SELECT open_day AS day, 1 AS delta FROM spans
-        UNION ALL
-        SELECT close_day AS day, -1 AS delta FROM spans
-    ),
-    daily AS (
-        SELECT day, SUM(delta) AS d FROM deltas GROUP BY 1
-    )
-    SELECT day, CAST(SUM(d) OVER (
-        ORDER BY day ASC NULLS FIRST
-        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-    ) AS BIGINT) AS open_orders
-    FROM daily
-    """,
-)
+@query("orders_pending_backlog", oracle=ts_ops.sql_pending_backlog())
 def q_orders_pending_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval-overlap counting by delta prefix-sum: how many orders are
-    OPEN (placed, not yet fully shipped) on each calendar day. The naive
-    form joins every day against every order's [open, close) interval —
-    quadratic; the scalable form turns each interval into +1/-1 deltas,
-    aggregates to the DAY grid (calendar-bounded: ~365 rows/year no matter
-    the order count), and prefix-sums over that bounded grid. The prefix
-    sum itself is a triangle broadcast self-join over the day grid — NO
-    window at all, so nothing in the plan is an unpartitioned sort (the
-    oracle uses the window form: different algorithm, same answer). The
-    half-open convention means a same-day open+close order never counts."""
-    orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", F.col("o_orderdate").cast("date").alias("open_day")
-    )
-    close = (
-        _t(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.max(F.col("l_shipdate").cast("date")).alias("close_day"))
-    )
-    spans = orders.join(close, orders.o_orderkey == close.l_orderkey)
-    deltas = spans.select(
-        F.col("open_day").alias("day"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
-    )
-    daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d"))
-    grid = daily.select(
-        F.col("day").alias("_day2"), F.col("_d").alias("_d2")
-    )
-    return (
-        daily.join(F.broadcast(grid), F.col("_day2") <= F.col("day"))
-        .groupBy("day")
-        .agg(F.sum("_d2").alias("open_orders"))
+    OPEN (placed, not yet fully shipped) on each calendar day
+    (operators/timeseries.py pending_backlog). Intervals become +1/-1
+    deltas aggregated to the calendar-bounded day grid; the prefix sum is
+    a triangle broadcast self-join — no window, no per-day×per-order
+    join. Half-open [open, close): a same-day open+close order never
+    counts; NULL days are filtered on both engine twins."""
+    return ts_ops.pending_backlog(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem")
     )
 
 

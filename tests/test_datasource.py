@@ -182,3 +182,24 @@ def test_jsonl_sink_failed_write_publishes_nothing(spark, tmp_path):
         if n.endswith(".jsonl") or n == "_MANIFEST"
     ]
     assert published == []
+
+
+def test_jsonl_sink_empty_frame_commits_empty_manifest(spark, tmp_path):
+    """Zero write tasks (an empty frame plans no partitions) is a valid
+    commit: directory created driver-side, n_rows=0 manifest published."""
+    import json
+    import os
+
+    from kafkastreamingetl_spark.datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "sink_empty")
+    spark.createDataFrame([], "v string").write.format("jsonl_dir").option(
+        "path", d
+    ).mode("overwrite").save()
+    manifest = json.load(open(os.path.join(d, "_MANIFEST")))
+    # whether the planner runs 0 tasks or 1 empty task, the published
+    # generation is 0 rows and the manifest exists (commit makedirs +
+    # writes it driver-side, never relying on a task having run)
+    assert manifest["n_rows"] == 0
+    assert all(v == 0 for v in manifest["files"].values())

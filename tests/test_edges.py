@@ -509,12 +509,44 @@ def test_exact_ntile_empty_and_tiny_frames(spark):
     assert [(r.v, r.bucket) for r in rows] == [(5, 1)]
 
 
-def test_backlog_empty_lineitem_side(spark):
-    """Orders with no lineitems never open a span (inner join drops
-    them) — an empty lineitem side yields an empty backlog, not a crash
-    or a grid of phantom opens."""
-    from kafkastreamingetl_spark.queries import QUERIES
+def test_backlog_empty_lineitem_and_null_days(spark):
+    """pending_backlog's domain edges, on constructed frames: an empty
+    lineitem side yields an empty backlog (inner join — no phantom
+    opens); NULL open/close days drop from the delta stream instead of
+    silently skewing every later running total; and the half-open
+    convention plus a known interval layout give exact counts."""
+    from kafkastreamingetl_spark.operators.timeseries import pending_backlog
 
-    # smallest sf is enough; the property under test is the join family
-    df = QUERIES["orders_pending_backlog"](spark, "/root/testdata/sf0.001")
-    assert df.filter(F.col("open_orders") < 0).count() == 0
+    orders = spark.createDataFrame(
+        [
+            (1, "2024-01-01"),
+            (2, "2024-01-02"),
+            (3, None),  # NULL open day: contributes nothing
+        ],
+        "o_orderkey long, o_orderdate string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+
+    empty_lines = spark.createDataFrame(
+        [], "l_orderkey long, l_shipdate timestamp"
+    )
+    assert pending_backlog(orders, empty_lines).count() == 0
+
+    lines = spark.createDataFrame(
+        [
+            (1, "2024-01-03"),  # order 1 open on Jan 1, 2 (half-open)
+            (2, "2024-01-02"),  # same-day open+close: never counted
+            (3, "2024-01-05"),  # order 3 has a NULL OPEN day: the whole
+            # span must drop — keeping only its close would leak an
+            # unmatched -1 into every total from Jan 5 on
+        ],
+        "l_orderkey long, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    got = {
+        str(r.day): r.open_orders
+        for r in pending_backlog(orders, lines).collect()
+    }
+    assert got == {
+        "2024-01-01": 1,
+        "2024-01-02": 1,  # order 1 still open; order 2 opens+closes net 0
+        "2024-01-03": 0,
+    }

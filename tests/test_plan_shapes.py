@@ -49,14 +49,38 @@ def _reset_engine_state(spark) -> None:
 
 
 def _unpartitioned_window_specs(plan_text: str) -> set[str]:
-    """windowspecdefinition(...) whose FIRST argument is an ordering (col
-    ASC/DESC) rather than a partition column — the empty-partition specs
-    Spark warns 'No Partition Defined' about at execution."""
+    """windowspecdefinition(...) whose FIRST top-level argument is an
+    ordering (SortOrder prints `<expr> ASC|DESC NULLS ...`) rather than a
+    partition column — the empty-partition specs Spark warns 'No
+    Partition Defined' about at execution. Arguments are extracted with a
+    balanced-paren walk, not a regex: a leading sort key like
+    ``cast(ts#4 as date) ASC NULLS FIRST`` contains parentheses and would
+    silently escape a `[^)]*` capture."""
     hits = set()
-    for m in re.finditer(r"windowspecdefinition\(([^)]*)\)", plan_text):
-        first = m.group(1).split(",")[0].strip()
-        if " ASC" in first or " DESC" in first:
+    token = "windowspecdefinition("
+    start = 0
+    while True:
+        idx = plan_text.find(token, start)
+        if idx < 0:
+            break
+        i = idx + len(token)
+        depth = 1
+        first_arg_end = None
+        while i < len(plan_text) and depth > 0:
+            c = plan_text[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1 and first_arg_end is None:
+                first_arg_end = i
+            i += 1
+        first = plan_text[
+            idx + len(token) : first_arg_end if first_arg_end else i - 1
+        ].strip()
+        if re.search(r" (ASC|DESC) NULLS", first):
             hits.add(first[:60])
+        start = i
     return hits
 
 
