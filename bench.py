@@ -102,7 +102,11 @@ def main() -> None:
             errors[name] = f"warmup: {type(e).__name__}: {e}"
             warm_failed.add(name)
 
+    read_io = _stage_io_reader(spark)
+    if read_io:
+        read_io()  # baseline: consume warm-up stages so query 1 starts clean
     timings: dict[str, float] = {}
+    io: dict[str, dict] = {}
     for name, fn in qs.items():
         # clear persisted intermediates (e.g. dedup shingle features) so no
         # query benefits from a predecessor's cache and nothing accumulates
@@ -114,6 +118,10 @@ def main() -> None:
             errors[name] = f"run: {type(e).__name__}: {e}"
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        if read_io:
+            stats = read_io()
+            if stats is not None:
+                io[name] = stats
         if name in warm_failed:
             # timed run succeeded: the warm failure was warm-dir-specific;
             # drop the advisory error so the summary's n_errors reflects
@@ -198,6 +206,7 @@ def main() -> None:
         "approx": approx,
         "fit": fit,
         "warm_serving": warm_serving,
+        "io": io,
         "notes": _STICKY_NOTES,
     }
     detail.update(_regression_report(timings, sf))
@@ -227,6 +236,53 @@ def main() -> None:
     }
     print(json.dumps(summary))
     spark.stop()
+
+
+def _stage_io_reader(spark):
+    """Per-query shuffle/scan accounting via the Spark UI REST API (the
+    stable public metrics surface). Returns a closure that, on each call,
+    sums shuffle write/read and input bytes over stages NEWER than the
+    previous call — stage ids are monotonic, so retention-evicting OLD
+    stages never corrupts a delta. Returns None when the UI is disabled;
+    any read failure degrades to missing io entries, never a bench error.
+
+    These numbers are the scale evidence timings can't give: a query that
+    is fast at sf0.1 but shuffles the whole input is a 100 TB problem —
+    BENCH_DETAIL's `io` map makes that visible per query.
+    """
+    import urllib.request
+
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        return None
+    app_id = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app_id}/stages"
+    seen_max = -1
+
+    def read_new():
+        nonlocal seen_max
+        try:
+            with urllib.request.urlopen(url, timeout=5) as r:
+                data = json.loads(r.read())
+        except Exception:  # noqa: BLE001 — telemetry must not fail the bench
+            return None
+        new = [st for st in data if st.get("stageId", -1) > seen_max]
+        if data:
+            seen_max = max(seen_max, max(st.get("stageId", -1) for st in data))
+        return {
+            "shuffle_write_mb": round(
+                sum(st.get("shuffleWriteBytes", 0) for st in new) / 1e6, 3
+            ),
+            "shuffle_read_mb": round(
+                sum(st.get("shuffleReadBytes", 0) for st in new) / 1e6, 3
+            ),
+            "input_mb": round(
+                sum(st.get("inputBytes", 0) for st in new) / 1e6, 3
+            ),
+            "n_stages": len(new),
+        }
+
+    return read_new
 
 
 def _regression_report(timings: dict[str, float], sf: float) -> dict:
