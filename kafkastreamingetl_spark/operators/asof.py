@@ -39,11 +39,36 @@ def asof_join(
     *,
     ts_col: str = "ts",
     prefix: str = "asof_",
+    direction: str = "backward",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
-    """Left as-of join: every left row + the newest right row at or before
-    its timestamp (per key group); right payload columns come back
-    ``{prefix}``-renamed, null when no right row precedes the left row.
+    """Left as-of join with the full merge_asof knob set; right payload
+    columns come back ``{prefix}``-renamed, null when no right row
+    qualifies.
+
+    ``direction``:
+
+    - ``backward`` (default): newest right row at-or-before the left
+      timestamp — price-as-of-trade, state-as-of-event;
+    - ``forward``: earliest right row at-or-after — next-restock,
+      next-departure lookups;
+    - ``nearest``: the closer of the two (ties resolve backward, matching
+      pandas.merge_asof).
+
+    ``tolerance_sec``: a match farther than this from the left timestamp
+    (in either direction) comes back NULL — the "a quote from last week is
+    not a quote" guard.
+
+    One shuffle on the key columns serves every direction: both sides
+    union into one frame, the running ``last(_r, ignorenulls)`` over the
+    (ts, side) order fills each left row with its backward match, the same
+    window reversed fills the forward match, and nearest is a row-local
+    comparison of the two — the windows share the single hash exchange
+    (Spark sorts per window spec but never re-shuffles). No per-key cross
+    product at any point, unlike the join-then-rank formulation.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     rpayload = [c for c in right.columns if c not in keys and c != ts_col]
     rstruct = F.struct(
         F.col(ts_col).alias(f"{prefix}{ts_col}"),
@@ -69,21 +94,63 @@ def asof_join(
             for c in lpayload
         ],
     )
-    # right before left at equal ts => inclusive (<=) as-of semantics
-    w = (
+    unioned = l_tagged.unionByName(r_tagged)
+    # right before left at equal ts => inclusive (<=/>=) as-of semantics
+    w_back = (
         Window.partitionBy(*keys)
         .orderBy(F.asc(ts_col), F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = l_tagged.unionByName(r_tagged).withColumn(
-        "_last_r", F.last("_r", ignorenulls=True).over(w)
+    w_fwd = (
+        Window.partitionBy(*keys)
+        .orderBy(F.desc(ts_col), F.asc("_is_left"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    if direction == "backward":
+        filled = unioned.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w_back)
+        )
+    elif direction == "forward":
+        filled = unioned.withColumn(
+            "_m", F.last("_r", ignorenulls=True).over(w_fwd)
+        )
+    else:  # nearest: both fills, row-local pick; ties resolve backward
+        both = unioned.withColumn(
+            "_mb", F.last("_r", ignorenulls=True).over(w_back)
+        ).withColumn("_mf", F.last("_r", ignorenulls=True).over(w_fwd))
+        gap_b = F.abs(
+            F.unix_micros(F.col(ts_col))
+            - F.unix_micros(F.col(f"_mb.{prefix}{ts_col}"))
+        )
+        gap_f = F.abs(
+            F.unix_micros(F.col(f"_mf.{prefix}{ts_col}"))
+            - F.unix_micros(F.col(ts_col))
+        )
+        filled = both.withColumn(
+            "_m",
+            F.when(F.col("_mb").isNull(), F.col("_mf"))
+            .when(F.col("_mf").isNull(), F.col("_mb"))
+            .when(gap_f < gap_b, F.col("_mf"))
+            .otherwise(F.col("_mb")),
+        ).drop("_mb", "_mf")
+    if tolerance_sec is not None:
+        gap = F.abs(
+            F.unix_micros(F.col(f"_m.{prefix}{ts_col}"))
+            - F.unix_micros(F.col(ts_col))
+        )
+        filled = filled.withColumn(
+            "_m",
+            F.when(
+                gap <= F.lit(int(tolerance_sec) * 1_000_000).cast("bigint"),
+                F.col("_m"),
+            ),
+        )
     return filled.filter(F.col("_is_left") == 1).select(
         *keys,
         ts_col,
         *lpayload,
-        F.col(f"_last_r.{prefix}{ts_col}").alias(f"{prefix}{ts_col}"),
-        *[F.col(f"_last_r.{prefix}{c}").alias(f"{prefix}{c}") for c in rpayload],
+        F.col(f"_m.{prefix}{ts_col}").alias(f"{prefix}{ts_col}"),
+        *[F.col(f"_m.{prefix}{c}").alias(f"{prefix}{c}") for c in rpayload],
     )
 
 

@@ -81,3 +81,84 @@ def test_interval_join_half_open_and_bucket_spans(spark):
         for r in interval_join(left, ivs, bucket_seconds=300).collect()
     ]
     assert sorted(got) == [(1, "A"), (2, "A"), (4, "A")]
+
+
+def _mk_asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "t1"), (1, "2024-01-01 12:00:00", "t2"),
+         (2, "2024-01-01 09:00:00", "t3")],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 10.0), (1, "2024-01-01 11:00:00", 20.0),
+         (1, "2024-01-01 12:00:00", 30.0), (2, "2024-01-01 18:00:00", 40.0)],
+        "k long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    return left, right
+
+
+def test_asof_directions_hand_computed(spark):
+    from kafkastreamingetl_spark.operators.asof import asof_join
+
+    left, right = _mk_asof_frames(spark)
+
+    back = {r.tag: r.asof_px for r in asof_join(left, right, ["k"]).collect()}
+    # t1 10:00 -> 09:30 (10.0); t2 12:00 -> equal-ts 12:00 (30.0, inclusive);
+    # t3 09:00 -> nothing precedes
+    assert back == {"t1": 10.0, "t2": 30.0, "t3": None}
+
+    fwd = {
+        r.tag: r.asof_px
+        for r in asof_join(left, right, ["k"], direction="forward").collect()
+    }
+    # t1 10:00 -> 11:00 (20.0); t2 -> 12:00 inclusive (30.0); t3 -> 18:00
+    assert fwd == {"t1": 20.0, "t2": 30.0, "t3": 40.0}
+
+    near = {
+        r.tag: r.asof_px
+        for r in asof_join(left, right, ["k"], direction="nearest").collect()
+    }
+    # t1: backward gap 30min < forward gap 60min -> 10.0
+    assert near == {"t1": 10.0, "t2": 30.0, "t3": 40.0}
+
+
+def test_asof_tolerance_nulls_distant_matches(spark):
+    from kafkastreamingetl_spark.operators.asof import asof_join
+
+    left, right = _mk_asof_frames(spark)
+    got = {
+        r.tag: r.asof_px
+        for r in asof_join(
+            left, right, ["k"], direction="nearest", tolerance_sec=3600
+        ).collect()
+    }
+    # t3's nearest match is 9h away -> nulled by the 1h tolerance
+    assert got == {"t1": 10.0, "t2": 30.0, "t3": None}
+
+
+def test_asof_forward_equals_backward_on_negated_time(spark):
+    """Symmetry property: forward(t) == backward(-t). Run on the real
+    events table against the existing purchase frame."""
+    from kafkastreamingetl_spark.operators.asof import asof_join
+    from kafkastreamingetl_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    left = ev.select("user_id", "ts", "event_id").filter(F.col("user_id") < 20)
+    right = (
+        ev.filter((F.col("event_type") == "purchase") & (F.col("user_id") < 20))
+        .select("user_id", "ts", F.col("value").alias("px"))
+    )
+    fwd = asof_join(left, right, ["user_id"], direction="forward")
+
+    neg = F.timestamp_micros(-F.unix_micros(F.col("ts")))
+    nleft = left.withColumn("ts", neg)
+    nright = right.withColumn("ts", neg)
+    back_neg = asof_join(nleft, nright, ["user_id"], direction="backward")
+
+    a = {
+        (r.user_id, r.event_id): r.asof_px for r in fwd.collect()
+    }
+    b = {
+        (r.user_id, r.event_id): r.asof_px for r in back_neg.collect()
+    }
+    assert a == b and len(a) > 0
