@@ -61,6 +61,7 @@ _PRIORITY = [
     "stratified_language_sample",
     "orders_pending_backlog",
     "semantic_eval_contamination",
+    "recursive_daily_series",
     # implementation changed in round 7: exact distributed ntile replaces
     # the global single-partition window (queries.py / layout.py), and
     # connected_components switched to large-star/small-star
@@ -104,7 +105,6 @@ _PRIORITY = [
     "premium_rollup",
     "daily_metrics_run_date",
     "order_line_rollup",
-    "sql_projection",
 ]
 
 

@@ -3066,3 +3066,32 @@ def q_semantic_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
         emb.filter(F.col("vec_id") % 10 != 0),
         emb.filter(F.col("vec_id") % 10 == 0),
     )
+
+
+# The SQL door, recursive form (Spark 4.1 WITH RECURSIVE): the SAME text
+# runs through Spark's parser over registered views and through DuckDB.
+_SQL_RECURSIVE_DAYS = """
+    WITH RECURSIVE days(day) AS (
+        SELECT CAST(MIN(ts) AS DATE) FROM events
+        UNION ALL
+        SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
+        WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM events)
+    )
+    SELECT d.day, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
+    FROM days d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
+    GROUP BY 1
+"""
+
+
+@query("recursive_daily_series", oracle=_SQL_RECURSIVE_DAYS)
+def q_recursive_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL door, recursive form: WITH RECURSIVE generates the full
+    calendar between the corpus's first and last day (zero-filled via
+    LEFT JOIN) — the same ANSI text through Spark 4.1's new recursive-CTE
+    support and through DuckDB. Portability is the point: a user's
+    recursive hierarchy/series SQL runs unchanged. The relational
+    ``sequence()`` form (daily_dense_series) remains the recommended
+    production shape — a recursion step per day is a plan-depth cost a
+    generator expression doesn't pay; this query pins the FEATURE."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE_DAYS)

@@ -101,6 +101,7 @@ STRESS_QUERIES = [
     "stratified_language_sample",
     "orders_pending_backlog",
     "semantic_eval_contamination",
+    "recursive_daily_series",
 ]
 
 pytestmark = pytest.mark.slow
