@@ -211,3 +211,49 @@ def test_upsert_soft_delete_tombstone(spark, tmp_path):
         for r in read_upserted(spark, table, delete_col="deleted").collect()
     }
     assert cur[1] == 5.0  # reinsert newer than tombstone wins
+
+
+def test_streaming_upsert_matches_latest_user_state_batch(spark, tmp_path):
+    """Streaming==batch differential for compaction: events streamed
+    through the keyed upsert sink (key=user_id, newest ts wins) yield
+    exactly the per-user state the batch latest_user_state query computes
+    over the same rows — two implementations, one keep-latest contract."""
+    from kafkastreamingetl_spark.catalog import load_table
+
+    ev = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .filter(F.col("user_id") < 30)
+        # the batch query tie-breaks equal ts by event_id; give the sink
+        # the same composite order via a struct-comparable order col
+        .withColumn("event_date", F.to_date(F.lit("2024-01-01")))
+    )
+    src = str(tmp_path / "cmp_src")
+    table = str(tmp_path / "cmp_table")
+    ckpt = str(tmp_path / "cmp_ckpt")
+    ev.write.parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = upsert_parquet_sink(
+        stream,
+        table,
+        ckpt,
+        key_cols=["user_id"],
+        order_col="ts",
+        partition_col="event_date",
+        available_now=True,
+    )
+    run_available_now([q])
+
+    streamed = {
+        (r.user_id, str(r.ts)) for r in spark.read.parquet(table).collect()
+    }
+
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    batch = {
+        (r.user_id, str(r.last_ts))
+        for r in QUERIES["latest_user_state"](
+            spark, "/root/testdata/sf0.001"
+        ).filter(F.col("user_id") < 30).collect()
+    }
+    assert streamed == batch and len(batch) > 0
