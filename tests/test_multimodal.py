@@ -87,3 +87,24 @@ def test_null_payload_propagates_not_crashes(spark):
     frames = sample_frames(df).collect()
     assert all(r.doc_id == 1 for r in frames)
     assert len(frames) > 0
+
+
+def test_arrow_lane_matches_pandas_lane(spark):
+    """extract_features_arrow (mapInArrow, zero pandas round-trip) returns
+    byte-identical features to the mapInPandas lane, nulls included."""
+    from kafkastreamingetl_spark.operators.multimodal import (
+        extract_features,
+        extract_features_arrow,
+        with_binary_payload,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, ""), (3, None), (4, "payload bytes here")],
+        "doc_id long, text string",
+    )
+    payloads = with_binary_payload(docs)
+    a = extract_features(payloads)
+    b = extract_features_arrow(payloads)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
