@@ -84,7 +84,14 @@ def asof_join(
         F.lit(None).cast(rstruct_type).alias("_r"),
         *lpayload,
     )
-    r_tagged = right.select(
+    # A NULL timestamp has no as-of relation in ANY direction (pandas
+    # merge_asof rejects null keys outright): null-ts RIGHT rows are
+    # dropped — under the windows' null-first orderings they would
+    # otherwise pollute every row's running fill — and null-ts LEFT rows
+    # sort before every right row in BOTH window directions (nulls first),
+    # so their fill is empty and they come back unmatched, preserving the
+    # forward(t) == backward(-t) symmetry (negation maps NULL to NULL).
+    r_tagged = right.filter(F.col(ts_col).isNotNull()).select(
         *keys,
         ts_col,
         F.lit(0).alias("_is_left"),
@@ -98,12 +105,12 @@ def asof_join(
     # right before left at equal ts => inclusive (<=/>=) as-of semantics
     w_back = (
         Window.partitionBy(*keys)
-        .orderBy(F.asc(ts_col), F.asc("_is_left"))
+        .orderBy(F.asc_nulls_first(ts_col), F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     w_fwd = (
         Window.partitionBy(*keys)
-        .orderBy(F.desc(ts_col), F.asc("_is_left"))
+        .orderBy(F.desc_nulls_first(ts_col), F.asc("_is_left"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     if direction == "backward":

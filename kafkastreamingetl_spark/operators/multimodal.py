@@ -80,7 +80,12 @@ def _slim(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
     scans. One definition — the projection/parallelism contract is not
     copy-pasted per stage."""
     return ensure_parallelism(df).select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+        # bigint here, not at the Arrow boundary: FEATURE_SCHEMA declares
+        # doc_id bigint, and the mapInArrow lane passes the column through
+        # untouched — an int32 id would crash it at runtime where the
+        # pandas lane silently coerces
+        F.col(id_col).cast("bigint").alias("doc_id"),
+        F.col(payload_col).alias("payload"),
     )
 
 
@@ -90,6 +95,16 @@ def _opt_bytes(p) -> bytes | None:
     null outputs (the engines' shared NULL-in/NULL-out contract), not
     fail the task."""
     return None if p is None else bytes(p)
+
+
+def _features_from_raws(raws: list):
+    """(n_bytes, digests, dims) per payload — ONE definition of the
+    feature derivation shared by the pandas and Arrow lanes, so the lanes
+    cannot drift (their differential test would then fail confusingly)."""
+    digests = [None if r is None else hashlib.md5(r).hexdigest() for r in raws]
+    dims = [(None, None) if d is None else _fake_decode(d) for d in digests]
+    n_bytes = [None if r is None else len(r) for r in raws]
+    return n_bytes, digests, dims
 
 
 def extract_features(
@@ -105,20 +120,11 @@ def extract_features(
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             raws = [_opt_bytes(p) for p in pdf["payload"]]
-            digests = [
-                None if r is None else hashlib.md5(r).hexdigest()
-                for r in raws
-            ]
-            dims = [
-                (None, None) if d is None else _fake_decode(d)
-                for d in digests
-            ]
+            n_bytes, digests, dims = _features_from_raws(raws)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": [
-                        None if r is None else len(r) for r in raws
-                    ],
+                    "n_bytes": n_bytes,
                     "content_md5": digests,
                     "fake_width": [w for w, _ in dims],
                     "fake_height": [h for _, h in dims],
@@ -310,19 +316,11 @@ def extract_features_arrow(
             raws = [
                 None if not v.is_valid else v.as_py() for v in payloads
             ]
-            digests = [
-                None if r is None else hashlib.md5(r).hexdigest() for r in raws
-            ]
-            dims = [
-                (None, None) if d is None else _fake_decode(d) for d in digests
-            ]
+            n_bytes, digests, dims = _features_from_raws(raws)
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
-                    pa.array(
-                        [None if r is None else len(r) for r in raws],
-                        pa.int64(),
-                    ),
+                    pa.array(n_bytes, pa.int64()),
                     pa.array(digests, pa.string()),
                     pa.array([w for w, _ in dims], pa.int32()),
                     pa.array([h for _, h in dims], pa.int32()),

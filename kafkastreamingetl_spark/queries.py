@@ -3092,6 +3092,13 @@ def q_recursive_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive hierarchy/series SQL runs unchanged. The relational
     ``sequence()`` form (daily_dense_series) remains the recommended
     production shape — a recursion step per day is a plan-depth cost a
-    generator expression doesn't pay; this query pins the FEATURE."""
+    generator expression doesn't pay; this query pins the FEATURE.
+
+    Spark caps recursion depth at ``spark.sql.cteRecursionLevelLimit``
+    (default 100 — one level per DAY here, so a corpus spanning > ~3
+    months would abort on Spark while the oracle succeeds); the wrapper
+    raises it to cover a century so the differential can only disagree on
+    semantics, never on a harness-side depth cap."""
     register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.cteRecursionLevelLimit", 40000)
     return spark.sql(_SQL_RECURSIVE_DAYS)

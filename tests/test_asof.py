@@ -162,3 +162,31 @@ def test_asof_forward_equals_backward_on_negated_time(spark):
         (r.user_id, r.event_id): r.asof_px for r in back_neg.collect()
     }
     assert a == b and len(a) > 0
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """A NULL timestamp has no as-of relation in any direction: null-ts
+    LEFT rows come back unmatched, null-ts RIGHT rows are ignored (they
+    must not pollute the running fills under nulls-first orderings)."""
+    from kafkastreamingetl_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, None, "tnull"), (1, "2024-01-01 10:00:00", "t1")],
+        "k long, ts string, tag string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, "2024-01-01 09:00:00", 10.0),
+         (1, "2024-01-01 11:00:00", 20.0)],
+        "k long, ts string, px double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    for direction, expect_t1 in (
+        ("backward", 10.0),
+        ("forward", 20.0),
+        ("nearest", 10.0),
+    ):
+        got = {
+            r.tag: r.asof_px
+            for r in asof_join(left, right, ["k"], direction=direction).collect()
+        }
+        assert got == {"tnull": None, "t1": expect_t1}, direction
