@@ -115,3 +115,27 @@ def batch_duration_summary(frame: DataFrame) -> DataFrame:
         F.percentile_approx("batch_duration_ms", 0.95).alias("p95_batch_ms"),
         F.max("state_rows_total").alias("max_state_rows"),
     )
+
+
+def observed_metrics(rec: ProgressRecorder) -> list[dict]:
+    """Per-batch ``observe()`` metrics from the captured progress stream:
+    one dict per (batch, observation) with query/batch identity plus the
+    observation's named aggregates — the streaming leg of the free-rider
+    QC pattern (quality.observe_qc): metrics computed DURING each
+    micro-batch, surfaced through the progress listener, zero extra jobs
+    or scans anywhere.
+    """
+    with rec._lock:
+        events = list(rec._events)
+    out = []
+    for p in events:
+        for obs_name, metrics in (p.get("observedMetrics") or {}).items():
+            out.append(
+                {
+                    "query_name": p.get("name"),
+                    "batch_id": int(p.get("batchId", -1)),
+                    "observation": obs_name,
+                    **(metrics or {}),
+                }
+            )
+    return out
