@@ -3070,12 +3070,24 @@ def q_semantic_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 # The SQL door, recursive form (Spark 4.1 WITH RECURSIVE): the SAME text
 # runs through Spark's parser over registered views and through DuckDB.
+# Two recursion-cost decisions, both measured at sf0.1:
+# - the stop bound is CARRIED AS A COLUMN through the recursion instead
+#   of a correlated subquery in the step — Spark re-executes a step-side
+#   subquery (a full events scan) on EVERY level, 5.0 s vs 0.8 s warm;
+# - the series is bounded to the corpus's first week: each level is a
+#   sequential sub-plan, so day-per-level over the whole span taxes the
+#   bench multiples of this just to pin a parser feature; 7 levels
+#   exercise the same machinery (aggregate anchor, carried bound,
+#   zero-filled join), and daily_dense_series covers the full-span series
+#   with the production sequence() shape.
 _SQL_RECURSIVE_DAYS = """
-    WITH RECURSIVE days(day) AS (
-        SELECT CAST(MIN(ts) AS DATE) FROM events
+    WITH RECURSIVE days(day, last_day) AS (
+        SELECT CAST(MIN(ts) AS DATE),
+               CAST(MIN(ts) + INTERVAL 6 DAY AS DATE)
+        FROM events
         UNION ALL
-        SELECT CAST(day + INTERVAL 1 DAY AS DATE) FROM days
-        WHERE day < (SELECT CAST(MAX(ts) AS DATE) FROM events)
+        SELECT CAST(day + INTERVAL 1 DAY AS DATE), last_day
+        FROM days WHERE day < last_day
     )
     SELECT d.day, CAST(COUNT(e.event_id) AS BIGINT) AS n_events
     FROM days d LEFT JOIN events e ON CAST(e.ts AS DATE) = d.day
