@@ -95,7 +95,17 @@ _PRIORITY = [
     "exact_dedup_documents",
     "minhash_signatures",
     "neardup_candidates",
-    # oldest r5-green stalwarts (reference-surface staples) fill the tail
+    # added later in round 7 — never driver-verified, so they take window
+    # slots ahead of the youngest greens (the r5 stalwarts below are age-2
+    # and the cheapest rows to defer; daily_segment_metrics additionally
+    # rides the entry() smoke every round)
+    "time_weighted_value",
+    "daily_autocorr",
+    "events_key_skew_profile",
+    "blameless_suppliers",
+    "token_posting_lists",
+    # oldest r5-green stalwarts (reference-surface staples) fill the tail;
+    # entries past position 50 fall outside this round's driver window
     "clean_events",
     "windowed_agg_tumbling",
     "windowed_agg_sliding",

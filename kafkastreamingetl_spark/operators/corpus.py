@@ -1265,3 +1265,93 @@ def sql_token_budget_sample(
     FROM cum
     WHERE cum_tokens - n_tokens < {budget}
     """
+
+
+# ---------------------------------------------------------------------------
+# inverted index: capped posting lists for the highest-df tokens
+# ---------------------------------------------------------------------------
+
+POSTING_TOP_TOKENS = 50
+POSTING_CAP = 20
+
+
+def token_posting_lists(
+    documents: DataFrame,
+    *,
+    top_tokens: int = POSTING_TOP_TOKENS,
+    cap: int = POSTING_CAP,
+) -> DataFrame:
+    """Inverted index over the corpus: for the ``top_tokens`` tokens by
+    document frequency, the sorted posting list of the ``cap`` smallest
+    doc_ids — the exact-match retrieval primitive behind "which documents
+    contain X" (contamination lookups, targeted scrubs, keyword audits).
+
+    Scale shape, in order of the three traps this avoids: (1) the postings
+    source is ``array_distinct`` per document BEFORE exploding, so a token
+    repeated 10⁴× in one doc costs one row, not 10⁴; (2) token selection is
+    sort+LIMIT (TakeOrderedAndProject — per-partition top-k then a
+    k-sized merge, never a global sort or an unpartitioned window), ties
+    broken by token text so both engines pick the same set; (3) posting
+    lists are capped BEFORE collect_list by a per-token row_number — an
+    uncapped collect of a stop-word's postings at 100 TB is a one-executor
+    OOM. ``df`` stays the TRUE document frequency (counted before the
+    cap); ``sort_array`` makes the list order engine-independent, and the
+    list ships as a comma-joined STRING — the driver's compare sorts on
+    every output column, so result schemas must stay scalar-only.
+    """
+    from .text import tokens
+
+    tok = documents.select(
+        "doc_id",
+        F.explode(F.array_distinct(tokens("text"))).alias("token"),
+    ).filter(F.col("token") != "")
+    dfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    top = (
+        dfreq.orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(top_tokens)
+    )
+    w = Window.partitionBy("token").orderBy(F.col("doc_id").asc_nulls_first())
+    capped = (
+        tok.join(F.broadcast(top), "token")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+    )
+    return capped.groupBy("token", "df").agg(
+        F.array_join(
+            F.sort_array(F.collect_list("doc_id")).cast("array<string>"), ","
+        ).alias("postings")
+    )
+
+
+def sql_token_posting_lists(
+    top_tokens: int = POSTING_TOP_TOKENS, cap: int = POSTING_CAP
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.token
+        FROM documents, unnest({sql_tokens('text')}) AS t(token)
+        WHERE t.token <> ''
+    ),
+    dfreq AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df
+        FROM tok GROUP BY 1
+    ),
+    top AS (
+        SELECT token, df FROM dfreq
+        ORDER BY df DESC, token ASC LIMIT {top_tokens}
+    ),
+    capped AS (
+        SELECT tok.token, top.df, tok.doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tok.token
+                   ORDER BY tok.doc_id ASC NULLS FIRST
+               ) AS rn
+        FROM tok JOIN top USING (token)
+    )
+    SELECT token, df,
+           array_to_string(list_sort(list(doc_id)), ',') AS postings
+    FROM capped WHERE rn <= {cap}
+    GROUP BY token, df
+    """

@@ -139,3 +139,80 @@ def salted_shuffle_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     )
     return f.join(d, [key, "_salt"], how).drop("_salt")
+
+
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row key-distribution profile of ``df[key]`` — the measurement
+    that DECIDES between the three join tools above (and sizes n_salts):
+    how many rows the hottest key owns, how far above the mean that is,
+    and how concentrated the whole distribution is.
+
+    Columns: ``n_rows``/``n_keys``/``max_key_rows``/``null_rows`` (exact
+    bigints), ``skew_ratio`` = max/mean rows-per-key (1.0 = uniform; the
+    number to compare against your partition count), ``top_share`` = the
+    hottest key's fraction of all rows (a lower bound on the biggest
+    reducer's share under hash partitioning), and ``hhi`` = Σ(share²)
+    (Herfindahl index: 1/n_keys for uniform, →1 as one key dominates).
+
+    Shape: one groupBy(key) count (map-side combined), then a single-row
+    global aggregate over the |keys|-sized frame — no windows, no joins,
+    nothing driver-side. Σcnt² runs as DECIMAL(38,0) (Spark) / 128-bit
+    int (DuckDB), so a 100 TB hot key can't overflow the moment sum; the
+    shares are one fixed-shape double division each at the end.
+    """
+    counts = (
+        df.select(F.col(key).alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    nulls = df.filter(F.col(key).isNull()).select(
+        F.count(F.lit(1)).alias("null_rows")
+    )
+    stats = counts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)")).alias("_s2"),
+    )
+    n_rows = F.col("n_rows").cast("double")
+    return stats.crossJoin(F.broadcast(nulls)).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        "null_rows",
+        (
+            F.col("max_key_rows").cast("double")
+            * F.col("n_keys").cast("double")
+            / n_rows
+        ).alias("skew_ratio"),
+        (F.col("max_key_rows").cast("double") / n_rows).alias("top_share"),
+        (F.col("_s2").cast("double") / (n_rows * n_rows)).alias("hhi"),
+    )
+
+
+def sql_key_skew_profile(table: str, key: str) -> str:
+    return f"""
+    WITH counts AS (
+        SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table} WHERE {key} IS NOT NULL GROUP BY 1
+    ),
+    nulls AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS null_rows
+        FROM {table} WHERE {key} IS NULL
+    ),
+    stats AS (
+        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+               SUM(cnt * cnt) AS s2
+        FROM counts
+    )
+    SELECT n_rows, n_keys, max_key_rows, null_rows,
+           CAST(max_key_rows AS DOUBLE) * CAST(n_keys AS DOUBLE)
+               / CAST(n_rows AS DOUBLE) AS skew_ratio,
+           CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
+           CAST(s2 AS DOUBLE) / (CAST(n_rows AS DOUBLE)
+               * CAST(n_rows AS DOUBLE)) AS hhi
+    FROM stats CROSS JOIN nulls
+    """

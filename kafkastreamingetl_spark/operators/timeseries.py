@@ -390,3 +390,190 @@ def sql_pending_backlog() -> str:
     ) AS BIGINT) AS open_orders
     FROM daily
     """
+
+
+# ---------------------------------------------------------------------------
+# time-weighted average (TWAP): step-function mean over event-value series
+# ---------------------------------------------------------------------------
+
+
+def time_weighted_value(events: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """Per-key TIME-weighted average of ``value``: each event's value holds
+    until the key's next event (a step function), and the average weights
+    each step by how long it held — the TWAP / time-weighted telemetry mean
+    that plain ``avg(value)`` gets wrong whenever sampling is irregular
+    (a value held for an hour should count 3600× one held for a second).
+
+    Exactness: weights are ``unix_micros`` deltas (bigint) over a TOTAL
+    order (ts, then event_id — equal timestamps get a zero-width step for
+    all but the last, deterministically on both engines); values go through
+    cents (bigint), so Σ(cents·dt) and Σdt are exact integer sums under any
+    partitioning. One double division at the end. Null values/timestamps
+    are non-observations (the prior step spans the gap). Each key's LAST
+    event has no next event and contributes no step — TWAP over [first,
+    last] observed span, which is why ``n_steps`` can be 0 for a
+    single-event key (twap NULL, honest, not 0/0).
+
+    Scale shape: one lag window partitioned by key (never unpartitioned),
+    one map-side-combinable aggregation; no joins. Reference has nothing
+    like it (SURVEY §2 has no time-weighted family).
+    """
+    ev = events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    steps = ev.withColumn("next_us", F.lead("t_us").over(w)).filter(
+        F.col("next_us").isNotNull()
+    )
+    dt = F.col("next_us") - F.col("t_us")
+    agg = steps.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_steps"),
+        F.sum(dt).alias("span_us"),
+        F.sum(F.col("cents") * dt).alias("wsum"),
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_steps",
+        (F.col("span_us").cast("double") / 1e6).alias("span_seconds"),
+        F.when(
+            F.col("span_us") > 0,
+            F.col("wsum").cast("double")
+            / F.col("span_us").cast("double")
+            / 100.0,
+        ).alias("twap_value"),
+    )
+
+
+def sql_time_weighted_value(key_col: str = "event_type") -> str:
+    return f"""
+    WITH ev AS (
+        SELECT {key_col} AS key, epoch_us(ts) AS t_us, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    steps AS (
+        SELECT key, cents,
+               LEAD(t_us) OVER (
+                   PARTITION BY key
+                   ORDER BY t_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) - t_us AS dt
+        FROM ev
+    ),
+    agg AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_steps,
+               CAST(SUM(dt) AS BIGINT) AS span_us,
+               CAST(SUM(cents * dt) AS BIGINT) AS wsum
+        FROM steps WHERE dt IS NOT NULL GROUP BY 1
+    )
+    SELECT key AS {key_col}, n_steps,
+           CAST(span_us AS DOUBLE) / 1e6 AS span_seconds,
+           CASE WHEN span_us > 0
+                THEN CAST(wsum AS DOUBLE) / CAST(span_us AS DOUBLE) / 100.0
+                END AS twap_value
+    FROM agg
+    """
+
+
+# ---------------------------------------------------------------------------
+# lag-1 autocorrelation of the daily series (drift/seasonality detector)
+# ---------------------------------------------------------------------------
+
+
+def daily_autocorr(events: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """Per-key lag-1 autocorrelation of the daily value series: Pearson r
+    between consecutive observed days' totals — the "is today predicted by
+    yesterday" signal behind seasonality/drift triage (r→1 trending, r→0
+    noise, r<0 alternating).
+
+    Only ADJACENT observed days pair up (a gap breaks the pair — pairing
+    across gaps would smear the lag). Daily totals are exact cents
+    (bigint); the five moment sums run as DECIMAL(38,0) on the Spark side
+    and DuckDB's 128-bit integer SUM on the oracle side, both exact, so
+    the only inexactness is the final fixed-shape double combination —
+    bit-identical across engines and partitionings. The pair window is
+    partitioned by key (never unpartitioned).
+    """
+    daily = (
+        events.filter(F.col("value").isNotNull())
+        .groupBy(
+            F.col(key_col).alias("key"), F.col("ts").cast("date").alias("d")
+        )
+        .agg(F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("key").orderBy(F.col("d").asc_nulls_first())
+    pairs = (
+        daily.withColumn("d2", F.lead("d").over(w))
+        .withColumn("y", F.lead("cents").over(w))
+        .filter(F.datediff(F.col("d2"), F.col("d")) == 1)
+        .select("key", F.col("cents").alias("x"), "y")
+    )
+    dec = "decimal(38,0)"
+    agg = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    cov = n * F.col("sxy").cast("double") - sx * sy
+    vx = n * F.col("sxx").cast("double") - sx * sx
+    vy = n * F.col("syy").cast("double") - sy * sy
+    return agg.select(
+        F.col("key").alias(key_col),
+        "n_pairs",
+        F.when(vx * vy > 0, cov / F.sqrt(vx * vy)).alias("autocorr_lag1"),
+    )
+
+
+def sql_daily_autocorr(key_col: str = "event_type") -> str:
+    return f"""
+    WITH daily AS (
+        SELECT {key_col} AS key, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM events
+        WHERE value IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT key, cents AS x, y FROM (
+            SELECT key, d, cents,
+                   LEAD(d) OVER w AS d2, LEAD(cents) OVER w AS y
+            FROM daily
+            WINDOW w AS (PARTITION BY key ORDER BY d ASC NULLS FIRST)
+        ) WHERE d2 - d = 1
+    ),
+    agg AS (
+        SELECT key,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+               SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM pairs GROUP BY 1
+    )
+    SELECT key AS {key_col}, n_pairs,
+           CASE WHEN (CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0
+                THEN (CAST(n_pairs AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / SQRT((CAST(n_pairs AS DOUBLE) * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (CAST(n_pairs AS DOUBLE) * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                END AS autocorr_lag1
+    FROM agg
+    """

@@ -41,6 +41,7 @@ from .operators import pipeline as pipe_ops
 from .operators import quality as quality_ops
 from .operators import rankstats as rank_ops
 from .operators import similarity as sim_ops
+from .operators import skew as skew_ops
 from .operators import streamjoin as sj_ops
 from .operators import timeseries as ts_ops
 from .operators import text as text_ops
@@ -3114,3 +3115,134 @@ def q_recursive_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", 40000)
     return spark.sql(_SQL_RECURSIVE_DAYS)
+
+
+# ===========================================================================
+# round 7b: time-weighted mean, autocorrelation, skew profiling, multi-EXISTS
+# decorrelation, inverted index
+# ===========================================================================
+
+
+@query("time_weighted_value", oracle=ts_ops.sql_time_weighted_value())
+def q_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type TIME-weighted average value (TWAP): each event's value
+    holds until the type's next event, weighted by how long it held —
+    exact µs×cents bigint sums, one lag window partitioned by type
+    (operators/timeseries.py time_weighted_value). The irregular-sampling
+    mean the reference's plain avg (spark/app.py:93) cannot express."""
+    return ts_ops.time_weighted_value(load_events(spark, sf_dir))
+
+
+@query("daily_autocorr", oracle=ts_ops.sql_daily_autocorr())
+def q_daily_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type lag-1 autocorrelation of the daily value series — the
+    yesterday-predicts-today signal next to daily_value_trend's slope.
+    Adjacent observed days only; moment sums exact (decimal(38,0) /
+    128-bit int), one fixed-shape double combination at the end
+    (operators/timeseries.py daily_autocorr)."""
+    return ts_ops.daily_autocorr(load_events(spark, sf_dir))
+
+
+@query(
+    "events_key_skew_profile",
+    oracle=skew_ops.sql_key_skew_profile("events", "user_id"),
+)
+def q_events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile of events.user_id: max-key share, skew
+    ratio vs uniform, Herfindahl concentration — the measurement that
+    decides broadcast vs AQE-skew vs salting and sizes n_salts
+    (operators/skew.py key_skew_profile). Exact bigint/decimal moments,
+    one |keys|-sized aggregate, no windows."""
+    return skew_ops.key_skew_profile(load_events(spark, sf_dir), "user_id")
+
+
+@query(
+    "blameless_suppliers",
+    oracle="""
+    WITH l1 AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_suppkey IS NOT NULL
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS n_clean_orders
+    FROM l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey = l1.l_suppkey
+          AND l2.l_returnflag = 'R'
+    )
+    AND EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey IS NOT NULL
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_returnflag = 'R'
+    )
+    GROUP BY 1
+    ORDER BY n_clean_orders DESC NULLS LAST, s_name ASC NULLS FIRST
+    LIMIT 20
+    """,
+)
+def q_blameless_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TPC-H Q21 *shape* (correlated EXISTS + NOT EXISTS on the same
+    fact table) on this schema: suppliers with NO returned lines on orders
+    where ANOTHER supplier's line was returned — who kept shipping clean on
+    orders that went bad. The oracle states it as the user would (two
+    correlated subqueries); the Spark lane is the aggregation
+    DECORRELATION that actually scales: one pass collapses lineitem to
+    (order, supplier, had_return) pairs — map-side partial agg, so the
+    only fact-sized shuffle carries pre-collapsed pairs — and both EXISTS
+    become filters on a per-order returner count computed as a window SUM
+    over the compact pair frame (partitioned by l_orderkey: no self-join,
+    no second scan of lineitem, never an unpartitioned window). Top-20 via
+    TakeOrderedAndProject with the s_name tie-break."""
+    return blameless_suppliers_frames(
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "supplier")
+    )
+
+
+def blameless_suppliers_frames(
+    lineitem: DataFrame, supplier: DataFrame, *, limit: int | None = 20
+) -> DataFrame:
+    """The decorrelated lane of ``blameless_suppliers``, frame-in/frame-out
+    (unit-tested against Spark's own EXISTS subquery execution in
+    tests/test_decorrelation.py). ``limit=None`` returns the full unordered
+    credit table — TakeOrderedAndProject preallocates a limit-sized queue
+    per partition, so "no limit" must mean NO TakeOrdered node, not a
+    sentinel huge k."""
+    li = lineitem.filter(F.col("l_suppkey").isNotNull()).select(
+        "l_orderkey",
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("_r"),
+    )
+    pairs = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("_r").alias("had_return")
+    )
+    per_order = Window.partitionBy("l_orderkey")
+    clean = (
+        pairs.withColumn("n_returners", F.sum("had_return").over(per_order))
+        .filter((F.col("had_return") == 0) & (F.col("n_returners") >= 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_clean_orders"))
+    )
+    sup = supplier.select("s_suppkey", "s_name")
+    credits = clean.join(
+        F.broadcast(sup), clean.l_suppkey == sup.s_suppkey
+    ).select("s_name", "n_clean_orders")
+    if limit is None:
+        return credits
+    return credits.orderBy(
+        F.col("n_clean_orders").desc_nulls_last(),
+        F.col("s_name").asc_nulls_first(),
+    ).limit(limit)
+
+
+@query("token_posting_lists", oracle=corpus_ops.sql_token_posting_lists())
+def q_token_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index: capped, sorted posting lists for the 50 highest-df
+    tokens — the exact-match retrieval primitive (contamination lookups,
+    keyword audits). Distinct-per-doc before explode, top-k selection via
+    TakeOrderedAndProject, row_number cap BEFORE collect_list so no hot
+    token can OOM an executor (operators/corpus.py token_posting_lists)."""
+    return corpus_ops.token_posting_lists(_t(spark, sf_dir, "documents"))

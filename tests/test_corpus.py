@@ -368,3 +368,38 @@ def test_token_budget_sample_reaches_but_bounds_budget(spark):
         for r in token_budget_sample(docs.repartition(17)).collect()
     }
     assert kept2 == {r.doc_id for r in kept}
+
+
+def test_token_posting_lists_cap_and_true_df(spark):
+    from kafkastreamingetl_spark.operators.corpus import token_posting_lists
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a"),   # 'a' twice in one doc counts once
+            (2, "a c"),
+            (3, "a"),
+            (4, "b  x"),    # double space: empty token filtered
+        ],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r.token: r
+        for r in token_posting_lists(docs, top_tokens=2, cap=2).collect()
+    }
+    # top-2 by df: a(3), b(2); c and x lose the limit
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].df == 3          # TRUE df, counted before the cap
+    assert rows["a"].postings == "1,2"  # capped to the 2 smallest, sorted
+    assert rows["b"].df == 2
+    assert rows["b"].postings == "1,4"
+
+
+def test_token_posting_lists_tie_break_is_token_text(spark):
+    from kafkastreamingetl_spark.operators.corpus import token_posting_lists
+
+    docs = spark.createDataFrame(
+        [(1, "z y"), (2, "z y"), (3, "q")], "doc_id bigint, text string"
+    )
+    rows = token_posting_lists(docs, top_tokens=1, cap=5).collect()
+    # y and z tie at df=2: 'y' wins the limit by token-text ascending
+    assert [r.token for r in rows] == ["y"]

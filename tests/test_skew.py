@@ -105,3 +105,26 @@ def test_salted_shuffle_join_partitions_on_salt(spark, skewed_ids, dim):
         assert "_salt" in plan and "hashpartitioning" in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_key_skew_profile_hand_computed(spark):
+    from kafkastreamingetl_spark.operators.skew import key_skew_profile
+
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] + [("c",)] + [(None,)] * 2, "k string"
+    )
+    [r] = key_skew_profile(df, "k").collect()
+    assert (r.n_rows, r.n_keys, r.max_key_rows, r.null_rows) == (6, 3, 4, 2)
+    assert r.skew_ratio == 4 * 3 / 6
+    assert r.top_share == 4 / 6
+    assert r.hhi == (16 + 1 + 1) / 36
+
+
+def test_key_skew_profile_uniform_is_flat(spark):
+    from kafkastreamingetl_spark.operators.skew import key_skew_profile
+
+    df = spark.range(100).select((F.col("id") % 10).alias("k"))
+    [r] = key_skew_profile(df, "k").collect()
+    assert r.skew_ratio == 1.0
+    assert r.hhi == 1 / 10
+    assert r.null_rows == 0

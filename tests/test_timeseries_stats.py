@@ -1,0 +1,127 @@
+"""TWAP and lag-1 autocorrelation (operators/timeseries) — constructed
+series with hand-computed answers, plus the edge semantics the docstrings
+promise (single-event keys, gaps, constant series)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kafkastreamingetl_spark.operators.timeseries import (
+    daily_autocorr,
+    time_weighted_value,
+)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string"
+    )
+
+
+def _ts(s):
+    import datetime
+
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_twap_weights_by_hold_time(spark):
+    # value 10 holds 10 s, value 20 holds 20 s; the 40 at the end never
+    # holds (no next event). TWAP = (10*10 + 20*20)/30.
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "a", 10.0, None),
+            (2, _ts("2024-01-01 00:00:10"), 1, "a", 20.0, None),
+            (3, _ts("2024-01-01 00:00:30"), 1, "a", 40.0, None),
+        ],
+    )
+    [r] = time_weighted_value(df).collect()
+    assert r.event_type == "a"
+    assert r.n_steps == 2
+    assert r.span_seconds == 30.0
+    assert math.isclose(r.twap_value, 500.0 / 30.0)
+
+
+def test_twap_single_event_key_absent_and_null_value_spans_gap(spark):
+    # key "b" has one event -> no step -> no row (NOT a zero).
+    # key "a": the null-valued middle event is a non-observation, so the
+    # 10 holds straight through to t=30 (one 30 s step).
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "a", 10.0, None),
+            (2, _ts("2024-01-01 00:00:10"), 1, "a", None, None),
+            (3, _ts("2024-01-01 00:00:30"), 1, "a", 20.0, None),
+            (4, _ts("2024-01-01 00:00:00"), 2, "b", 5.0, None),
+        ],
+    )
+    rows = {r.event_type: r for r in time_weighted_value(df).collect()}
+    assert set(rows) == {"a"}
+    assert rows["a"].n_steps == 1
+    assert math.isclose(rows["a"].twap_value, 10.0)
+
+
+def test_twap_equal_timestamps_zero_width_step(spark):
+    # two events share a timestamp: the lower event_id's step is
+    # zero-width (deterministic total order), so only the survivor's
+    # value weights the 10 s span.
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "a", 99.0, None),
+            (2, _ts("2024-01-01 00:00:00"), 1, "a", 10.0, None),
+            (3, _ts("2024-01-01 00:00:10"), 1, "a", 20.0, None),
+        ],
+    )
+    [r] = time_weighted_value(df).collect()
+    assert r.n_steps == 2  # the zero-width step still counts as a step
+    assert math.isclose(r.twap_value, 10.0)
+
+
+def test_autocorr_perfect_positive_and_gap_breaks_pairs(spark):
+    # daily totals 1,2,3 then a GAP then 10: pairs are (1,2),(2,3) only —
+    # a shifted-by-constant pair set, so r = 1 exactly.
+    rows = []
+    eid = 0
+    for day, total in [(1, 1), (2, 2), (3, 3), (5, 10)]:
+        eid += 1
+        rows.append(
+            (eid, _ts(f"2024-01-0{day} 12:00:00"), 1, "a", float(total), None)
+        )
+    [r] = daily_autocorr(_events(spark, rows)).collect()
+    assert r.n_pairs == 2
+    assert math.isclose(r.autocorr_lag1, 1.0)
+
+
+def test_autocorr_constant_series_is_null_not_nan(spark):
+    rows = [
+        (d, _ts(f"2024-01-0{d} 12:00:00"), 1, "a", 5.0, None)
+        for d in (1, 2, 3)
+    ]
+    [r] = daily_autocorr(_events(spark, rows)).collect()
+    assert r.n_pairs == 2
+    assert r.autocorr_lag1 is None
+
+
+def test_autocorr_alternating_series_is_negative(spark):
+    rows = [
+        (d, _ts(f"2024-01-0{d} 12:00:00"), 1, "a", v, None)
+        for d, v in [(1, 1.0), (2, 9.0), (3, 1.0), (4, 9.0), (5, 1.0)]
+    ]
+    [r] = daily_autocorr(_events(spark, rows)).collect()
+    assert r.n_pairs == 4
+    assert math.isclose(r.autocorr_lag1, -1.0)
+
+
+def test_twap_and_autocorr_windows_are_partitioned(spark, sf_dir):
+    from kafkastreamingetl_spark.catalog import load_events
+    from kafkastreamingetl_spark.plans import plan_shape_and_text
+    from tests.test_plan_shapes import _unpartitioned_window_specs
+
+    ev = load_events(spark, sf_dir)
+    for df in (time_weighted_value(ev), daily_autocorr(ev)):
+        _, text = plan_shape_and_text(df)
+        assert not _unpartitioned_window_specs(text)
