@@ -104,6 +104,9 @@ _PRIORITY = [
     "events_key_skew_profile",
     "blameless_suppliers",
     "token_posting_lists",
+    "events_value_drift",
+    "source_overlap_matrix",
+    "user_rfm_segments",
     # oldest r5-green stalwarts (reference-surface staples) fill the tail;
     # entries past position 50 fall outside this round's driver window
     "clean_events",

@@ -1195,3 +1195,115 @@ def sql_minhash_jaccard_estimate(
            est_jaccard - jaccard AS est_err
     FROM est
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-source duplication overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(
+    documents: DataFrame,
+    *,
+    content_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Pairwise content overlap between sources: for every source pair,
+    how many distinct word-``SHINGLE_N``-gram shingles they share and the
+    Jaccard overlap of their shingle sets — the corpus-mixing report that
+    says "source A's text is 40% contained in source B, don't weight them
+    independently". Shingle-level (the MinHash feature space, same
+    :func:`~.text.shingle_hashes` features the near-dup pipeline rides)
+    rather than whole-document identity: it surfaces partial/boilerplate
+    duplication between sources that share no byte-identical document —
+    the common real-world case.
+
+    Statistic semantics: shingles are compared by their 60-bit hash (the
+    feature itself); expected colliding pairs ≈ n²/2⁶¹ inflate a count by
+    ~1 at tens of millions of shingles per source — negligible for a
+    mixing decision, and the oracle uses the same hash so the differential
+    is still exact.
+
+    Shape: distinct (source, shingle) pairs — one map-side-combinable
+    aggregate that collapses within-source repetition first; per-source
+    set sizes are a |sources|-row aggregate, broadcast back twice; the
+    hash self-equi-join fans out ≤ |sources choose 2| rows per shared
+    shingle (bounded by the source count, NOT document count). Pairs with
+    zero overlap produce no row (inner join — absence means disjoint).
+    """
+    hs = (
+        documents.filter(
+            F.col(source_col).isNotNull() & F.col(content_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(shingle_hashes(F.col(content_col))).alias("h"),
+        )
+        .distinct()
+    )
+    sizes = hs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+    a = hs.select(F.col("src").alias("source_a"), "h")
+    b = hs.select(F.col("src").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("src").alias("source_b"), F.col("n").alias("n_b"))
+    return (
+        shared.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_a",
+            "n_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+    )
+
+
+def sql_source_overlap(
+    table: str = "documents",
+    content_col: str = "text",
+    source_col: str = "source",
+) -> str:
+    return f"""
+    WITH hs AS (
+        SELECT DISTINCT src, h
+        FROM (
+            SELECT {source_col} AS src,
+                   unnest({sql_shingle_hashes_over_w()}) AS h
+            FROM (
+                SELECT {source_col}, {sql_tokens(content_col)} AS w
+                FROM {table}
+                WHERE {source_col} IS NOT NULL
+                  AND {content_col} IS NOT NULL
+            )
+        )
+    ),
+    sizes AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS n FROM hs GROUP BY 1
+    ),
+    shared AS (
+        SELECT a.src AS source_a, b.src AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM hs a JOIN hs b ON a.h = b.h AND a.src < b.src
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b,
+           sa.n AS n_a, sb.n AS n_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+               / CAST(sa.n + sb.n - n_shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.src = source_a
+    JOIN sizes sb ON sb.src = source_b
+    """

@@ -281,3 +281,127 @@ def observe_qc(
     if value_col is not None:
         aggs.append(dsum(value_col, "total_value"))
     return df.observe(obs, *aggs), obs
+
+
+# ---------------------------------------------------------------------------
+# distribution drift: total-variation distance between two time halves
+# ---------------------------------------------------------------------------
+
+
+def value_drift_profile(events: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """Per-key distribution drift between the first and second half of the
+    observed time span: total-variation distance over value-magnitude
+    buckets — the "did this metric's distribution move" monitor that a
+    mean/stddev comparison misses (a symmetric widening keeps the mean).
+
+    Buckets are DIGIT COUNTS of |cents| (sign-split) — a pure
+    integer/string derivation, so both engines bucket identically with no
+    float log10 edge cases, and the bucket domain is bounded (~±19) no
+    matter the data. TVD = ½·Σ_b |c1_b/n1 − c2_b/n2| is computed as
+    ½·Σ|c1_b·n2 − c2_b·n1| / (n1·n2): the numerator is an EXACT decimal
+    sum (products of bigint counts), so the only double operation is one
+    final division — bit-identical across engines and partitionings.
+
+    Shape: one scan → (key, half, bucket) counts (map-side combined,
+    bounded by |keys|×2×~40 rows); per-key totals via a window partitioned
+    by key over that bounded frame; one final |keys|-sized aggregate.
+    ``tvd`` is NULL when a key is absent from either half (no
+    distribution to compare — 0/0 would be dishonest).
+    """
+    ev = events.filter(
+        F.col("value").isNotNull() & F.col("ts").isNotNull()
+    ).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+    # integer midpoint: `/` then cast would TRUNCATE on Spark but ROUND on
+    # DuckDB for odd sums — DIV / // floor identically (epochs positive)
+    bounds = ev.agg(
+        F.expr("(min(t_us) + max(t_us)) div 2").cast("bigint").alias("_mid")
+    )
+    digits = F.length(F.abs(F.col("cents")).cast("string"))
+    bucket = F.when(F.col("cents") < 0, -digits).otherwise(digits)
+    halved = ev.crossJoin(F.broadcast(bounds)).select(
+        "key",
+        F.when(F.col("t_us") < F.col("_mid"), F.lit(1)).otherwise(F.lit(2)).alias("half"),
+        bucket.alias("bucket"),
+    )
+    cells = halved.groupBy("key", "bucket").agg(
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+        F.sum(F.when(F.col("half") == 2, 1).otherwise(0)).cast("bigint").alias("c2"),
+    )
+    per_key = Window.partitionBy("key")
+    dec = "decimal(38,0)"
+    with_tot = cells.select(
+        "key",
+        "c1",
+        "c2",
+        F.sum("c1").over(per_key).alias("n1"),
+        F.sum("c2").over(per_key).alias("n2"),
+    )
+    num = F.abs(
+        (F.col("c1") * F.col("n2")).cast(dec)
+        - (F.col("c2") * F.col("n1")).cast(dec)
+    )
+    agg = with_tot.groupBy("key", "n1", "n2").agg(
+        F.count(F.lit(1)).alias("n_buckets"), F.sum(num).alias("_num")
+    )
+    return agg.select(
+        F.col("key").alias(key_col),
+        F.col("n1").alias("n_first"),
+        F.col("n2").alias("n_second"),
+        "n_buckets",
+        F.when(
+            (F.col("n1") > 0) & (F.col("n2") > 0),
+            F.col("_num").cast("double")
+            / (F.col("n1") * F.col("n2")).cast("double")
+            / 2.0,
+        ).alias("tvd"),
+    )
+
+
+def sql_value_drift_profile(key_col: str = "event_type") -> str:
+    return f"""
+    WITH ev AS (
+        SELECT {key_col} AS key, epoch_us(ts) AS t_us,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL
+    ),
+    bounds AS (
+        SELECT CAST((MIN(t_us) + MAX(t_us)) // 2 AS BIGINT) AS mid FROM ev
+    ),
+    halved AS (
+        SELECT key,
+               CASE WHEN t_us < mid THEN 1 ELSE 2 END AS half,
+               CASE WHEN cents < 0
+                    THEN -length(CAST(ABS(cents) AS VARCHAR))
+                    ELSE length(CAST(ABS(cents) AS VARCHAR)) END AS bucket
+        FROM ev CROSS JOIN bounds
+    ),
+    cells AS (
+        SELECT key, bucket,
+               CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+               CAST(SUM(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        FROM halved GROUP BY 1, 2
+    ),
+    with_tot AS (
+        SELECT key, c1, c2,
+               CAST(SUM(c1) OVER (PARTITION BY key) AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER (PARTITION BY key) AS BIGINT) AS n2
+        FROM cells
+    ),
+    agg AS (
+        SELECT key, n1, n2,
+               CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               SUM(ABS(c1 * n2 - c2 * n1)) AS num
+        FROM with_tot GROUP BY 1, 2, 3
+    )
+    SELECT key AS {key_col}, n1 AS n_first, n2 AS n_second, n_buckets,
+           CASE WHEN n1 > 0 AND n2 > 0
+                THEN CAST(num AS DOUBLE)
+                     / CAST(n1 * n2 AS DOUBLE) / 2.0
+                END AS tvd
+    FROM agg
+    """

@@ -3246,3 +3246,92 @@ def q_token_posting_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, row_number cap BEFORE collect_list so no hot
     token can OOM an executor (operators/corpus.py token_posting_lists)."""
     return corpus_ops.token_posting_lists(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "events_value_drift",
+    oracle=quality_ops.sql_value_drift_profile(),
+)
+def q_events_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type distribution drift between the first and second half of
+    the observed span: total-variation distance over value-magnitude
+    buckets (operators/quality.py value_drift_profile). Digit-count
+    buckets are pure integer/string derivations; the TVD numerator is an
+    exact decimal sum, one double division at the end — the drift monitor
+    a mean/stddev diff misses."""
+    return quality_ops.value_drift_profile(load_events(spark, sf_dir))
+
+
+@query("source_overlap_matrix", oracle=dedup_ops.sql_source_overlap())
+def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content overlap between sources — shared distinct
+    shingles + Jaccard of shingle sets per source pair
+    (operators/dedup.py source_overlap). The corpus-mixing report:
+    hash-keyed self-equi-join over distinct (source, shingle) pairs,
+    fan-out bounded by |sources|², no text crosses the shuffle."""
+    return dedup_ops.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "user_rfm_segments",
+    oracle=f"""
+    WITH u AS (
+        SELECT user_id,
+               MAX(epoch_us(ts)) AS last_us,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {sql_dsum('value')} AS ltv
+        FROM events
+        WHERE value IS NOT NULL AND ts IS NOT NULL AND user_id IS NOT NULL
+        GROUP BY 1
+    ),
+    b AS (
+        SELECT user_id, ltv,
+               CAST(ntile(4) OVER (
+                   ORDER BY last_us ASC NULLS FIRST, user_id ASC NULLS FIRST
+               ) AS INT) AS r_bucket,
+               CAST(ntile(4) OVER (
+                   ORDER BY n_events ASC NULLS FIRST, user_id ASC NULLS FIRST
+               ) AS INT) AS f_bucket,
+               CAST(ntile(4) OVER (
+                   ORDER BY ltv ASC NULLS FIRST, user_id ASC NULLS FIRST
+               ) AS INT) AS m_bucket
+        FROM u
+    )
+    SELECT r_bucket, f_bucket, m_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {sql_dsum('ltv')} AS total_ltv
+    FROM b
+    GROUP BY 1, 2, 3
+    """,
+)
+def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: each user's Recency (last valued event), Frequency
+    (valued-event count) and Monetary (decimal-exact LTV) each cut into
+    exact quartiles — bucket 4 = most recent / most frequent / highest
+    value — then the 4×4×4 segment census marketing acts on. All three
+    quartile cuts ride operators/rankstats.with_exact_ntile (range shuffle
+    + broadcast offsets, never a single-partition ntile sort — the same
+    de-weaking user_ltv_deciles got in round 7), with user_id tie-breaks
+    so both engines cut identically."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "ltv"),
+    )
+    u = rank_ops.with_exact_ntile(
+        u, 4, ["last_us", "user_id"], bucket_col="r_bucket"
+    )
+    u = rank_ops.with_exact_ntile(
+        u, 4, ["n_events", "user_id"], bucket_col="f_bucket"
+    )
+    u = rank_ops.with_exact_ntile(
+        u, 4, ["ltv", "user_id"], bucket_col="m_bucket"
+    )
+    return u.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
+        F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv")
+    )

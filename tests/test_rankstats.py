@@ -95,3 +95,45 @@ def test_registered_decile_and_zorder_lanes_use_rankstats(spark, sf_dir):
         assert "windowspecdefinition" not in plan, name
         assert "ntile" not in plan.lower(), name
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+
+
+def test_rfm_segments_match_window_ntile_differential(spark, sf_dir):
+    """The registered RFM query (three exact-ntile cuts) must equal the
+    same census computed with Spark's own global-window ntile."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.catalog import load_events
+    from kafkastreamingetl_spark.functions import dsum
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    got = QUERIES["user_rfm_segments"](spark, sf_dir)
+    ev = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    u = ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "ltv"),
+    )
+
+    def cut(metric, name):
+        w = Window.orderBy(
+            F.col(metric).asc_nulls_first(), F.col("user_id").asc_nulls_first()
+        )
+        return F.ntile(4).over(w).cast("int").alias(name)
+
+    expected = (
+        u.select(
+            "user_id",
+            "ltv",
+            cut("last_us", "r_bucket"),
+            cut("n_events", "f_bucket"),
+            cut("ltv", "m_bucket"),
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv"))
+    )
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0

@@ -360,3 +360,25 @@ def test_eval_contamination_finds_planted_leak(spark):
         for r in eval_contamination(train, ev).collect()
     }
     assert got == {(1, 100): 1.0}
+
+
+def test_source_overlap_shingle_jaccard(spark):
+    from kafkastreamingetl_spark.operators.dedup import source_overlap
+
+    docs = spark.createDataFrame(
+        [
+            # A: shingles {w1w2w3, w2w3w4}; B: {w2w3w4, w3w4w5} -> share 1
+            (1, "w1 w2 w3 w4", "A"),
+            (2, "w2 w3 w4 w5", "B"),
+            # C shares nothing -> no (A,C)/(B,C) rows at all
+            (3, "x1 x2 x3", "C"),
+            # within-source repetition collapses before counting
+            (4, "w1 w2 w3 w4", "A"),
+        ],
+        "doc_id bigint, text string, source string",
+    )
+    rows = {(r.source_a, r.source_b): r for r in source_overlap(docs).collect()}
+    assert set(rows) == {("A", "B")}
+    r = rows[("A", "B")]
+    assert (r.n_a, r.n_b, r.n_shared) == (2, 2, 1)
+    assert r.jaccard == 1 / 3
