@@ -1298,6 +1298,11 @@ def token_posting_lists(
     cap); ``sort_array`` makes the list order engine-independent, and the
     list ships as a comma-joined STRING — the driver's compare sorts on
     every output column, so result schemas must stay scalar-only.
+
+    The tokenize+explode runs twice (df pass, postings pass) by design:
+    the scan projects only (doc_id, text), and re-reading it is cheaper
+    at corpus scale than materializing the exploded token frame, which is
+    an order of magnitude larger than its source.
     """
     from .text import tokens
 

@@ -154,29 +154,34 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
     reducer's share under hash partitioning), and ``hhi`` = Σ(share²)
     (Herfindahl index: 1/n_keys for uniform, →1 as one key dominates).
 
-    Shape: one groupBy(key) count (map-side combined), then a single-row
-    global aggregate over the |keys|-sized frame — no windows, no joins,
-    nothing driver-side. Σcnt² runs as DECIMAL(38,0) (Spark) / 128-bit
-    int (DuckDB), so a 100 TB hot key can't overflow the moment sum; the
-    shares are one fixed-shape double division each at the end.
+    Shape: ONE scan — a groupBy(key) count with NULL kept as its own
+    group (map-side combined), then a single-row aggregate over the
+    |keys|-sized frame that routes the NULL group into ``null_rows`` and
+    everything else into the key stats — no second pass for the null
+    count, no windows, no joins, nothing driver-side. Σcnt² runs as
+    DECIMAL(38,0) (Spark) / 128-bit int (DuckDB), so a 100 TB hot key
+    can't overflow the moment sum; the shares are one fixed-shape double
+    division each at the end.
     """
     counts = (
         df.select(F.col(key).alias("k"))
-        .filter(F.col("k").isNotNull())
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    nulls = df.filter(F.col(key).isNull()).select(
-        F.count(F.lit(1)).alias("null_rows")
-    )
+    nn = F.col("k").isNotNull()
     stats = counts.agg(
-        F.sum("cnt").alias("n_rows"),
-        F.count(F.lit(1)).alias("n_keys"),
-        F.max("cnt").alias("max_key_rows"),
-        F.sum((F.col("cnt") * F.col("cnt")).cast("decimal(38,0)")).alias("_s2"),
+        F.sum(F.when(nn, F.col("cnt"))).alias("n_rows"),
+        F.count(F.when(nn, F.lit(1))).alias("n_keys"),
+        F.max(F.when(nn, F.col("cnt"))).alias("max_key_rows"),
+        F.sum(
+            F.when(nn, (F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
+        ).alias("_s2"),
+        F.coalesce(F.sum(F.when(~nn, F.col("cnt"))), F.lit(0))
+        .cast("bigint")
+        .alias("null_rows"),
     )
     n_rows = F.col("n_rows").cast("double")
-    return stats.crossJoin(F.broadcast(nulls)).select(
+    return stats.select(
         "n_rows",
         "n_keys",
         "max_key_rows",
@@ -195,17 +200,16 @@ def sql_key_skew_profile(table: str, key: str) -> str:
     return f"""
     WITH counts AS (
         SELECT {key} AS k, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM {table} WHERE {key} IS NOT NULL GROUP BY 1
-    ),
-    nulls AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS null_rows
-        FROM {table} WHERE {key} IS NULL
+        FROM {table} GROUP BY 1
     ),
     stats AS (
-        SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
-               CAST(COUNT(*) AS BIGINT) AS n_keys,
-               CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
-               SUM(cnt * cnt) AS s2
+        SELECT CAST(SUM(cnt) FILTER (k IS NOT NULL) AS BIGINT) AS n_rows,
+               CAST(COUNT(*) FILTER (k IS NOT NULL) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) FILTER (k IS NOT NULL) AS BIGINT)
+                   AS max_key_rows,
+               SUM(cnt * cnt) FILTER (k IS NOT NULL) AS s2,
+               CAST(COALESCE(SUM(cnt) FILTER (k IS NULL), 0) AS BIGINT)
+                   AS null_rows
         FROM counts
     )
     SELECT n_rows, n_keys, max_key_rows, null_rows,
@@ -214,5 +218,5 @@ def sql_key_skew_profile(table: str, key: str) -> str:
            CAST(max_key_rows AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share,
            CAST(s2 AS DOUBLE) / (CAST(n_rows AS DOUBLE)
                * CAST(n_rows AS DOUBLE)) AS hhi
-    FROM stats CROSS JOIN nulls
+    FROM stats
     """
