@@ -107,6 +107,7 @@ _PRIORITY = [
     "events_value_drift",
     "source_overlap_matrix",
     "user_rfm_segments",
+    "lateral_top_orders",
     # oldest r5-green stalwarts (reference-surface staples) fill the tail;
     # entries past position 50 fall outside this round's driver window
     "clean_events",

@@ -3335,3 +3335,34 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv")
     )
+
+
+# LATERAL correlated subquery through the SQL door: the same ANSI text runs
+# on both engines (like recursive_daily_series / late_order_priority).
+_SQL_LATERAL_TOP_ORDERS = """
+    SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+    FROM customer c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM orders o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 3
+    ) t
+    WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+@query("lateral_top_orders", oracle=_SQL_LATERAL_TOP_ORDERS)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL join with a correlated ORDER BY ... LIMIT subquery — the
+    top-3-orders-per-customer shape a user writes as "for each row, run
+    this small query". Identical ANSI text through both engines (the SQL
+    door); the scale story is what Catalyst DOES with it: the per-row
+    LIMIT decorrelates into a rank window partitioned by the correlation
+    key with WindowGroupLimit pushdown — each map task prunes to <=3 rows
+    per customer BEFORE the exchange, then one broadcast join against the
+    filtered customer side. A naive per-row subquery execution (or an
+    unpartitioned rank) never appears; the tie-break on o_orderkey makes
+    the kept set deterministic on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_LATERAL_TOP_ORDERS)

@@ -211,3 +211,13 @@ def test_latest_user_state_single_exchange(spark, sf_dir):
     plan = plan_of(QUERIES["latest_user_state"](spark, sf_dir))
     assert plan.count("hashpartitioning(") == 1
     assert plan.count("hashpartitioning(user_id") == 1
+
+
+def test_lateral_limit_gets_window_group_limit(spark, sf_dir):
+    """lateral_top_orders phrases a per-customer ORDER BY ... LIMIT 3 as a
+    LATERAL subquery; Catalyst must decorrelate it into a rank window with
+    WindowGroupLimit pushdown (map-side <=k-per-key pruning BEFORE the
+    exchange) — never a per-outer-row subquery execution."""
+    plan = plan_of(QUERIES["lateral_top_orders"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
