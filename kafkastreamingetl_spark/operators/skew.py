@@ -158,10 +158,11 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
     group (map-side combined), then a single-row aggregate over the
     |keys|-sized frame that routes the NULL group into ``null_rows`` and
     everything else into the key stats — no second pass for the null
-    count, no windows, no joins, nothing driver-side. Σcnt² runs as
-    DECIMAL(38,0) (Spark) / 128-bit int (DuckDB), so a 100 TB hot key
-    can't overflow the moment sum; the shares are one fixed-shape double
-    division each at the end.
+    count, no windows, no joins, nothing driver-side. The cnt operands
+    are widened to DECIMAL(19,0) (Spark) / HUGEINT (DuckDB) BEFORE the
+    product, so even a hot key with >3e9 rows can't overflow the int64
+    multiply, and Σcnt² accumulates as DECIMAL(38,0) / 128-bit int; the
+    shares are one fixed-shape double division each at the end.
     """
     counts = (
         df.select(F.col(key).alias("k"))
@@ -174,7 +175,11 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
         F.count(F.when(nn, F.lit(1))).alias("n_keys"),
         F.max(F.when(nn, F.col("cnt"))).alias("max_key_rows"),
         F.sum(
-            F.when(nn, (F.col("cnt") * F.col("cnt")).cast("decimal(38,0)"))
+            F.when(
+                nn,
+                F.col("cnt").cast("decimal(19,0)")
+                * F.col("cnt").cast("decimal(19,0)"),
+            )
         ).alias("_s2"),
         F.coalesce(F.sum(F.when(~nn, F.col("cnt"))), F.lit(0))
         .cast("bigint")
@@ -207,7 +212,7 @@ def sql_key_skew_profile(table: str, key: str) -> str:
                CAST(COUNT(*) FILTER (k IS NOT NULL) AS BIGINT) AS n_keys,
                CAST(MAX(cnt) FILTER (k IS NOT NULL) AS BIGINT)
                    AS max_key_rows,
-               SUM(cnt * cnt) FILTER (k IS NOT NULL) AS s2,
+               SUM(CAST(cnt AS HUGEINT) * cnt) FILTER (k IS NOT NULL) AS s2,
                CAST(COALESCE(SUM(cnt) FILTER (k IS NULL), 0) AS BIGINT)
                    AS null_rows
         FROM counts

@@ -517,13 +517,14 @@ def daily_autocorr(events: DataFrame, *, key_col: str = "event_type") -> DataFra
         .select("key", F.col("cents").alias("x"), "y")
     )
     dec = "decimal(38,0)"
+    d19 = "decimal(19,0)"
     agg = pairs.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.sum(F.col("x").cast(dec)).alias("sx"),
         F.sum(F.col("y").cast(dec)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19)).alias("syy"),
     )
     n = F.col("n_pairs").cast("double")
     sx = F.col("sx").cast("double")
@@ -559,8 +560,10 @@ def sql_daily_autocorr(key_col: str = "event_type") -> str:
     agg AS (
         SELECT key,
                CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
-               SUM(x * x) AS sxx, SUM(y * y) AS syy
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx,
+               SUM(CAST(y AS HUGEINT) * y) AS syy
         FROM pairs GROUP BY 1
     )
     SELECT key AS {key_col}, n_pairs,
