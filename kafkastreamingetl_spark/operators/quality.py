@@ -299,8 +299,10 @@ def value_drift_profile(events: DataFrame, *, key_col: str = "event_type") -> Da
     float log10 edge cases, and the bucket domain is bounded (~±19) no
     matter the data. TVD = ½·Σ_b |c1_b/n1 − c2_b/n2| is computed as
     ½·Σ|c1_b·n2 − c2_b·n1| / (n1·n2): the numerator is an EXACT decimal
-    sum (products of bigint counts), so the only double operation is one
-    final division — bit-identical across engines and partitionings.
+    sum (count operands widened to DECIMAL(19,0) / HUGEINT before each
+    product, so a >3e9-row key-half can't wrap int64), and the only
+    double operation is one final division — bit-identical across
+    engines and partitionings.
 
     Shape: one scan → (key, half, bucket) counts (map-side combined,
     bounded by |keys|×2×~40 rows); per-key totals via a window partitioned
@@ -340,9 +342,13 @@ def value_drift_profile(events: DataFrame, *, key_col: str = "event_type") -> Da
         F.sum("c1").over(per_key).alias("n1"),
         F.sum("c2").over(per_key).alias("n2"),
     )
+    # widen the count operands BEFORE the product (mirrors skew.py): a
+    # bigint*bigint cross-product overflows int64 at >~3e9 rows per
+    # key-half — reachable for a hot key at 100 TB; d19*d19 → d38 exactly
+    d19 = "decimal(19,0)"
     num = F.abs(
-        (F.col("c1") * F.col("n2")).cast(dec)
-        - (F.col("c2") * F.col("n1")).cast(dec)
+        (F.col("c1").cast(d19) * F.col("n2").cast(d19)).cast(dec)
+        - (F.col("c2").cast(d19) * F.col("n1").cast(d19)).cast(dec)
     )
     agg = with_tot.groupBy("key", "n1", "n2").agg(
         F.count(F.lit(1)).alias("n_buckets"), F.sum(num).alias("_num")
@@ -355,7 +361,7 @@ def value_drift_profile(events: DataFrame, *, key_col: str = "event_type") -> Da
         F.when(
             (F.col("n1") > 0) & (F.col("n2") > 0),
             F.col("_num").cast("double")
-            / (F.col("n1") * F.col("n2")).cast("double")
+            / (F.col("n1").cast(d19) * F.col("n2").cast(d19)).cast("double")
             / 2.0,
         ).alias("tvd"),
     )
@@ -395,13 +401,13 @@ def sql_value_drift_profile(key_col: str = "event_type") -> str:
     agg AS (
         SELECT key, n1, n2,
                CAST(COUNT(*) AS BIGINT) AS n_buckets,
-               SUM(ABS(c1 * n2 - c2 * n1)) AS num
+               SUM(ABS(CAST(c1 AS HUGEINT) * n2 - CAST(c2 AS HUGEINT) * n1)) AS num
         FROM with_tot GROUP BY 1, 2, 3
     )
     SELECT key AS {key_col}, n1 AS n_first, n2 AS n_second, n_buckets,
            CASE WHEN n1 > 0 AND n2 > 0
                 THEN CAST(num AS DOUBLE)
-                     / CAST(n1 * n2 AS DOUBLE) / 2.0
+                     / CAST(CAST(n1 AS HUGEINT) * n2 AS DOUBLE) / 2.0
                 END AS tvd
     FROM agg
     """

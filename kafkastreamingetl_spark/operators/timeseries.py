@@ -158,9 +158,11 @@ def daily_value_trend(events: DataFrame, *, key_col: str = "event_type") -> Data
     Everything before the final division is exact integer arithmetic:
     x = day offset from the key's first day (int), y = daily total in
     cents (bigint), and the OLS terms n·Σxy − Σx·Σy and n·Σx² − (Σx)²
-    are bigint sums — so any partitioning and any engine produce
-    bit-identical slopes. Two aggregations (events→days, days→key), both
-    map-side combined; no windows, no joins.
+    run with every operand widened to DECIMAL(19,0) (HUGEINT on the
+    oracle) before the product so nothing can wrap int64 — so any
+    partitioning and any engine produce bit-identical slopes. Two
+    aggregations (events→days, days→key), both map-side combined; no
+    windows, no joins.
     """
     daily = (
         events.filter(F.col("value").isNotNull())
@@ -178,21 +180,31 @@ def daily_value_trend(events: DataFrame, *, key_col: str = "event_type") -> Data
         x.alias("x"),
         F.col("cents").alias("y"),
     )
+    # widen operands to DECIMAL(19,0) before every product (HUGEINT on the
+    # oracle side): x is a small day offset but y is a daily cents total,
+    # so x·y (and the det/numerator cross terms) can wrap int64 silently
+    # for a ~1e15-cent daily total over a multi-year span.
+    d19 = "decimal(19,0)"
     agg = terms.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_days"),
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19)).alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19)).alias("sxx"),
     )
     n = F.col("n_days")
-    det = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    det = n.cast(d19) * F.col("sxx") - F.col("sx").cast(d19) * F.col(
+        "sx"
+    ).cast(d19)
     # det = 0 iff the key has a single observed day — a trend is undefined
     # there; explicit NULL beats the 0/0 NaN both engines would otherwise
     # emit (NaN survives hashing today, but NULL is the honest answer).
     slope_cents = F.when(
         det > 0,
-        (n * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        (
+            n.cast(d19) * F.col("sxy")
+            - F.col("sx").cast(d19) * F.col("sy").cast(d19)
+        ).cast("double")
         / det.cast("double"),
     )
     intercept_cents = (
@@ -229,15 +241,17 @@ def sql_daily_value_trend(key_col: str = "event_type") -> str:
                CAST(COUNT(*) AS BIGINT) AS n_days,
                CAST(SUM(x) AS BIGINT) AS sx,
                CAST(SUM(y) AS BIGINT) AS sy,
-               CAST(SUM(x * y) AS BIGINT) AS sxy,
-               CAST(SUM(x * x) AS BIGINT) AS sxx
+               SUM(CAST(x AS HUGEINT) * y) AS sxy,
+               SUM(CAST(x AS HUGEINT) * x) AS sxx
         FROM terms GROUP BY 1
     ),
     slopes AS (
         SELECT {key_col}, n_days, sx, sy,
-               CASE WHEN n_days * sxx - sx * sx > 0
-                    THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
-                         / CAST(n_days * sxx - sx * sx AS DOUBLE)
+               CASE WHEN n_days * sxx - CAST(sx AS HUGEINT) * sx > 0
+                    THEN CAST(n_days * sxy - CAST(sx AS HUGEINT) * sy
+                              AS DOUBLE)
+                         / CAST(n_days * sxx - CAST(sx AS HUGEINT) * sx
+                                AS DOUBLE)
                     END AS slope_cents
         FROM agg
     )
@@ -407,8 +421,10 @@ def time_weighted_value(events: DataFrame, *, key_col: str = "event_type") -> Da
     Exactness: weights are ``unix_micros`` deltas (bigint) over a TOTAL
     order (ts, then event_id — equal timestamps get a zero-width step for
     all but the last, deterministically on both engines); values go through
-    cents (bigint), so Σ(cents·dt) and Σdt are exact integer sums under any
-    partitioning. One double division at the end. Null values/timestamps
+    cents (bigint) and both operands of cents·dt are widened to
+    DECIMAL(19,0) (HUGEINT on the oracle) before the product, so
+    Σ(cents·dt) and Σdt are exact integer sums under any partitioning
+    with no int64 wrap. One double division at the end. Null values/timestamps
     are non-observations (the prior step spans the gap). Each key's LAST
     event has no next event and contributes no step — TWAP over [first,
     last] observed span, which is why ``n_steps`` can be 0 for a
@@ -433,10 +449,14 @@ def time_weighted_value(events: DataFrame, *, key_col: str = "event_type") -> Da
         F.col("next_us").isNotNull()
     )
     dt = F.col("next_us") - F.col("t_us")
+    # cents·dt in raw int64 wraps for ~$3000 held across a ~1-year gap
+    # (dt is MICROSECONDS) — widen both operands to DECIMAL(19,0) before
+    # the product (HUGEINT on the oracle) so Σ(cents·dt) is exact d38.
+    d19 = "decimal(19,0)"
     agg = steps.groupBy("key").agg(
         F.count(F.lit(1)).alias("n_steps"),
         F.sum(dt).alias("span_us"),
-        F.sum(F.col("cents") * dt).alias("wsum"),
+        F.sum(F.col("cents").cast(d19) * dt.cast(d19)).alias("wsum"),
     )
     return agg.select(
         F.col("key").alias(key_col),
@@ -471,7 +491,7 @@ def sql_time_weighted_value(key_col: str = "event_type") -> str:
         SELECT key,
                CAST(COUNT(*) AS BIGINT) AS n_steps,
                CAST(SUM(dt) AS BIGINT) AS span_us,
-               CAST(SUM(cents * dt) AS BIGINT) AS wsum
+               SUM(CAST(cents AS HUGEINT) * dt) AS wsum
         FROM steps WHERE dt IS NOT NULL GROUP BY 1
     )
     SELECT key AS {key_col}, n_steps,

@@ -66,3 +66,23 @@ def test_sign_and_zero_buckets_are_distinct(spark):
     # first half {-3: 1, 1: 1}, second {3: 1, 1: 1} -> TVD = 0.5*(0.5+0.5+0)
     assert r.tvd == 0.5
     assert r.n_buckets == 3
+
+
+def test_drift_products_are_decimal_widened_before_multiply(spark):
+    # The c·n cross-products overflow int64 at >~3e9 rows per key-half —
+    # unreachable in a unit test, so assert the guard structurally: every
+    # multiply in the analyzed plan runs on DECIMAL(19,0) operands (the
+    # widening from skew.py applied here), and the DuckDB oracle widens
+    # to HUGEINT before its products.
+    from kafkastreamingetl_spark.operators.quality import (
+        sql_value_drift_profile,
+    )
+
+    df = value_drift_profile(
+        _ev(spark, [(1, _t("2024-01-01 00:00:00"), 1, "a", 1.0, None)])
+    )
+    plan = df._jdf.queryExecution().analyzed().toString()
+    # the two cross-products and the divisor product all cast operands
+    assert plan.count("decimal(19,0)") >= 6, plan
+    sql = sql_value_drift_profile()
+    assert sql.count("HUGEINT") >= 3

@@ -125,3 +125,41 @@ def test_twap_and_autocorr_windows_are_partitioned(spark, sf_dir):
     for df in (time_weighted_value(ev), daily_autocorr(ev)):
         _, text = plan_shape_and_text(df)
         assert not _unpartitioned_window_specs(text)
+
+
+def test_twap_wide_domain_no_int64_wrap(spark):
+    # $3000 (300_000 cents) held across a ~1-year gap: cents*dt in raw
+    # int64 is 300_000 * 3.1536e13 us ~ 9.46e18 > 2^63-1. The widened
+    # DECIMAL(19,0) operands must survive (ANSI would raise on the wrap)
+    # and give the exact single-step TWAP.
+    year_us = 365 * 24 * 3600
+    df = _events(
+        spark,
+        [
+            (1, _ts("2023-01-01 00:00:00"), 1, "a", 3000.0, None),
+            (2, _ts("2024-01-01 00:00:00"), 1, "a", 3000.0, None),
+        ],
+    )
+    [r] = time_weighted_value(df).collect()
+    assert r.n_steps == 1
+    assert r.span_seconds == float(year_us)
+    assert math.isclose(r.twap_value, 3000.0)
+
+
+def test_trend_wide_domain_no_int64_wrap(spark):
+    # Daily total of 9e15 cents (value 9e13, exact in double) at day
+    # offsets 0 and 2000: sxy = 2000 * 9e15 = 1.8e19 > 2^63-1 in raw
+    # int64. Widened products must survive and give slope 0 exactly.
+    from kafkastreamingetl_spark.operators.timeseries import daily_value_trend
+
+    df = _events(
+        spark,
+        [
+            (1, _ts("2024-01-01 00:00:00"), 1, "t", 9.0e13, None),
+            (2, _ts("2029-06-23 00:00:00"), 1, "t", 9.0e13, None),
+        ],
+    )
+    [r] = daily_value_trend(df).collect()
+    assert r.n_days == 2
+    assert r.slope_per_day == 0.0
+    assert math.isclose(r.intercept, 9.0e13)
