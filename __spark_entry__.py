@@ -38,78 +38,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's CORRECTNESS harness records the first ~50 dict entries per
-# round, so ordering is part of the verification contract. Round-7 window:
-# the 5 queries that have NEVER had a driver row (registered late in round
-# 6, locally green, declared deferrals — VERDICT r6 item 1) come first so
-# ever-driver-verified reaches 124/124; then this round's new queries; then
-# every query whose IMPLEMENTATION changed this round (the de-weak'd decile
-# and z-order report lanes, and the connected-components family that now
-# rides large-star/small-star); then the 23 queries whose latest green row
-# is round 3 (rotation so no green row ages past ~4 rounds — VERDICT r6
-# item 5); oldest r5-green stalwarts fill the tail.
+# round, so ordering is part of the verification contract (no green row may
+# age past ~4 rounds). Round-9 window: the 44 queries whose latest green
+# row is round 5 (3 rounds stale — the reference-surface staples and the
+# exact-ANN serving family, VERDICT r8 item 1) head the window; then the 3
+# queries whose implementation changed this round (int64→decimal widening
+# in the drift/TWAP/trend moment sums); then new round-9 registrations;
+# the first of the 46 round-6 greens start rotating through the remaining
+# slots (the rest rotate in round 10, becoming the only age-4 cohort).
 _PRIORITY = [
-    # never driver-verified — must head the window (VERDICT r6 item 1)
-    "doc_repetition_stats",
-    "daily_value_trend",
-    "rolling_distinct_users",
-    "event_transition_matrix",
-    "token_budget_sample",
-    # new in round 7
-    "bloom_prefilter_join",
-    "latest_user_state",
-    "neardup_cluster_sizes",
-    "stratified_language_sample",
-    "orders_pending_backlog",
-    "semantic_eval_contamination",
-    "recursive_daily_series",
-    # implementation changed in round 7: exact distributed ntile replaces
-    # the global single-partition window (queries.py / layout.py), and
-    # connected_components switched to large-star/small-star
-    "user_ltv_deciles",
-    "events_zorder_layout",
-    "neardup_clusters",
-    "dedup_documents_neardup",
-    "embedding_clusters",
-    "dedup_embeddings_semantic",
-    # latest green row is round 3 — rotate back through the window
-    "revenue_cube",
-    "event_type_pivot",
-    "revenue_rollup_hierarchy",
-    "churned_purchasers",
-    "salted_type_rollup",
-    "weekend_vs_weekday_types",
-    "conversion_funnel",
-    "events_quality_report",
-    "doc_token_stats",
-    "doc_quality",
-    "doc_rolling_hash",
-    "doc_language_id",
-    "train_test_split",
-    "training_mix_sample",
-    "referential_integrity",
-    "doc_chunks",
-    "pii_redaction",
-    "tfidf_top_terms",
-    "doc_regex_token_stats",
-    "doc_fingerprint",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    "neardup_candidates",
-    # added later in round 7 — never driver-verified, so they take window
-    # slots ahead of the youngest greens (the r5 stalwarts below are age-2
-    # and the cheapest rows to defer; daily_segment_metrics additionally
-    # rides the entry() smoke every round)
-    "time_weighted_value",
-    "daily_autocorr",
-    "events_key_skew_profile",
-    "blameless_suppliers",
-    "token_posting_lists",
-    "events_value_drift",
-    "source_overlap_matrix",
-    "user_rfm_segments",
-    "lateral_top_orders",
-    # oldest r5-green stalwarts (reference-surface staples) fill the tail;
-    # entries past position 50 fall outside this round's driver window
+    # latest green row is round 5 — 3 rounds stale, rotate (VERDICT r8 #1)
+    # reference-surface staples first
     "clean_events",
     "windowed_agg_tumbling",
     "windowed_agg_sliding",
@@ -119,6 +58,55 @@ _PRIORITY = [
     "premium_rollup",
     "daily_metrics_run_date",
     "order_line_rollup",
+    "top_segments",
+    "json_decode",
+    "json_roundtrip",
+    "wire_normalize",
+    "sql_projection",
+    "sql_top_active_days",
+    "literal_dim_enrich",
+    "props_map_extract",
+    "csv_wire_roundtrip",
+    # analytics on events/orders
+    "cohort_retention",
+    "grouping_sets_activity",
+    "active_customers",
+    "daily_counts_unpivot",
+    "events_last_purchase",
+    "orphan_events",
+    "purchase_attribution",
+    "supplier_region_revenue",
+    "type_stats_null_safe",
+    "value_histogram",
+    "value_percentiles",
+    "value_quartiles_by_type",
+    # exact-ANN serving family (oldest evidence in the package)
+    "embedding_topk",
+    "embedding_ann_topk",
+    "embedding_ann_multiprobe",
+    "embedding_ivf_topk",
+    "embedding_pq_topk",
+    "embedding_label_centroids",
+    "embedding_neardup_pairs",
+    # near-dup verify lanes + multimodal + sampling
+    "neardup_pairs_jaccard",
+    "neardup_pairs_containment",
+    "simhash_candidates",
+    "multimodal_features",
+    "multimodal_frame_sample",
+    "multimodal_resize",
+    "training_set_sample",
+    # implementation changed in round 9: moment-sum operands widened to
+    # decimal(19,0)/HUGEINT before the product (overflow fix, ADVICE r8)
+    "events_value_drift",
+    "time_weighted_value",
+    "daily_value_trend",
+    # round-6 greens begin rotating through the remaining slots (the rest
+    # of that 46-query cohort rotates in round 10)
+    "embedding_int8_topk",
+    "embedding_ivf_kmeans_topk",
+    "embedding_pq_kmeans_topk",
+    # --- driver window boundary (~50) ---
 ]
 
 

@@ -22,10 +22,11 @@ between queries so persisted intermediates (dedup shingle features) neither
 leak across queries nor accumulate. Engine-level memos that survive
 clearCache by design (the checkpoint-backed cluster-label memos —
 operators/dedup.neardup_clusters and similarity.embedding_clusters — and
-the driver-side fitted-model lists) are NOT reset: cross-query reuse of the
-resolved closure is engine behavior every session gets, and query order is
-deterministic, so timings stay reproducible — the first cluster consumer
-pays the closure, later ones measure their own marginal work.
+the driver-side fitted-model lists) are NOT reset; instead they are
+PRE-WARMED before the timed loop (the `fit` section records the train /
+closure-build cost in isolation), so every main-lane number is
+serving-only and independent of registry order — a reorder can no longer
+move a fit cost onto a different query and mint a phantom swing.
 """
 
 from __future__ import annotations
@@ -102,37 +103,15 @@ def main() -> None:
             errors[name] = f"warmup: {type(e).__name__}: {e}"
             warm_failed.add(name)
 
-    read_io = _stage_io_reader(spark)
-    if read_io:
-        read_io()  # baseline: consume warm-up stages so query 1 starts clean
-    timings: dict[str, float] = {}
-    io: dict[str, dict] = {}
-    for name, fn in qs.items():
-        # clear persisted intermediates (e.g. dedup shingle features) so no
-        # query benefits from a predecessor's cache and nothing accumulates
-        spark.catalog.clearCache()
-        t0 = time.perf_counter()
-        try:
-            fn(spark, sf_dir).count()
-        except Exception as e:  # noqa: BLE001
-            errors[name] = f"run: {type(e).__name__}: {e}"
-            continue
-        timings[name] = round(time.perf_counter() - t0, 4)
-        if read_io:
-            stats = read_io()
-            if stats is not None:
-                io[name] = stats
-        if name in warm_failed:
-            # timed run succeeded: the warm failure was warm-dir-specific;
-            # drop the advisory error so the summary's n_errors reflects
-            # queries that actually failed AT the bench sf
-            errors.pop(name, None)
-
-    # Fit lane: the model trainers timed in isolation (memos cleared first),
-    # then a warm-serving lane re-times the model-backed queries with the
-    # fitted models memo-hot — together they split every model query's main
-    # lane number into train cost (paid per corpus refresh) and serve cost
-    # (paid per query), which is the split a deployment actually budgets.
+    # Fit lane — BEFORE the timed loop (VERDICT r8 #3): the model trainers
+    # timed in isolation (memos cleared first) at the BENCH sf, which leaves
+    # every fitted-model memo hot, so the main-lane number for each
+    # model-backed query measures serving only. Previously the first query
+    # in registry order to trigger a fit absorbed the train cost into its
+    # own timing — any registry reorder then minted a phantom 2x swing on
+    # whichever query newly went first. The train/serve split is also the
+    # split a deployment budgets: fit is paid per corpus refresh, serve per
+    # query.
     from kafkastreamingetl_spark.catalog import load_table
     from kafkastreamingetl_spark.operators import similarity as sim
 
@@ -159,6 +138,51 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             errors[name] = f"fit: {type(e).__name__}: {e}"
 
+    # Same treatment for the checkpoint-backed connected-components label
+    # memos: run the canonical cluster builders once untimed-in-main-lane
+    # (timed here as prewarm_*) so every downstream cluster consumer in the
+    # main loop measures its own marginal work, not the CC iteration.
+    for pw in ("neardup_clusters", "embedding_clusters"):
+        if pw not in qs:
+            continue
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            qs[pw](spark, sf_dir).count()
+            fit[f"prewarm_{pw}"] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # noqa: BLE001
+            errors[pw] = f"prewarm: {type(e).__name__}: {e}"
+
+    read_io = _stage_io_reader(spark)
+    if read_io:
+        read_io()  # baseline: consume warm-up + fit stages so query 1 starts clean
+    timings: dict[str, float] = {}
+    io: dict[str, dict] = {}
+    for name, fn in qs.items():
+        # clear persisted intermediates (e.g. dedup shingle features) so no
+        # query benefits from a predecessor's cache and nothing accumulates
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).count()
+        except Exception as e:  # noqa: BLE001
+            errors[name] = f"run: {type(e).__name__}: {e}"
+            continue
+        timings[name] = round(time.perf_counter() - t0, 4)
+        if read_io:
+            stats = read_io()
+            if stats is not None:
+                io[name] = stats
+        if name in warm_failed:
+            # timed run succeeded: the warm failure was warm-dir-specific;
+            # drop the advisory error so the summary's n_errors reflects
+            # queries that actually failed AT the bench sf
+            errors.pop(name, None)
+
+    # Warm-serving lane: re-times the model-backed queries memo-hot. With
+    # the fit lane now running BEFORE the main loop, these should closely
+    # match the main-lane numbers — a divergence flags an unintended
+    # per-query refit.
     model_queries = (
         "embedding_ivf_topk",
         "embedding_ivf_kmeans_topk",

@@ -281,12 +281,25 @@ class JsonLinesWriter(DataSourceWriter):
         _os.makedirs(self.path, exist_ok=True)
         manifest = {"files": {}, "n_rows": 0}
         if not self.overwrite:
-            # append: the new generation = previous manifest + this run
+            # append: the new generation = previous manifest + this run.
+            # Only a MISSING manifest (first generation) may fall through
+            # to the empty default — a corrupt/unreadable one must fail
+            # the commit, or the fresh manifest we'd publish would hide
+            # every previously committed file from manifest-keyed readers
+            # (silent data loss in a sink whose contract is manifest-keyed
+            # atomic visibility).
             try:
                 with open(_os.path.join(self.path, "_MANIFEST")) as f:
                     manifest = _json.load(f)
-            except (OSError, ValueError):
+            except FileNotFoundError:
                 pass
+            except (OSError, ValueError) as e:
+                raise RuntimeError(
+                    f"append commit to {self.path!r}: existing _MANIFEST "
+                    f"is unreadable ({type(e).__name__}: {e}); refusing to "
+                    "publish a manifest that would orphan the previous "
+                    "generation"
+                ) from e
         for m in messages:
             final = m.tmp_name[: -len(".tmp")]
             _os.rename(

@@ -56,8 +56,10 @@ def asof_join(
       pandas.merge_asof).
 
     ``tolerance_sec``: a match farther than this from the left timestamp
-    (in either direction) comes back NULL — the "a quote from last week is
-    not a quote" guard.
+    comes back NULL — the "a quote from last week is not a quote" guard.
+    Under ``nearest`` the tolerance applies to each direction BEFORE the
+    nearer-side pick (pandas.merge_asof semantics): an out-of-tolerance
+    backward match never shadows a within-tolerance forward one.
 
     One shuffle on the key columns serves every direction: both sides
     union into one frame, the running ``last(_r, ignorenulls)`` over the
@@ -133,6 +135,15 @@ def asof_join(
             F.unix_micros(F.col(f"_mf.{prefix}{ts_col}"))
             - F.unix_micros(F.col(ts_col))
         )
+        if tolerance_sec is not None:
+            # merge_asof parity: tolerance filters each DIRECTION before
+            # the nearer-side pick — a within-tolerance match on the
+            # farther side must win when the nearer side is out of
+            # tolerance (nulling after the pick wrongly dropped it).
+            tol = F.lit(int(tolerance_sec) * 1_000_000).cast("bigint")
+            both = both.withColumn(
+                "_mb", F.when(gap_b <= tol, F.col("_mb"))
+            ).withColumn("_mf", F.when(gap_f <= tol, F.col("_mf")))
         filled = both.withColumn(
             "_m",
             F.when(F.col("_mb").isNull(), F.col("_mf"))
@@ -140,7 +151,7 @@ def asof_join(
             .when(gap_f < gap_b, F.col("_mf"))
             .otherwise(F.col("_mb")),
         ).drop("_mb", "_mf")
-    if tolerance_sec is not None:
+    if tolerance_sec is not None and direction != "nearest":
         gap = F.abs(
             F.unix_micros(F.col(f"_m.{prefix}{ts_col}"))
             - F.unix_micros(F.col(ts_col))

@@ -49,10 +49,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Width of the rank exchange. Matches the test/bench shuffle setting; at
-# real scale this should track the cluster's shuffle parallelism (the
-# offsets frame stays this many rows either way).
-DEFAULT_RANK_PARTITIONS = 32
+# Fallback width of the rank exchange, used only when the session's
+# ``spark.sql.shuffle.partitions`` is unreadable (e.g. set to "auto" on a
+# vendor runtime). The default tracks the session at CALL time — a
+# hardcoded width would under-parallelize the range sort on a cluster
+# whose shuffle width is thousands. Exactness never depends on the width
+# (ranks come from actual row positions); it only sets balance, and the
+# offsets frame stays width-sized either way.
+_FALLBACK_RANK_PARTITIONS = 200
 
 # monotonically_increasing_id layout: partition id in the upper 31 bits,
 # record-within-partition in the lower 33.
@@ -68,7 +72,7 @@ def with_exact_ntile(
     order_cols: list[str | Column],
     *,
     bucket_col: str = "bucket",
-    num_partitions: int = DEFAULT_RANK_PARTITIONS,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``df`` plus an INT ``bucket_col`` equal to
     ``ntile(n) OVER (ORDER BY order_cols ASC NULLS FIRST)`` — computed with
@@ -85,6 +89,15 @@ def with_exact_ntile(
     """
     if any(c in df.columns for c in _HELPER_COLS):
         raise ValueError(f"input must not contain helper columns {_HELPER_COLS}")
+    if num_partitions is None:
+        # track the session's shuffle width at call time; bucket assignment
+        # is width-independent (tests assert bit-equality at 1/32/200)
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+            )
+        except (TypeError, ValueError):
+            num_partitions = _FALLBACK_RANK_PARTITIONS
     ordering = [
         F.col(c).asc_nulls_first() if isinstance(c, str) else c
         for c in order_cols

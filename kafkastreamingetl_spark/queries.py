@@ -3098,20 +3098,20 @@ _SQL_RECURSIVE_DAYS = """
 
 @query("recursive_daily_series", oracle=_SQL_RECURSIVE_DAYS)
 def q_recursive_daily_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The SQL door, recursive form: WITH RECURSIVE generates the full
-    calendar between the corpus's first and last day (zero-filled via
-    LEFT JOIN) — the same ANSI text through Spark 4.1's new recursive-CTE
-    support and through DuckDB. Portability is the point: a user's
-    recursive hierarchy/series SQL runs unchanged. The relational
-    ``sequence()`` form (daily_dense_series) remains the recommended
-    production shape — a recursion step per day is a plan-depth cost a
-    generator expression doesn't pay; this query pins the FEATURE.
+    """The SQL door, recursive form: WITH RECURSIVE generates the
+    calendar for the corpus's FIRST WEEK (MIN(ts) .. MIN(ts)+6 days,
+    zero-filled via LEFT JOIN) — the same ANSI text through Spark 4.1's
+    new recursive-CTE support and through DuckDB. Portability is the
+    point: a user's recursive hierarchy/series SQL runs unchanged. The
+    relational ``sequence()`` form (daily_dense_series) remains the
+    recommended production shape — a recursion step per day is a
+    plan-depth cost a generator expression doesn't pay; this query pins
+    the FEATURE on a bounded series.
 
     Spark caps recursion depth at ``spark.sql.cteRecursionLevelLimit``
-    (default 100 — one level per DAY here, so a corpus spanning > ~3
-    months would abort on Spark while the oracle succeeds); the wrapper
-    raises it to cover a century so the differential can only disagree on
-    semantics, never on a harness-side depth cap."""
+    (default 100 — one level per DAY, ample for the 7-day series, but the
+    wrapper still raises it so a user widening the window can't hit a
+    harness-side depth cap the oracle doesn't have)."""
     register_views(spark, sf_dir)
     spark.conf.set("spark.sql.cteRecursionLevelLimit", 40000)
     return spark.sql(_SQL_RECURSIVE_DAYS)

@@ -203,3 +203,34 @@ def test_jsonl_sink_empty_frame_commits_empty_manifest(spark, tmp_path):
     # writes it driver-side, never relying on a task having run)
     assert manifest["n_rows"] == 0
     assert all(v == 0 for v in manifest["files"].values())
+
+
+def test_jsonl_sink_corrupt_manifest_fails_append_commit(spark, tmp_path):
+    """A corrupt _MANIFEST must fail an append commit loudly: publishing a
+    fresh manifest over it would hide every previously committed file from
+    manifest-keyed readers (silent data loss). Only a MISSING manifest
+    (first generation) falls through to the empty default — re-proven here
+    after the corrupt run by writing to a fresh dir."""
+    import json
+    import os
+
+    from kafkastreamingetl_spark.datasource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    d = str(tmp_path / "sink_corrupt")
+    os.makedirs(d)
+    with open(os.path.join(d, "_MANIFEST"), "w") as f:
+        f.write("{not json")
+    df = spark.createDataFrame([("a",)], "v string")
+    try:
+        df.write.format("jsonl_dir").option("path", d).mode("append").save()
+        raise AssertionError("append over a corrupt _MANIFEST must fail")
+    except Exception as e:  # surfaces as a captured AnalysisException
+        assert "refusing to publish" in str(e)
+    # the corrupt manifest is left untouched (no destructive overwrite)
+    assert open(os.path.join(d, "_MANIFEST")).read() == "{not json"
+
+    # first generation (no manifest at all) still commits fine
+    d2 = str(tmp_path / "sink_fresh")
+    df.write.format("jsonl_dir").option("path", d2).mode("append").save()
+    assert json.load(open(os.path.join(d2, "_MANIFEST")))["n_rows"] == 1
