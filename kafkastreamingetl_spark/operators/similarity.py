@@ -41,12 +41,34 @@ ANN_N_PLANES = 8
 ANN_DIM = 64
 
 
-def _make_planes(seed: int) -> tuple[tuple[float, ...], ...]:
+def _make_planes(
+    seed: int, n_planes: int = ANN_N_PLANES
+) -> tuple[tuple[float, ...], ...]:
     rng = random.Random(seed)
     return tuple(
         tuple(1.0 if rng.random() < 0.5 else -1.0 for _ in range(ANN_DIM))
-        for _ in range(ANN_N_PLANES)
+        for _ in range(n_planes)
     )
+
+
+def planes_for(n_planes: int) -> tuple[tuple[float, ...], ...]:
+    """The table-0 plane set extended (or cut) to ``n_planes`` planes —
+    row-major generation means the first 8 planes are bit-identical to
+    :data:`ANN_PLANES`, so widening the signature only APPENDS bits.
+
+    This is the blocking-width dial the near-dup tier must turn with
+    corpus size: a FIXED width means a fixed bucket count, so Hamming-1
+    candidate volume grows O(n²/2^planes) — measured superlinear by
+    tools/scale_stress.py (15 s → 560 s closure build for 5× the vectors
+    at the default 8 planes). Near-dup-grade thresholds tolerate wide
+    signatures (per-plane match probability 1−θ/π ≈ 0.99 at cosine 0.999),
+    so the rule of thumb is ``planes ≈ log2(n_vectors) + 4`` and recall is
+    recovered with multi-probe / extra tables, exactly like
+    ``dedup.LSH_BANDS/ROWS`` band tuning.
+    """
+    if n_planes == ANN_N_PLANES:
+        return ANN_PLANES
+    return _make_planes(ANN_TABLE_SEEDS[0], n_planes)
 
 
 # Independent signature tables (the OTHER standard LSH recall dial next to
@@ -140,13 +162,13 @@ def self_queries(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
     )
 
 
-def _flip_bit(bucket: Column, i: int) -> Column:
+def _flip_bit(bucket: Column, i: int, width: int = ANN_N_PLANES) -> Column:
     """The bucket signature with character ``i`` (0-based) inverted."""
     ch = F.substring(bucket, i + 1, 1)
     return F.concat(
         F.substring(bucket, 1, i),
         F.when(ch == "1", F.lit("0")).otherwise(F.lit("1")),
-        F.substring(bucket, i + 2, ANN_N_PLANES),
+        F.substring(bucket, i + 2, width),
     )
 
 
@@ -232,6 +254,7 @@ def embedding_neardup_pairs(
     min_cos: float = EMB_NEARDUP_MIN_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = ANN_N_PLANES,
 ) -> DataFrame:
     """(vec_a, vec_b, cos): near-duplicate vector pairs by cosine — the
     embedding-space member of the dedup family (exact hash / MinHash text /
@@ -255,14 +278,26 @@ def embedding_neardup_pairs(
     is inherent to single-pass verify-in-join; at extreme scale, verify
     against a persisted (id → vector) feature table instead, exactly as
     dedup.neardup_pairs re-joins its cached shingle sets.
+
+    ``n_planes`` is the blocking-width dial and MUST grow with corpus
+    size (≈ log2(n) + 4): a fixed width fixes the bucket count, making
+    candidate volume O(n²/2^planes) — measured superlinear by
+    tools/scale_stress.py at the default width. The default stays 8 for
+    oracle parity on the test corpus (recall at min_cos=0.4 needs fat
+    buckets there); see :func:`planes_for`.
     """
+    planes = planes_for(n_planes)
     corpus = ensure_parallelism(embeddings).select(
         F.col(id_col),
         F.col(vec_col),
-        bucket_signature(F.col(vec_col)).alias("_bucket"),
+        bucket_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     probe_arr = F.array(
-        F.col("_bucket"), *[_flip_bit(F.col("_bucket"), i) for i in range(ANN_N_PLANES)]
+        F.col("_bucket"),
+        *[
+            _flip_bit(F.col("_bucket"), i, n_planes)
+            for i in range(n_planes)
+        ],
     )
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
@@ -1753,13 +1788,15 @@ def embedding_clusters(
     min_cos: float = EMB_NEARDUP_MIN_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = ANN_N_PLANES,
 ) -> DataFrame:
     """(vec_id, cluster_id): connected components over the verified
     embedding near-dup pairs — semantic duplicate groups, the
     embedding-space twin of ``dedup.neardup_clusters`` (same min-label
     propagation, same materialization discipline, reused verbatim,
     including the bounded label memo). Only vectors with at least one
-    near-dup edge appear; singletons are their own cluster by absence."""
+    near-dup edge appear; singletons are their own cluster by absence.
+    ``n_planes`` is the scale dial — see :func:`embedding_neardup_pairs`."""
     from .dedup import connected_components
 
     key = (
@@ -1768,11 +1805,16 @@ def embedding_clusters(
         id_col,
         vec_col,
         round(min_cos, 9),
+        n_planes,
     )
     labels = _EMB_CLUSTERS_CACHE.get(key)
     if labels is None:
         pairs = embedding_neardup_pairs(
-            embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+            embeddings,
+            min_cos=min_cos,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_planes=n_planes,
         )
         labels = connected_components(
             pairs, src_col="vec_a", dst_col="vec_b"
@@ -1791,6 +1833,7 @@ def dedup_embeddings_semantic(
     min_cos: float = EMB_NEARDUP_MIN_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = ANN_N_PLANES,
 ) -> DataFrame:
     """(vec_id, label): the semantically deduplicated corpus — one
     canonical (min-id) survivor per embedding-cosine duplicate cluster,
@@ -1800,7 +1843,11 @@ def dedup_embeddings_semantic(
     pipeline runs after text-level dedup: copies that paraphrase past
     MinHash but embed to the same point."""
     labels = embedding_clusters(
-        embeddings, min_cos=min_cos, id_col=id_col, vec_col=vec_col
+        embeddings,
+        min_cos=min_cos,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_planes=n_planes,
     )
     losers = labels.filter(F.col(id_col) != F.col("cluster_id")).select(
         id_col

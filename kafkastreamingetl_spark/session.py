@@ -75,6 +75,14 @@ def get_spark(
         builder = builder.master(master)
     n_shuffle = shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS
     conf = {
+        # Heap for the single local-mode JVM (driver == all executors).
+        # Spark's default is 1g — at local[32] that is ~30 MB of execution
+        # memory per concurrent task, which OOMs legitimate plans an order
+        # of magnitude below what the host supports (found by the x50
+        # scale-stress: shingle aggregation over 250k docs). Static conf:
+        # only effective when THIS call launches the JVM; a caller-provided
+        # session keeps its own sizing.
+        "spark.driver.memory": os.getenv("SPARK_GRAFT_DRIVER_MEM", "16g"),
         # shuffle / parallelism (reference spark/app.py:17-18)
         "spark.sql.shuffle.partitions": str(n_shuffle),
         "spark.default.parallelism": str(n_shuffle),

@@ -229,3 +229,38 @@ def test_embedding_covariance_symmetric_positive_diagonal(spark):
         assert cells[(i, i)] > 0  # variances
         for j in range(1, 7):
             assert abs(cells[(i, j)] - cells[(j, i)]) < 1e-9  # symmetry
+
+
+def test_neardup_blocking_width_dial(spark):
+    """The near-dup blocking width (n_planes) is the scale dial found by
+    tools/scale_stress.py: widening the signature must (a) extend, never
+    rewrite, the default plane set, (b) keep true near-dups (Hamming-0 at
+    any width), and (c) monotonically shrink the admitted candidate set."""
+    import random
+
+    from kafkastreamingetl_spark.operators import similarity as sim
+
+    assert sim.planes_for(14)[:8] == tuple(sim.ANN_PLANES)
+    assert sim.planes_for(8) is sim.ANN_PLANES
+
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.uniform(-0.3, 0.3) for _ in range(64)]) for i in range(200)
+    ]
+    rows.append((1000, list(rows[7][1])))  # exact dup of vec 7
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_admitted = {}
+    for planes in (8, 14):
+        got = {
+            (r.vec_a, r.vec_b)
+            for r in sim.embedding_neardup_pairs(
+                emb, min_cos=0.999, n_planes=planes
+            ).collect()
+        }
+        assert (7, 1000) in got, planes
+        # admitted-candidate proxy: all pairs at min_cos=-1 (no verify cut)
+        n_admitted[planes] = sim.embedding_neardup_pairs(
+            emb, min_cos=-1.0, n_planes=planes
+        ).count()
+    assert n_admitted[14] <= n_admitted[8]
