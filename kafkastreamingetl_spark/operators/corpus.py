@@ -808,6 +808,104 @@ def sql_vocab_top_tokens(
 
 
 # ---------------------------------------------------------------------------
+# out-of-vocabulary rate: per-document token coverage against a corpus vocab
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_TOP = 256
+
+
+def doc_oov_rate(
+    df: DataFrame,
+    *,
+    top: int = OOV_VOCAB_TOP,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_tokens, n_oov, oov_rate): the fraction of each
+    document's token INSTANCES that fall outside the corpus's top-``top``
+    vocabulary — the coverage/quality signal tokenizer and mixing
+    pipelines read (a high-OOV document is noise, another script, or
+    exactly the rare-domain text a mixture may want to upweight; either
+    way it needs the flag).
+
+    The vocabulary is derived in the same query (top-``top`` by total
+    occurrences, lexical tie-break — the deterministic cut
+    :func:`vocab_top_tokens` uses), so the report is self-contained and
+    reproducible from the corpus alone. Shape: the vocab is a
+    ``Sort+Limit`` (TakeOrderedAndProject) over the token aggregate and
+    rides into the instance-level pass as a BROADCAST left join — the
+    corpus's token stream shuffles once (per-doc count agg), never per
+    vocab entry. Null-text documents have no tokens and no row.
+    """
+    from .text import tokens
+
+    t = df.filter(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(F.col(text_col))).alias("token"),
+    )
+    counts = t.groupBy("token").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    vocab = (
+        counts.orderBy(
+            F.col("n_occurrences").desc_nulls_last(),
+            F.col("token").asc_nulls_first(),
+        )
+        .limit(top)
+        .select("token", F.lit(1).alias("_in_vocab"))
+    )
+    return (
+        t.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+
+
+def sql_doc_oov_rate(
+    table: str = "documents",
+    *,
+    top: int = OOV_VOCAB_TOP,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH t AS (
+        SELECT doc_id, unnest({sql_tokens(text_col)}) AS token
+        FROM {table} WHERE {text_col} IS NOT NULL
+    ),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM t GROUP BY 1
+    ),
+    vocab AS (
+        SELECT token FROM c
+        ORDER BY n_occurrences DESC NULLS LAST, token ASC NULLS FIRST
+        LIMIT {top}
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM t LEFT JOIN vocab v USING (token)
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
 # boilerplate stripping: remove hot-n-gram spans from documents
 # ---------------------------------------------------------------------------
 

@@ -1307,3 +1307,87 @@ def sql_source_overlap(
     JOIN sizes sa ON sa.src = source_a
     JOIN sizes sb ON sb.src = source_b
     """
+
+
+# ---------------------------------------------------------------------------
+# per-document n-gram novelty (corpus-order contribution scoring)
+# ---------------------------------------------------------------------------
+
+
+def doc_ngram_novelty(
+    documents: DataFrame,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_shingles, n_novel, novelty): how much NEW content each
+    document contributes in corpus order — the fraction of its distinct
+    word shingles whose first occurrence (minimum doc id over the corpus)
+    is this document. A curation signal between dedup and mixing: a
+    low-novelty document is mostly restatement of earlier corpus content
+    even when no single earlier document is a near-duplicate of it
+    (boilerplate mosaics defeat pairwise dedup; they do not defeat this).
+
+    Shape: per-doc distinct shingle hashes (``text.shingle_hashes``, the
+    same features the near-dup pipeline rides) explode to (h, doc) pairs;
+    first occurrence is one map-side-combinable min per hash; one
+    hash-keyed equi-join back and a per-doc count/sum. Everything shuffled
+    is (60-bit hash, id) pairs — never text — and volume is linear in
+    total distinct shingles, the posting-list shape. Documents too short
+    to shingle (< n tokens) have no feature set and no row, the
+    ``minhash_signatures`` contract.
+    """
+    hs = documents.filter(F.col(content_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_hashes(F.col(content_col))).alias("h"),
+    )
+    first = hs.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        hs.join(first, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_novel"),
+        )
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_shingles",
+            "n_novel",
+            (
+                F.col("n_novel").cast("double")
+                / F.col("n_shingles").cast("double")
+            ).alias("novelty"),
+        )
+    )
+
+
+def sql_doc_ngram_novelty(
+    table: str = "documents", content_col: str = "text"
+) -> str:
+    return f"""
+    WITH hs AS (
+        SELECT doc_id, unnest(hs) AS h
+        FROM (
+            SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs
+            FROM (
+                SELECT doc_id, {sql_tokens(content_col)} AS w
+                FROM {table} WHERE {content_col} IS NOT NULL
+            )
+        )
+    ),
+    first AS (
+        SELECT h, MIN(doc_id) AS first_doc FROM hs GROUP BY 1
+    )
+    SELECT hs.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN first_doc = hs.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN first_doc = hs.doc_id THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM hs JOIN first USING (h)
+    GROUP BY 1
+    """

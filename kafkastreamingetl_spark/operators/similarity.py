@@ -2142,3 +2142,121 @@ def sql_embedding_covariance(
            sxy / n - (sx / n) * (sy / n) AS cov
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# per-label centroid drift between two corpus snapshots
+# ---------------------------------------------------------------------------
+
+
+def embedding_label_drift(
+    first: DataFrame,
+    second: DataFrame,
+    *,
+    n_dims: int = ANN_DIM,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """(label, dim, n_first, n_second, c_first, c_second, shift): per-label
+    per-dimension centroid displacement between two corpus snapshots — the
+    semantic-drift monitor a training pipeline runs across ingestion
+    batches (a label whose centroid moves is a class whose meaning, or
+    whose upstream sampling, changed). Pairs with the events-side
+    ``quality.value_drift_profile`` exactly as the embedding near-dup tier
+    pairs with text dedup.
+
+    The report stays PER-DIMENSION deliberately: each output value is a
+    deterministic expression of one decimal-exact sum (``dsum``) and one
+    count, so the differential is bit-exact — a cross-dimension L2 fold
+    would sum 64 doubles in engine-dependent order. Consumers fold
+    ``shift`` client-side if they want a scalar (64 rows/label), or take
+    ``MAX(ABS(shift))`` which IS order-safe.
+
+    Shape: each snapshot fans out to (label, dim, x) cells inside the row
+    (no join), one map-side-combined aggregate per (label, dim) — output
+    is |labels|×dims rows regardless of corpus size. At 100 TB the same
+    statistic comes from per-partition numpy partials via ``mapInPandas``,
+    the ``embedding_covariance`` note verbatim.
+    """
+    def cells(df: DataFrame, tag: int) -> DataFrame:
+        p = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(n_dims)),
+                lambda i: F.struct(
+                    i.alias("dim"),
+                    F.element_at(F.col(vec_col), i).cast("double").alias("x"),
+                ),
+            )
+        )
+        return (
+            df.filter(F.col(label_col).isNotNull() & F.col(vec_col).isNotNull())
+            .select(F.col(label_col).alias("label"), p.alias("p"))
+            .select(
+                "label",
+                F.col("p.dim").alias("dim"),
+                F.col("p.x").alias("x"),
+                F.lit(tag).alias("_half"),
+            )
+        )
+
+    u = cells(first, 0).unionByName(cells(second, 1))
+    agg = u.groupBy("label", "dim").agg(
+        F.count(F.when(F.col("_half") == 0, 1)).alias("n_first"),
+        F.count(F.when(F.col("_half") == 1, 1)).alias("n_second"),
+        dsum(F.when(F.col("_half") == 0, F.col("x")), "s_first"),
+        dsum(F.when(F.col("_half") == 1, F.col("x")), "s_second"),
+    )
+    c_first = F.when(
+        F.col("n_first") > 0, F.col("s_first") / F.col("n_first")
+    )
+    c_second = F.when(
+        F.col("n_second") > 0, F.col("s_second") / F.col("n_second")
+    )
+    return agg.select(
+        "label",
+        F.col("dim").cast("int").alias("dim"),
+        "n_first",
+        "n_second",
+        c_first.alias("c_first"),
+        c_second.alias("c_second"),
+        (c_second - c_first).alias("shift"),
+    )
+
+
+def sql_embedding_label_drift(
+    first_pred: str,
+    second_pred: str,
+    table: str = "embeddings",
+    *,
+    n_dims: int = ANN_DIM,
+) -> str:
+    """DuckDB twin of :func:`embedding_label_drift` where the snapshots are
+    predicate-split slices of one table (the registered query's parity
+    split; real deployments pass two snapshot scans)."""
+    from ..functions import sql_dsum
+
+    return f"""
+    WITH cells AS (
+        SELECT label, d.dim,
+               CAST(embedding[d.dim] AS DOUBLE) AS x,
+               CASE WHEN {second_pred} THEN 1 ELSE 0 END AS half
+        FROM {table}
+        CROSS JOIN (SELECT unnest(range(1, {n_dims + 1})) AS dim) d
+        WHERE label IS NOT NULL AND embedding IS NOT NULL
+          AND (({first_pred}) OR ({second_pred}))
+    ),
+    agg AS (
+        SELECT label, dim,
+               CAST(COUNT(*) FILTER (half = 0) AS BIGINT) AS n_first,
+               CAST(COUNT(*) FILTER (half = 1) AS BIGINT) AS n_second,
+               {sql_dsum('CASE WHEN half = 0 THEN x END')} AS s_first,
+               {sql_dsum('CASE WHEN half = 1 THEN x END')} AS s_second
+        FROM cells GROUP BY 1, 2
+    )
+    SELECT label, CAST(dim AS INT) AS dim, n_first, n_second,
+           CASE WHEN n_first > 0 THEN s_first / n_first END AS c_first,
+           CASE WHEN n_second > 0 THEN s_second / n_second END AS c_second,
+           (CASE WHEN n_second > 0 THEN s_second / n_second END)
+             - (CASE WHEN n_first > 0 THEN s_first / n_first END) AS shift
+    FROM agg
+    """

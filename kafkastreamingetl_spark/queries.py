@@ -3366,3 +3366,45 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     the kept set deterministic on both engines."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_LATERAL_TOP_ORDERS)
+
+
+# ===========================================================================
+# round 9: corpus novelty scoring, OOV coverage, embedding label drift
+# ===========================================================================
+
+
+@query("doc_ngram_novelty", oracle=dedup_ops.sql_doc_ngram_novelty())
+def q_doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document corpus-order novelty: the fraction of a doc's distinct
+    word shingles first seen in THIS doc — catches boilerplate mosaics
+    that restate earlier corpus content without any single near-duplicate
+    (operators/dedup.py doc_ngram_novelty)."""
+    return dedup_ops.doc_ngram_novelty(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_oov_rate", oracle=corpus_ops.sql_doc_oov_rate())
+def q_doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary token-instance rate against the
+    corpus's own top-256 vocabulary (deterministic frequency/lexical cut)
+    — the coverage signal tokenizer and mixing pipelines read
+    (operators/corpus.py doc_oov_rate)."""
+    return corpus_ops.doc_oov_rate(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "embedding_label_drift",
+    oracle=sim_ops.sql_embedding_label_drift(
+        "vec_id % 2 = 0", "vec_id % 2 = 1"
+    ),
+)
+def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label per-dimension centroid displacement between two corpus
+    snapshots (registered over the vec_id-parity split of the embeddings
+    table; real deployments pass two snapshot scans) — the semantic-drift
+    monitor pairing with the events-side value_drift_profile
+    (operators/similarity.py embedding_label_drift)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.embedding_label_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )

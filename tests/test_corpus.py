@@ -403,3 +403,26 @@ def test_token_posting_lists_tie_break_is_token_text(spark):
     rows = token_posting_lists(docs, top_tokens=1, cap=5).collect()
     # y and z tie at df=2: 'y' wins the limit by token-text ascending
     assert [r.token for r in rows] == ["y"]
+
+
+def test_doc_oov_rate_hand_computed(spark):
+    """Vocabulary = top-2 tokens by occurrences (lexical tie-break); OOV
+    counts token INSTANCES outside it."""
+    from kafkastreamingetl_spark.operators.corpus import doc_oov_rate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),   # the x3, cat x1
+            (2, "the cat dog"),       # dog is OOV (vocab = the, cat)
+            (3, "emu emu"),           # both instances OOV
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_oov_rate(docs, top=2).collect()}
+    # counts: the=4, cat=2, dog=1, emu=2 -> top2 = the(4), cat(2)
+    # (emu ties cat at 2 but 'cat' < 'emu' lexically)
+    assert got[1].n_oov == 0 and got[1].oov_rate == 0.0
+    assert got[2].n_tokens == 3 and got[2].n_oov == 1
+    assert got[3].n_oov == 2 and got[3].oov_rate == 1.0
+    assert 4 not in got

@@ -264,3 +264,32 @@ def test_neardup_blocking_width_dial(spark):
             emb, min_cos=-1.0, n_planes=planes
         ).count()
     assert n_admitted[14] <= n_admitted[8]
+
+
+def test_embedding_label_drift_hand_computed(spark):
+    """Two 2-dim 'snapshots' of one label: centroids and shift are exact
+    decimal means; a label present in only one snapshot reports NULL for
+    the missing side."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        embedding_label_drift,
+    )
+
+    a = spark.createDataFrame(
+        [(1, [1.0, 2.0], 7), (2, [3.0, 4.0], 7)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    b = spark.createDataFrame(
+        [(3, [5.0, 6.0], 7), (4, [7.0, 8.0], 7), (5, [1.0, 1.0], 9)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {
+        (r.label, r.dim): r
+        for r in embedding_label_drift(a, b, n_dims=2).collect()
+    }
+    r = got[(7, 1)]
+    assert (r.n_first, r.n_second) == (2, 2)
+    assert (r.c_first, r.c_second, r.shift) == (2.0, 6.0, 4.0)
+    assert got[(7, 2)].shift == 4.0
+    r9 = got[(9, 1)]
+    assert r9.n_first == 0 and r9.c_first is None and r9.shift is None
+    assert r9.c_second == 1.0

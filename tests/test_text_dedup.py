@@ -382,3 +382,23 @@ def test_source_overlap_shingle_jaccard(spark):
     r = rows[("A", "B")]
     assert (r.n_a, r.n_b, r.n_shared) == (2, 2, 1)
     assert r.jaccard == 1 / 3
+
+
+def test_doc_ngram_novelty_hand_computed(spark):
+    """doc 1: all shingles novel (first in corpus order). doc 2: a verbatim
+    copy — zero novelty. doc 3: half restatement of doc 1, half new."""
+    from kafkastreamingetl_spark.operators.dedup import doc_ngram_novelty
+
+    d1 = "a b c d"            # shingles: (a b c), (b c d)
+    d3 = "a b c x y z"        # (a b c) seen in d1; (b c x),(c x y),(x y z) new
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d1), (3, d3), (4, "too short")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_ngram_novelty(docs).collect()}
+    assert got[1].n_shingles == 2 and got[1].n_novel == 2
+    assert got[1].novelty == 1.0
+    assert got[2].n_shingles == 2 and got[2].n_novel == 0
+    assert got[3].n_shingles == 4 and got[3].n_novel == 3
+    assert got[3].novelty == 0.75
+    assert 4 not in got  # < 3 tokens: no feature set, no row
