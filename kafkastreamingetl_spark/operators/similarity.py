@@ -323,6 +323,7 @@ def embedding_cross_contamination(
     min_cos: float = EMB_NEARDUP_MIN_COS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = ANN_N_PLANES,
 ) -> DataFrame:
     """(train_vec, eval_vec, cos): SEMANTIC benchmark decontamination —
     training vectors whose embeddings near-duplicate an evaluation set.
@@ -337,20 +338,27 @@ def embedding_cross_contamination(
     only. Cross-set by construction — no self-pairs, and each qualifying
     (train, eval) pair matches exactly one probe row (a vector's 9 probes
     are distinct), so no post-join dedup.
+
+    ``n_planes`` is the same blocking-width dial as
+    :func:`embedding_neardup_pairs` — candidate volume here is
+    n_train × |eval|/2^planes per probe, so widening the signature keeps
+    the verify volume flat as the TRAIN corpus grows.
     """
+    planes = planes_for(n_planes)
     t = ensure_parallelism(train).select(
         F.col(id_col).alias("train_vec"),
         F.col(vec_col).alias("_vt"),
-        bucket_signature(F.col(vec_col)).alias("_bucket"),
+        bucket_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     probe_arr = F.array(
-        F.col("_b0"), *[_flip_bit(F.col("_b0"), i) for i in range(ANN_N_PLANES)]
+        F.col("_b0"),
+        *[_flip_bit(F.col("_b0"), i, n_planes) for i in range(n_planes)],
     )
     e = (
         eval_df.select(
             F.col(id_col).alias("eval_vec"),
             F.col(vec_col).alias("_ve"),
-            bucket_signature(F.col(vec_col)).alias("_b0"),
+            bucket_signature(F.col(vec_col), planes).alias("_b0"),
         )
         .select("eval_vec", "_ve", F.explode(probe_arr).alias("_bucket"))
     )
