@@ -102,6 +102,11 @@ STRESS_QUERIES = [
     "orders_pending_backlog",
     "semantic_eval_contamination",
     "recursive_daily_series",
+    # round-9 additions: first-occurrence scan volume (novelty), vocab-cut
+    # stability at 10× the token stream (OOV), per-label cell occupancy
+    "doc_ngram_novelty",
+    "doc_oov_rate",
+    "embedding_label_drift",
 ]
 
 pytestmark = pytest.mark.slow
