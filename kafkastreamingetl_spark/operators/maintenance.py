@@ -183,3 +183,67 @@ def expire_partitions(
                 os.path.join(path, f"{partition_col}={r[partition_col]}")
             )
     return report
+
+
+def vacuum_tombstones(
+    spark: SparkSession,
+    path: str,
+    *,
+    partition_col: str,
+    delete_col: str,
+    order_col: str,
+    older_than: str,
+    dry_run: bool = True,
+) -> DataFrame:
+    """Tombstone garbage collection for :func:`..streaming.upsert_parquet_sink`
+    tables — the retention step that completes the soft-delete contract
+    (the sink's docstring: "real lake formats ... garbage-collect
+    tombstones past a retention window").
+
+    A tombstone must OUTLIVE the pipeline's maximum lateness: it exists to
+    defeat late stale updates (a replayed old version must lose the
+    newest-wins contest to it). ``older_than`` is that horizon, compared
+    against the tombstone's ``order_col`` version — vacuuming a tombstone
+    younger than the latest possible in-flight update lets that update
+    resurrect the deleted key. Choosing the horizon is the caller's
+    watermark decision; this function only enforces the mechanics.
+
+    Mechanics: one scan finds the hive partitions holding qualifying
+    tombstones; ONLY those partitions are rewritten (dynamic partition
+    overwrite) with the qualifying tombstone rows filtered out — live
+    rows and younger tombstones are untouched, and partitions with
+    nothing to vacuum keep their files byte-identical. ``dry_run=True``
+    (default) reports without rewriting — the same two-phase
+    report→approve→delete contract as :func:`expire_partitions`.
+
+    Returns (partition value, n_vacuumed) for every partition holding
+    qualifying tombstones. At scale the rewrite cost is proportional to
+    the touched partitions (the tombstone blast radius), never the table.
+    """
+    from ..session import ensure_runtime_confs
+
+    df = spark.read.parquet(path)
+    dead = F.col(delete_col) & (F.col(order_col) < F.lit(older_than))
+    report = (
+        df.filter(dead)
+        .groupBy(partition_col)
+        .agg(F.count(F.lit(1)).alias("n_vacuumed"))
+    )
+    if dry_run:
+        return report
+    ensure_runtime_confs(spark)  # dynamic partition overwrite
+    rows = report.collect()
+    touched = [r[partition_col] for r in rows]
+    non_null = [v for v in touched if v is not None]
+    pred = (
+        F.col(partition_col).isin(non_null) if non_null else F.lit(False)
+    )
+    if any(v is None for v in touched):
+        pred = pred | F.col(partition_col).isNull()
+    keep = df.filter(pred).filter(~dead)
+    # pin the filtered survivors before overwriting the files they read
+    # (same read-overwrite discipline as the upsert sink's merge step)
+    keep.localCheckpoint(eager=True).write.mode("overwrite").partitionBy(
+        partition_col
+    ).parquet(path)
+    return spark.createDataFrame(rows, report.schema)

@@ -599,3 +599,133 @@ def kafka_round_trip_smoke(
         "replayed": replayed,
         "ok": consumed == n_src and replayed == n_src,
     }
+
+
+def semantic_flag_sink(
+    df: DataFrame,
+    out_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_planes: int | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """Streaming SEMANTIC near-duplicate flagging — the embedding-space
+    twin of :func:`neardup_flag_sink`, completing the batch/streaming
+    symmetry for the embedding dedup tier exactly as that sink does for
+    the MinHash tier. Per micro-batch, each vector's hyperplane signature
+    plus its Hamming-1 probe flips query a persisted signature index of
+    everything seen in earlier batches; a shared bucket means "probable
+    semantic near-dup of an earlier vector". Within-batch candidates come
+    from the same probe self-join the batch operator
+    (``similarity.embedding_neardup_pairs``) uses. Report row:
+
+        (vec_id, n_index_buckets, n_batch_partners, is_neardup, batch_id)
+
+    Flagging, not dropping: bucket collisions are probabilistic, so the
+    streaming tier marks and a downstream batch verify (exact cosine over
+    the flagged minority, with the vectors re-joined from the corpus)
+    decides — the candidates→verify split stretched across the
+    stream/batch boundary, same as the text twin.
+
+    State discipline is the text twin's verbatim: zero executor state,
+    horizon = life of the index, ``batch_id < current`` probe exclusion
+    (a retried batch never self-suppresses), per-batch-id report
+    partition overwrite (replay-idempotent), duplicate index rows
+    neutralized by the distinct membership probe. The index stores only
+    (signature, batch_id) — never vectors. ``n_planes`` is the same
+    blocking-width dial as the batch operator (defaults to the session's
+    batch default; scale it ~log2(corpus) — ``similarity.planes_for``)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .operators import similarity as sim
+    from .session import ensure_runtime_confs
+
+    width = sim.ANN_N_PLANES if n_planes is None else n_planes
+    planes = sim.planes_for(width)
+
+    def flag_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ensure_runtime_confs(spark)  # dynamic partition overwrite
+        base = batch.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col),
+            sim.bucket_signature(F.col(vec_col), planes).alias("_sig"),
+        )
+        probe_arr = F.array(
+            F.col("_sig"),
+            *[
+                sim._flip_bit(F.col("_sig"), i, width)
+                for i in range(width)
+            ],
+        )
+        probes = base.select(
+            F.col(id_col), F.explode(probe_arr).alias("_bucket")
+        ).localCheckpoint(eager=True)
+        try:
+            seen = (
+                spark.read.parquet(index_path)
+                .where(F.col("batch_id") < batch_id)
+                .select(F.col("_sig").alias("_bucket"))
+                .distinct()
+            )
+            idx_hits = (
+                probes.join(seen, "_bucket")
+                .groupBy(id_col)
+                .agg(F.count_distinct("_bucket").alias("n_index_buckets"))
+            )
+        except AnalysisException:  # first batch: no index yet
+            idx_hits = (
+                probes.select(id_col)
+                .limit(0)
+                .withColumn("n_index_buckets", F.lit(0).cast("bigint"))
+            )
+        a = probes.select(F.col(id_col).alias("_a"), "_bucket")
+        b = base.select(F.col(id_col), F.col("_sig").alias("_bucket"))
+        batch_hits = (
+            a.join(b, "_bucket")
+            .where(F.col("_a") < F.col(id_col))
+            .groupBy(id_col)
+            .agg(F.count_distinct("_a").alias("n_batch_partners"))
+        )
+        report = (
+            base.select(id_col)
+            .join(idx_hits, id_col, "left")
+            .join(batch_hits, id_col, "left")
+            .select(
+                id_col,
+                F.coalesce("n_index_buckets", F.lit(0)).alias(
+                    "n_index_buckets"
+                ),
+                F.coalesce("n_batch_partners", F.lit(0)).alias(
+                    "n_batch_partners"
+                ),
+            )
+            .withColumn(
+                "is_neardup",
+                (F.col("n_index_buckets") > 0)
+                | (F.col("n_batch_partners") > 0),
+            )
+            .withColumn("batch_id", F.lit(batch_id))
+        )
+        report.write.mode("overwrite").partitionBy("batch_id").parquet(out_path)
+        (
+            base.select("_sig")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .parquet(index_path)
+        )
+
+    return foreach_batch_sink(
+        df,
+        flag_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )

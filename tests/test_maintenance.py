@@ -185,3 +185,53 @@ def test_expire_partitions_refuses_non_iso_delete(spark, tmp_path):
             spark, path, "event_date", keep_from="2024-01-02", dry_run=False
         )
     assert spark.read.parquet(path).count() == 30
+
+
+def test_vacuum_tombstones_two_phase(spark, tmp_path):
+    """Tombstone GC over an upsert-sink-shaped table: dry run reports
+    without touching files; the delete leg removes ONLY tombstones older
+    than the horizon, leaves live rows and younger tombstones, and keeps
+    untouched partitions' files byte-identical."""
+    import os
+
+    from kafkastreamingetl_spark.operators.maintenance import (
+        vacuum_tombstones,
+    )
+
+    table = str(tmp_path / "table")
+    rows = spark.createDataFrame(
+        [
+            # d=2024-01-01: one old tombstone + one live row
+            (1, "2024-01-01 10:00:00", 1.0, True, "2024-01-01"),
+            (2, "2024-01-01 11:00:00", 2.0, False, "2024-01-01"),
+            # d=2024-01-02: a YOUNG tombstone (inside horizon) survives
+            (3, "2024-01-02 10:00:00", 3.0, True, "2024-01-02"),
+            # d=2024-01-03: live only — partition must not be rewritten
+            (4, "2024-01-03 10:00:00", 4.0, False, "2024-01-03"),
+        ],
+        "event_id long, ts string, value double, deleted boolean, d string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    rows.write.partitionBy("d").parquet(table)
+    untouched_dir = os.path.join(table, "d=2024-01-03")
+    before = sorted(os.listdir(untouched_dir))
+
+    kw = dict(
+        partition_col="d",
+        delete_col="deleted",
+        order_col="ts",
+        older_than="2024-01-02 00:00:00",
+    )
+    # partition values come back type-inferred (DATE here)
+    report = {
+        str(r.d): r.n_vacuumed
+        for r in vacuum_tombstones(spark, table, **kw).collect()
+    }
+    assert report == {"2024-01-01": 1}
+    # dry run: nothing changed
+    assert spark.read.parquet(table).count() == 4
+
+    vacuum_tombstones(spark, table, dry_run=False, **kw)
+    after = {r.event_id: r for r in spark.read.parquet(table).collect()}
+    assert set(after) == {2, 3, 4}          # old tombstone physically gone
+    assert after[3].deleted is True          # young tombstone retained
+    assert sorted(os.listdir(untouched_dir)) == before  # untouched files
