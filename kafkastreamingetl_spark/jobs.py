@@ -11,6 +11,7 @@ op — can run them without writing Python:
     python -m kafkastreamingetl_spark.jobs corpus-refresh --sf-dir DIR --out PATH
     python -m kafkastreamingetl_spark.jobs compact --path PATH --partition-col COL
     python -m kafkastreamingetl_spark.jobs expire --path PATH --partition-col COL --keep-from VALUE [--delete]
+    python -m kafkastreamingetl_spark.jobs vacuum-tombstones --path PATH --partition-col COL --older-than TS [--delete]
     python -m kafkastreamingetl_spark.jobs kafka-smoke [--bootstrap HOST:9092] [--n-events N]
 
 Each command prints ONE JSON result line on stdout (row counts / files
@@ -85,6 +86,30 @@ def cmd_expire(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_vacuum_tombstones(args: argparse.Namespace) -> dict:
+    from .operators.maintenance import vacuum_tombstones
+
+    spark = _spark("job_vacuum_tombstones")
+    report = vacuum_tombstones(
+        spark,
+        args.path,
+        partition_col=args.partition_col,
+        delete_col=args.delete_col,
+        order_col=args.order_col,
+        older_than=args.older_than,
+        dry_run=not args.delete,
+    )
+    rows = report.collect()
+    return {
+        "job": "vacuum-tombstones",
+        "dry_run": not args.delete,
+        "partitions": {
+            str(r[args.partition_col]): r["n_vacuumed"] for r in rows
+        },
+        "n_vacuumed": sum(r["n_vacuumed"] for r in rows),
+    }
+
+
 def cmd_kafka_smoke(args: argparse.Namespace) -> dict:
     """The Kafka runtime leg (S1/S8/T7) as a one-command probe. With no
     broker configured it SKIPS CLEANLY (exit 0, status=skipped) — the gap
@@ -141,6 +166,19 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--keep-from", required=True)
     e.add_argument("--delete", action="store_true")
     e.set_defaults(fn=cmd_expire)
+
+    v = sub.add_parser(
+        "vacuum-tombstones",
+        help="upsert-table tombstone GC past the lateness horizon "
+        "(dry run unless --delete)",
+    )
+    v.add_argument("--path", required=True)
+    v.add_argument("--partition-col", required=True)
+    v.add_argument("--delete-col", default="deleted")
+    v.add_argument("--order-col", default="ts")
+    v.add_argument("--older-than", required=True)
+    v.add_argument("--delete", action="store_true")
+    v.set_defaults(fn=cmd_vacuum_tombstones)
 
     s = sub.add_parser(
         "kafka-smoke",

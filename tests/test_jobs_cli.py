@@ -64,3 +64,29 @@ def test_kafka_smoke_skips_cleanly_without_broker(monkeypatch, capsys):
     assert rc == 0
     assert out["status"] == "skipped"
     assert "spark-sql-kafka" in out["reason"]
+
+
+def test_vacuum_tombstones_job_cli(capsys, spark, tmp_path):
+    path = str(tmp_path / "table")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", True, "2024-01-01"),
+            (2, "2024-01-01 11:00:00", False, "2024-01-01"),
+        ],
+        "event_id long, ts string, deleted boolean, d string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "deleted", "d"
+    ).write.partitionBy("d").parquet(path)
+    args = [
+        "vacuum-tombstones",
+        "--path", path,
+        "--partition-col", "d",
+        "--older-than", "2024-02-01 00:00:00",
+    ]
+    assert main(args) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] is True and out["n_vacuumed"] == 1
+    assert main([*args, "--delete"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["dry_run"] is False and out["n_vacuumed"] == 1
+    assert spark.read.parquet(path).count() == 1
