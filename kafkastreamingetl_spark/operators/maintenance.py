@@ -222,7 +222,9 @@ def vacuum_tombstones(
     """
     from ..session import ensure_runtime_confs
 
-    df = spark.read.parquet(path)
+    # mergeSchema: upsert tables can carry evolved partition schemas; the
+    # rewrite must not lose columns to single-footer resolution
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     dead = F.col(delete_col) & (F.col(order_col) < F.lit(older_than))
     report = (
         df.filter(dead)

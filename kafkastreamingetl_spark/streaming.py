@@ -229,8 +229,18 @@ def upsert_parquet_sink(
             pred = pred | F.col(partition_col).isNull()
         merged = batch
         try:
-            existing = spark.read.parquet(path).where(pred)
-            merged = batch.unionByName(existing)
+            # mergeSchema: partitions written before a mid-life column
+            # addition carry the old footer — a plain read would resolve
+            # to ONE footer's schema and either drop the new column or
+            # fail the union; allowMissingColumns fills the gap with
+            # nulls in whichever side lacks a column (evolution in either
+            # direction), and the winner rewrite carries the union schema
+            existing = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(path)
+                .where(pred)
+            )
+            merged = batch.unionByName(existing, allowMissingColumns=True)
         except AnalysisException:
             pass  # first batch: nothing to merge
         lead = [F.desc_nulls_last(order_col)]
@@ -261,7 +271,9 @@ def read_upserted(spark, path: str, *, delete_col: str | None = None) -> DataFra
     resurrect deleted keys."""
     from pyspark.sql import functions as F
 
-    df = spark.read.parquet(path)
+    # mergeSchema: see merge_batch — evolved partitions must not lose
+    # columns to single-footer schema resolution
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     if delete_col is not None:
         df = df.filter(~F.coalesce(F.col(delete_col), F.lit(False)))
     return df

@@ -261,3 +261,59 @@ def test_streaming_upsert_matches_latest_user_state_batch(spark, tmp_path):
         ).filter(F.col("user_id") < 30).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_upsert_survives_mid_stream_schema_evolution(spark, tmp_path):
+    """A column added to the stream mid-life must not break the merge or
+    silently vanish: the self-read merges partition schemas, the union
+    null-fills the missing side, and the merged table carries the evolved
+    schema with NULLs on pre-evolution rows."""
+    from kafkastreamingetl_spark.streaming import read_upserted
+
+    table = str(tmp_path / "table")
+
+    def run(batch_dir, schema):
+        stream = spark.readStream.schema(schema).parquet(batch_dir)
+        q = upsert_parquet_sink(
+            stream,
+            table,
+            str(tmp_path / f"ckpt_{os.path.basename(batch_dir)}"),
+            key_cols=["event_id"],
+            order_col="ts",
+            partition_col="event_date",
+            available_now=True,
+        )
+        run_available_now([q])
+
+    v1 = "event_id long, ts timestamp, value double, event_date date"
+    b1 = str(tmp_path / "b1")
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0)],
+        "event_id long, ts string, value double",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "value",
+        "cast(ts as date) event_date",
+    ).write.parquet(b1)
+    run(b1, v1)
+
+    # schema v2 adds source; same partition as batch 1 (forces the merge
+    # of old-footer rows with new-schema rows) plus a correction to key 1
+    v2 = v1 + ", source string"
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 12:00:00", 1.5, "api"),
+            (2, "2024-01-01 11:00:00", 2.0, "web"),
+        ],
+        "event_id long, ts string, value double, source string",
+    ).selectExpr(
+        "event_id", "cast(ts as timestamp) ts", "value", "source",
+        "cast(ts as date) event_date",
+    ).write.parquet(b2)
+    run(b2, v2)
+
+    live = {r.event_id: r for r in read_upserted(spark, table).collect()}
+    assert set(live) == {1, 2}
+    assert live[1].value == 1.5 and live[1].source == "api"  # correction won
+    assert live[2].source == "web"
+    assert "source" in read_upserted(spark, table).columns
