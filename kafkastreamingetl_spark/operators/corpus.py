@@ -557,6 +557,97 @@ def sql_quality_weighted_sample(
     """
 
 
+# exact-K weighted sampling (the fixed-budget sibling of the Bernoulli
+# sampler above: "give me exactly K docs, quality-weighted")
+WS_SALT = "wsample:v1"
+WS_K = 100
+WS_MICRO = 1_000_000  # sample-key quantization: integer micro-nats
+
+
+def weighted_doc_sample(
+    df: DataFrame,
+    *,
+    k: int = WS_K,
+    salt: str = WS_SALT,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Exactly-``k`` weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis exponential keys): each document draws priority
+    key ``u^(1/w)`` — equivalently, ranks by ``ln(u)/w`` — and the top-k
+    keys are the sample. Inclusion probability is proportional-to-weight
+    without replacement, the estimator mixing pipelines want when the
+    budget is a fixed document COUNT rather than a rate
+    (:func:`quality_weighted_sample` is the Bernoulli/rate sibling;
+    :func:`training_mix_sample` the per-source-rate one).
+
+    The weight is the type-token ratio (repetition penalty, (0, 1]) —
+    swap any positive signal in without touching the machinery. ``u`` is
+    a salted id-hash uniform in (0, 1) (never 0: +1 shift before the
+    divide), so membership is deterministic, re-drawn by changing the
+    salt, and stable under partitioning/growth. Keys quantize to integer
+    micro-nats before ranking (the :func:`doc_lm_score` trick) with
+    doc_id as the total-order tie-break, so both engines pick the
+    identical set. Top-k executes as TakeOrderedAndProject — a k-sized
+    heap per partition then one k-sized merge, no global sort at any
+    scale. Null-text documents never enter the draw.
+    """
+    from .text import tokens
+
+    t = tokens(F.col(text_col))
+    weight = (
+        F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    )
+    u = (
+        (hash60(F.concat(F.lit(salt), F.col(id_col).cast("string"))) % QW_BUCKETS)
+        + 1
+    ).cast("double") / F.lit(float(QW_BUCKETS + 1))
+    key_micro = F.round(F.log(u) / weight * WS_MICRO).cast("bigint")
+    return (
+        df.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.col(source_col).alias("source"),
+            weight.alias("quality_weight"),
+            key_micro.alias("sample_key_micro"),
+        )
+        .orderBy(F.col("sample_key_micro").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+
+
+def sql_weighted_doc_sample(
+    table: str = "documents",
+    *,
+    k: int = WS_K,
+    salt: str = WS_SALT,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`weighted_doc_sample` (same hash, same
+    micro-nat quantization, same tie-break)."""
+    from .text import sql_tokens
+
+    toks = sql_tokens(text_col)
+    h = sql_hash60(f"'{salt}' || CAST(doc_id AS VARCHAR)")
+    return f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CAST(len(list_distinct({toks})) AS DOUBLE)
+                 / CAST(len({toks}) AS DOUBLE) AS quality_weight,
+               CAST(({h}) % {QW_BUCKETS} + 1 AS DOUBLE)
+                 / {float(QW_BUCKETS + 1)} AS u
+        FROM {table} WHERE {text_col} IS NOT NULL
+    )
+    SELECT doc_id, source, quality_weight,
+           CAST(ROUND(ln(u) / quality_weight * {WS_MICRO}) AS BIGINT)
+               AS sample_key_micro
+    FROM t
+    ORDER BY sample_key_micro DESC, doc_id ASC
+    LIMIT {k}
+    """
+
+
 # ---------------------------------------------------------------------------
 # span-level duplication: hot n-grams (boilerplate detection)
 # ---------------------------------------------------------------------------

@@ -28,15 +28,17 @@ north-star extension (BASELINE.json; SURVEY.md §7.1 step 6).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions import ensure_parallelism, hash60, sql_hash60
 from .cleaning import dedup_deterministic
 from .text import (
     SHINGLE_N,
+    gram_strings,
     shingle_hashes,
     simhash_from_hashes,
+    sql_gram_strings_over_w,
     sql_shingle_hashes_over_w,
     sql_tokens,
 )
@@ -1390,4 +1392,208 @@ def sql_doc_ngram_novelty(
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS novelty
     FROM hs JOIN first USING (h)
     GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring overlap: shared consecutive-token runs between documents
+# ---------------------------------------------------------------------------
+
+SUBSTRING_GRAM_N = 6  # positioned gram width (tokens); a run of consecutive
+#                       matched grams of width n covers run+n-1 shared tokens
+SUBSTRING_MIN_RUN = 20  # report pairs sharing >= this many consecutive tokens
+SUBSTRING_MAX_GRAM_DOCS = 50  # hot-gram cap: a gram in more docs than this is
+#                               boilerplate, not copying — drop before the join
+
+
+# Memo of persisted positioned-gram DataFrames, same contract as
+# _FEATS_CACHE (shingle_features): one cached frame per (session, input
+# plan, gram width, columns), LRU-bounded, re-persists after clearCache.
+_GRAMS_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_GRAMS_CACHE_MAX = 8
+
+
+def positioned_gram_features(
+    df: DataFrame,
+    *,
+    gram_n: int = SUBSTRING_GRAM_N,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, pos, gh): 1-based positioned word-``gram_n``-gram 60-bit
+    hashes, persisted (H3 cache, the :func:`shingle_features` contract):
+    :func:`substring_run_pairs` consumes this frame three times (the
+    document-frequency cap and both self-join sides), and the persist is
+    the materialization barrier that tokenizes + hashes each document
+    once instead of three times. What's cached is (id, pos, hash) —
+    never text."""
+    from pyspark import StorageLevel
+
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        gram_n,
+        content_col,
+        id_col,
+    )
+    g = _GRAMS_CACHE.get(key)
+    if g is None:
+        g = (
+            ensure_parallelism(df.filter(F.col(content_col).isNotNull()))
+            .select(
+                F.col(id_col).alias("doc_id"),
+                F.posexplode(
+                    gram_strings(F.col(content_col), gram_n)
+                ).alias("pos0", "gram"),
+            )
+            .select(
+                "doc_id",
+                (F.col("pos0") + 1).cast("bigint").alias("pos"),
+                hash60(F.col("gram")).alias("gh"),
+            )
+        )
+        _GRAMS_CACHE[key] = g
+        while len(_GRAMS_CACHE) > _GRAMS_CACHE_MAX:
+            _, evicted = _GRAMS_CACHE.popitem(last=False)
+            evicted.unpersist()
+    else:
+        _GRAMS_CACHE.move_to_end(key)
+    sl = g.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        g.persist(StorageLevel.MEMORY_AND_DISK)
+    return g
+
+
+def substring_run_pairs(
+    documents: DataFrame,
+    *,
+    gram_n: int = SUBSTRING_GRAM_N,
+    min_run_tokens: int = SUBSTRING_MIN_RUN,
+    max_gram_docs: int = SUBSTRING_MAX_GRAM_DOCS,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_a, doc_b, n_matched_grams, longest_run_tokens): document pairs
+    sharing a verbatim run of at least ``min_run_tokens`` consecutive
+    tokens — EXACT-substring duplication (the Lee et al. "Deduplicating
+    Training Data Makes Language Models Better" signal), which catches the
+    copied paragraph inside two otherwise-different documents that
+    set-based Jaccard/MinHash under-scores (a 100-token copy inside two
+    5k-token docs is Jaccard ≈ 0.01 — invisible to the near-dup tier,
+    memorization fuel for a trained model).
+
+    Suffix arrays don't distribute; positioned n-grams do. Two docs share
+    a run of R consecutive tokens iff they share R−n+1 consecutive
+    positioned ``n``-grams, and consecutive co-occurrence is relational:
+    every matched gram pair lands on anti-diagonal ``pos_a − pos_b``, so
+    maximal runs are the gaps-and-islands of ``pos_a`` within each
+    (pair, diagonal) group (island id = pos_a − row_number; positions are
+    unique within a group, so the numbering is deterministic). The window
+    is partitioned by (doc_a, doc_b, diag) — never unpartitioned.
+
+    Shape: one positioned-gram explode (hashes + positions shuffle, never
+    text), a document-frequency cap that drops boilerplate grams BEFORE
+    the self-join (each surviving 60-bit gram hash matches ≤
+    ``max_gram_docs`` docs, so join fan-out per gram is ≤ cap² — bounded,
+    never all-pairs), then pair-keyed aggregations. ``n_matched_grams``
+    counts matched position pairs across all diagonals (within-doc gram
+    repeats contribute one row per position pair, each on its own
+    diagonal). Documents shorter than ``gram_n`` tokens produce no grams
+    and no rows.
+    """
+    g = positioned_gram_features(
+        documents, gram_n=gram_n, content_col=content_col, id_col=id_col
+    )
+    keep = (
+        g.groupBy("gh")
+        .agg(F.count_distinct("doc_id").alias("gram_df"))
+        .filter(F.col("gram_df") <= max_gram_docs)
+        .select("gh")
+    )
+    g = g.join(keep, "gh")
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("pos").alias("pos_b"), "gh"
+    )
+    matched = (
+        a.join(b, "gh")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "pos_a",
+            (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    runs = (
+        matched.withColumn("isle", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "isle")
+        .agg(F.count(F.lit(1)).alias("run_grams"))
+    )
+    return (
+        runs.groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum("run_grams").cast("bigint").alias("n_matched_grams"),
+            (F.max("run_grams") + F.lit(gram_n - 1))
+            .cast("bigint")
+            .alias("longest_run_tokens"),
+        )
+        .filter(F.col("longest_run_tokens") >= min_run_tokens)
+    )
+
+
+def sql_substring_run_pairs(
+    table: str = "documents",
+    *,
+    gram_n: int = SUBSTRING_GRAM_N,
+    min_run_tokens: int = SUBSTRING_MIN_RUN,
+    max_gram_docs: int = SUBSTRING_MAX_GRAM_DOCS,
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`substring_run_pairs` (same hash, same
+    gaps-and-islands run decomposition)."""
+    return f"""
+    WITH g AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(gs, 1) AS BIGINT) AS pos,
+               {sql_hash60("unnest(gs)")} AS gh
+        FROM (
+            SELECT doc_id, {sql_gram_strings_over_w(gram_n)} AS gs
+            FROM (
+                SELECT doc_id, {sql_tokens(content_col)} AS w
+                FROM {table} WHERE {content_col} IS NOT NULL
+            )
+        )
+    ),
+    keep AS (
+        SELECT gh FROM g GROUP BY gh
+        HAVING COUNT(DISTINCT doc_id) <= {max_gram_docs}
+    ),
+    matched AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               a.pos AS pos_a, a.pos - b.pos AS diag
+        FROM g a JOIN g b ON a.gh = b.gh AND a.doc_id < b.doc_id
+        WHERE a.gh IN (SELECT gh FROM keep)
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, COUNT(*) AS run_grams
+        FROM (
+            SELECT doc_a, doc_b, diag,
+                   pos_a - ROW_NUMBER() OVER (
+                       PARTITION BY doc_a, doc_b, diag ORDER BY pos_a
+                   ) AS isle
+            FROM matched
+        )
+        GROUP BY doc_a, doc_b, diag, isle
+    )
+    SELECT doc_a, doc_b,
+           CAST(SUM(run_grams) AS BIGINT) AS n_matched_grams,
+           CAST(MAX(run_grams) + {gram_n - 1} AS BIGINT)
+               AS longest_run_tokens
+    FROM runs
+    GROUP BY doc_a, doc_b
+    HAVING MAX(run_grams) + {gram_n - 1} >= {min_run_tokens}
     """

@@ -3408,3 +3408,22 @@ def q_embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 2 == 0),
         emb.filter(F.col("vec_id") % 2 == 1),
     )
+
+
+@query("substring_run_pairs", oracle=dedup_ops.sql_substring_run_pairs())
+def q_substring_run_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication: document pairs sharing a verbatim run
+    of >= 20 consecutive tokens, found via positioned-n-gram anti-diagonal
+    gaps-and-islands — the copied-paragraph signal set-based MinHash
+    Jaccard under-scores (operators/dedup.py substring_run_pairs)."""
+    return dedup_ops.substring_run_pairs(_t(spark, sf_dir, "documents"))
+
+
+@query("weighted_doc_sample", oracle=corpus_ops.sql_weighted_doc_sample())
+def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-K weighted sampling without replacement
+    (Efraimidis-Spirakis exponential keys over a salted id-hash uniform,
+    micro-nat quantized): the fixed-budget quality-weighted subset
+    selector; executes as TakeOrderedAndProject, no global sort
+    (operators/corpus.py weighted_doc_sample)."""
+    return corpus_ops.weighted_doc_sample(_t(spark, sf_dir, "documents"))

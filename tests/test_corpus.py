@@ -426,3 +426,75 @@ def test_doc_oov_rate_hand_computed(spark):
     assert got[2].n_tokens == 3 and got[2].n_oov == 1
     assert got[3].n_oov == 2 and got[3].oov_rate == 1.0
     assert 4 not in got
+
+
+# ---------------------------------------------------------------------------
+# weighted_doc_sample (exact-K without replacement)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_exact_k_and_key_formula(spark):
+    """Returns exactly k rows; the priority key matches the
+    Efraimidis-Spirakis formula computed independently in Python
+    (salted-hash uniform, ln(u)/weight, micro-nat rounding)."""
+    import math
+
+    from kafkastreamingetl_spark.functions import py_hash60
+    from kafkastreamingetl_spark.operators.corpus import (
+        QW_BUCKETS,
+        WS_MICRO,
+        WS_SALT,
+        weighted_doc_sample,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"src{i % 2}", "w" + " w" * (i % 5) + f" t{i}") for i in range(20)],
+        "doc_id long, source string, text string",
+    )
+    got = weighted_doc_sample(docs, k=5).collect()
+    assert len(got) == 5
+    for r in got:
+        toks = None
+        # recompute weight from the constructed text
+        row_text = "w" + " w" * (r.doc_id % 5) + f" t{r.doc_id}"
+        toks = row_text.split(" ")
+        w = len(set(toks)) / len(toks)
+        u = (py_hash60(WS_SALT + str(r.doc_id)) % QW_BUCKETS + 1) / float(
+            QW_BUCKETS + 1
+        )
+        assert r.quality_weight == w
+        assert r.sample_key_micro == round(math.log(u) / w * WS_MICRO)
+
+
+def test_weighted_sample_deterministic_and_salt_sensitive(spark):
+    from kafkastreamingetl_spark.operators.corpus import weighted_doc_sample
+
+    docs = spark.createDataFrame(
+        [(i, "s", f"alpha beta gamma t{i} t{i % 3}") for i in range(50)],
+        "doc_id long, source string, text string",
+    )
+    a = [r.doc_id for r in weighted_doc_sample(docs, k=10).collect()]
+    b = [r.doc_id for r in weighted_doc_sample(docs, k=10).collect()]
+    assert a == b
+    # repartitioning cannot change the selected set or its order
+    c = [
+        r.doc_id
+        for r in weighted_doc_sample(docs.repartition(7), k=10).collect()
+    ]
+    assert a == c
+    d = [
+        r.doc_id
+        for r in weighted_doc_sample(docs, k=10, salt="other:v1").collect()
+    ]
+    assert a != d  # a re-draw re-keys the lottery
+
+
+def test_weighted_sample_k_exceeding_corpus_returns_all_nonnull(spark):
+    from kafkastreamingetl_spark.operators.corpus import weighted_doc_sample
+
+    docs = spark.createDataFrame(
+        [(1, "s", "a b"), (2, "s", None), (3, "s", "c d")],
+        "doc_id long, source string, text string",
+    )
+    got = weighted_doc_sample(docs, k=10).collect()
+    assert sorted(r.doc_id for r in got) == [1, 3]  # null text never drawn

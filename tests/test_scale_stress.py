@@ -107,6 +107,11 @@ STRESS_QUERIES = [
     "doc_ngram_novelty",
     "doc_oov_rate",
     "embedding_label_drift",
+    # positioned-gram match density and per-diagonal island occupancy grow
+    # with corpus duplication; the weighted top-k heap merge is k-sized but
+    # its candidate stream is the whole corpus
+    "substring_run_pairs",
+    "weighted_doc_sample",
 ]
 
 pytestmark = pytest.mark.slow

@@ -402,3 +402,87 @@ def test_doc_ngram_novelty_hand_computed(spark):
     assert got[3].n_shingles == 4 and got[3].n_novel == 3
     assert got[3].novelty == 0.75
     assert 4 not in got  # < 3 tokens: no feature set, no row
+
+
+# ---------------------------------------------------------------------------
+# substring_run_pairs (exact-substring overlap)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_runs_hand_computed(spark):
+    """docs 1/2 share the 4-token run "a b c d" (3 consecutive 2-grams on
+    one anti-diagonal); doc 3 shares only scattered single grams with
+    each — below min_run, no row."""
+    from kafkastreamingetl_spark.operators.dedup import substring_run_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x y a b c d q"),
+            (3, "a b z c d"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r
+        for r in substring_run_pairs(
+            docs, gram_n=2, min_run_tokens=3
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)].n_matched_grams == 3
+    assert got[(1, 2)].longest_run_tokens == 4
+
+
+def test_substring_runs_same_diagonal_gap_not_merged(spark):
+    """Matches at positions 1 and 4 of the SAME anti-diagonal with a gap
+    between are two runs of 1 gram each (longest shared run = 2 tokens),
+    not one run spanning the gap — the gaps-and-islands decomposition a
+    per-diagonal count or min/max span would get wrong."""
+    from kafkastreamingetl_spark.operators.dedup import substring_run_pairs
+
+    docs = spark.createDataFrame(
+        # d2 grams: (a b)@1 (b x)@2 (x d)@3 (d e)@4; d1: (a b)@1 (d e)@4
+        # -> both matches on diag 0, positions 1 and 4, gap at 2-3
+        [(1, "a b c d e"), (2, "a b x d e")],
+        "doc_id long, text string",
+    )
+    assert (
+        substring_run_pairs(docs, gram_n=2, min_run_tokens=3).count() == 0
+    )
+    got = substring_run_pairs(docs, gram_n=2, min_run_tokens=2).collect()
+    assert len(got) == 1
+    assert got[0].longest_run_tokens == 2
+    assert got[0].n_matched_grams == 2
+
+
+def test_substring_runs_within_doc_repeat_and_hot_cap(spark):
+    """A gram repeated inside one doc matches each occurrence on its own
+    diagonal (runs of 1); the document-frequency cap drops grams present
+    in more docs than the cap before any pairing."""
+    from kafkastreamingetl_spark.operators.dedup import substring_run_pairs
+
+    docs = spark.createDataFrame(
+        [(7, "a b a b"), (8, "a b c")],
+        "doc_id long, text string",
+    )
+    got = substring_run_pairs(docs, gram_n=2, min_run_tokens=2).collect()
+    assert len(got) == 1
+    assert got[0].n_matched_grams == 2  # (a b)@1 and @3 vs @1
+    assert got[0].longest_run_tokens == 2
+    # cap of 1: "a b" appears in both docs -> dropped -> no pairs at all
+    assert (
+        substring_run_pairs(
+            docs, gram_n=2, min_run_tokens=2, max_gram_docs=1
+        ).count()
+        == 0
+    )
+
+
+def test_substring_runs_short_docs_no_rows(spark):
+    from kafkastreamingetl_spark.operators.dedup import substring_run_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "only"), (2, "only"), (3, None)], "doc_id long, text string"
+    )
+    assert substring_run_pairs(docs, gram_n=2, min_run_tokens=2).count() == 0
