@@ -100,13 +100,16 @@ def bucket_signature(
     return F.concat(*[_sgn_dot_plane(vec, p) for p in planes])
 
 
-def _topk_two_stage(scored: DataFrame, k: int) -> DataFrame:
+def _topk_two_stage(
+    scored: DataFrame, k: int, extra_cols: tuple[str, ...] = ()
+) -> DataFrame:
     """Exact per-query top-k of (query_id, vec_id, cos) in two rank stages.
 
     Stage 1 ranks within (query_id, spark_partition_id): the exchange is
     balanced across partitions regardless of query count. Stage 2 ranks the
     ≤ k·n_partitions survivors per query — negligible volume. Ordering is
     total (cos DESC, vec_id ASC), so the result is deterministic.
+    ``extra_cols`` ride through unchanged (e.g. the negative's label).
     """
     local_w = Window.partitionBy("query_id", "_pid").orderBy(
         F.desc("cos"), F.asc("vec_id")
@@ -118,7 +121,7 @@ def _topk_two_stage(scored: DataFrame, k: int) -> DataFrame:
         .filter(F.col("_lr") <= k)
         .withColumn("rank", F.row_number().over(final_w))
         .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cos", "rank")
+        .select("query_id", "vec_id", *extra_cols, "cos", "rank")
     )
 
 
@@ -160,6 +163,91 @@ def self_queries(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
     return embeddings.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
+
+
+def self_labeled_queries(embeddings: DataFrame, n_queries: int = 8) -> DataFrame:
+    """:func:`self_queries` carrying the query's label (for mining)."""
+    return embeddings.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+        F.col("label").alias("query_label"),
+    )
+
+
+def hard_negative_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    query_label_col: str = "query_label",
+) -> DataFrame:
+    """Per-query top-``k`` most-similar corpus vectors whose label DIFFERS
+    from the query's — hard-negative mining, the training-data step that
+    turns an embedding corpus into contrastive triplets (the best
+    negatives for a retrieval/embedding model are the near-misses: high
+    cosine, wrong label; random negatives are too easy to teach anything).
+
+    Composition of the exact serving path: broadcast labeled queries, one
+    corpus scan, label-mismatch + self-match filters BEFORE scoring ranks
+    (so the top-k heap never holds positives), then the same two-stage
+    rank as :func:`cosine_topk` — no unpartitioned window, no global
+    sort. Null-label rows (either side) never match a ``!=`` filter and
+    drop out, on both engines. At bigger query sets, swap the broadcast
+    crossJoin for the bucketed :func:`ann_hyperplane_topk` join and keep
+    the same label filter — the mining semantics don't change.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col), F.col(query_vec_col), F.col(query_label_col)
+        )
+    )
+    scored = (
+        ensure_parallelism(embeddings)
+        .crossJoin(q)
+        .filter(
+            (F.col(id_col) != F.col(query_id_col))
+            & (F.col(label_col) != F.col(query_label_col))
+        )
+        .select(
+            query_id_col,
+            F.col(id_col).alias("vec_id"),
+            F.col(label_col).alias("neg_label"),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+    )
+    return _topk_two_stage(scored, k, extra_cols=("neg_label",))
+
+
+def sql_hard_negative_topk(
+    table: str = "embeddings", k: int = 10, n_queries: int = 8
+) -> str:
+    """DuckDB twin of :func:`hard_negative_topk` over
+    :func:`self_labeled_queries`."""
+    return f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS query_vec,
+               label AS query_label
+        FROM {table} WHERE vec_id < {n_queries}
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label AS neg_label,
+               {sql_cosine('e.embedding', 'q.query_vec')} AS cos
+        FROM {table} e CROSS JOIN q
+        WHERE e.vec_id != q.query_id AND e.label != q.query_label
+    )
+    SELECT query_id, vec_id, neg_label, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """
 
 
 def _flip_bit(bucket: Column, i: int, width: int = ANN_N_PLANES) -> Column:

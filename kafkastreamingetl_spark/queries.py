@@ -3427,3 +3427,16 @@ def q_weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     selector; executes as TakeOrderedAndProject, no global sort
     (operators/corpus.py weighted_doc_sample)."""
     return corpus_ops.weighted_doc_sample(_t(spark, sf_dir, "documents"))
+
+
+@query("hard_negative_topk", oracle=sim_ops.sql_hard_negative_topk())
+def q_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: per query vector, the top-10 most-similar
+    corpus vectors with a DIFFERENT label — the contrastive-training
+    negatives a retrieval/embedding model learns most from (exact lane,
+    label-mismatch filtered before ranking; operators/similarity.py
+    hard_negative_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.hard_negative_topk(
+        emb, sim_ops.self_labeled_queries(emb)
+    )

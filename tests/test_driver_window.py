@@ -44,6 +44,7 @@ def test_never_green_queries_sit_inside_driver_window():
         "embedding_label_drift",
         "substring_run_pairs",
         "weighted_doc_sample",
+        "hard_negative_topk",
     }
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (

@@ -112,6 +112,7 @@ STRESS_QUERIES = [
     # its candidate stream is the whole corpus
     "substring_run_pairs",
     "weighted_doc_sample",
+    "hard_negative_topk",
 ]
 
 pytestmark = pytest.mark.slow

@@ -293,3 +293,37 @@ def test_embedding_label_drift_hand_computed(spark):
     r9 = got[(9, 1)]
     assert r9.n_first == 0 and r9.c_first is None and r9.shift is None
     assert r9.c_second == 1.0
+
+
+def test_hard_negative_topk_hand_computed(spark):
+    """Negatives must be label-mismatched, self excluded, ranked by cosine
+    with the vec_id tie-break; null-label rows never mined."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        hard_negative_topk,
+        self_labeled_queries,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),   # query: label 1
+            (1, [1.0, 0.0], 1),   # identical direction but SAME label
+            (2, [1.0, 0.1], 2),   # near miss, different label -> rank 1
+            (3, [0.0, 1.0], 2),   # orthogonal, different label -> rank 2
+            (4, [1.0, 0.0], None),  # null label: never a negative
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = hard_negative_topk(
+        emb, self_labeled_queries(emb, n_queries=1), k=5
+    ).collect()
+    assert [(r.vec_id, r.rank, r.neg_label) for r in got] == [
+        (2, 1, 2),
+        (3, 2, 2),
+    ]
+    assert got[0].cos > got[1].cos
+    # a null-label QUERY mines nothing (no `!=` match on either engine)
+    nullq = spark.createDataFrame(
+        [(9, [1.0, 0.0], None)],
+        "query_id long, query_vec array<float>, query_label int",
+    )
+    assert hard_negative_topk(emb, nullq, k=5).count() == 0
