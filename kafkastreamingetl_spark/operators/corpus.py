@@ -1549,3 +1549,77 @@ def sql_token_posting_lists(
     FROM capped WHERE rn <= {cap}
     GROUP BY token, df
     """
+
+
+# ---------------------------------------------------------------------------
+# corpus snapshot diff (refresh audit)
+# ---------------------------------------------------------------------------
+
+
+def corpus_snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    content_col: str = "text",
+) -> DataFrame:
+    """(status, n_docs): added / removed / changed / unchanged counts
+    between two corpus snapshots, comparing 60-bit content hashes per
+    document id — the audit line a corpus-refresh job emits so a mixing
+    pipeline knows whether downstream statistics (vocab cuts, dedup
+    indexes, mixture weights) need rebuilding, and the guard that catches
+    an upstream loader silently truncating or rewriting documents.
+
+    Shape: each side projects to (id, content hash) at the scan — the
+    full-outer join carries 16 bytes/doc, never text — and both sides
+    arrive hash-partitioned on the id, so at scale it is a co-partitioned
+    sort-merge join followed by one map-side-combinable count. NULL text
+    hashes as the empty string (a doc whose text nulls out between
+    snapshots is `changed`, not silently `unchanged`).
+    """
+    h = lambda c: hash60(F.coalesce(F.col(c), F.lit("")))  # noqa: E731
+    o = old.select(F.col(id_col).alias("doc_id"), h(content_col).alias("_h_old"))
+    n = new.select(F.col(id_col).alias("doc_id"), h(content_col).alias("_h_new"))
+    status = (
+        F.when(F.col("_h_old").isNull(), F.lit("added"))
+        .when(F.col("_h_new").isNull(), F.lit("removed"))
+        .when(F.col("_h_old") != F.col("_h_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, "doc_id", "full_outer")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def sql_corpus_snapshot_diff(
+    old_where: str,
+    new_where: str,
+    new_text: str = "text",
+    table: str = "documents",
+    *,
+    content_col: str = "text",
+) -> str:
+    """DuckDB twin of :func:`corpus_snapshot_diff` over two filtered
+    views of ``table`` (``old_where`` / ``new_where`` pick the snapshot
+    rows; ``new_text`` lets the new side rewrite text, mirroring how the
+    registered query synthesizes a changed cohort)."""
+    h_old = sql_hash60(f"COALESCE({content_col}, '')")
+    h_new = sql_hash60(f"COALESCE({new_text}, '')")
+    return f"""
+    WITH o AS (
+        SELECT doc_id, {h_old} AS h_old FROM {table} WHERE {old_where}
+    ),
+    n AS (
+        SELECT doc_id, {h_new} AS h_new FROM {table} WHERE {new_where}
+    )
+    SELECT CASE WHEN h_old IS NULL THEN 'added'
+                WHEN h_new IS NULL THEN 'removed'
+                WHEN h_old != h_new THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM o FULL OUTER JOIN n USING (doc_id)
+    GROUP BY 1
+    """

@@ -3440,3 +3440,29 @@ def q_hard_negative_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.hard_negative_topk(
         emb, sim_ops.self_labeled_queries(emb)
     )
+
+
+@query(
+    "corpus_snapshot_diff",
+    oracle=corpus_ops.sql_corpus_snapshot_diff(
+        "doc_id % 10 != 0",
+        "doc_id % 10 != 1",
+        new_text="CASE WHEN doc_id % 10 = 2 THEN upper(text) ELSE text END",
+    ),
+)
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-refresh audit: added/removed/changed/unchanged counts
+    between two snapshots by per-doc content hash (registered over two
+    synthesized views of the documents table: the old snapshot drops the
+    %10==0 cohort, the new drops %10==1 and rewrites %10==2 — so all four
+    statuses are populated; real deployments pass two snapshot scans;
+    operators/corpus.py corpus_snapshot_diff)."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 != 1).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 10 == 2, F.upper("text")).otherwise(
+            F.col("text")
+        ),
+    )
+    return corpus_ops.corpus_snapshot_diff(old, new)

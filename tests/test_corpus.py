@@ -498,3 +498,20 @@ def test_weighted_sample_k_exceeding_corpus_returns_all_nonnull(spark):
     )
     got = weighted_doc_sample(docs, k=10).collect()
     assert sorted(r.doc_id for r in got) == [1, 3]  # null text never drawn
+
+
+def test_corpus_snapshot_diff_hand_computed(spark):
+    """All four statuses from constructed snapshots; a doc whose text
+    nulls out between snapshots is `changed` (never silently unchanged)."""
+    from kafkastreamingetl_spark.operators.corpus import corpus_snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "keep"), (2, "rewrite me"), (3, "drop me"), (5, "was text")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "keep"), (2, "rewritten"), (4, "brand new"), (5, None)],
+        "doc_id long, text string",
+    )
+    got = {r.status: r.n_docs for r in corpus_snapshot_diff(old, new).collect()}
+    assert got == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
