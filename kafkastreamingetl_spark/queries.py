@@ -29,6 +29,7 @@ from .functions import (
     sql_hash60,
 )
 from .operators import asof as asof_ops
+from .operators import bucketing as bucketing_ops
 from .operators import corpus as corpus_ops
 from .operators import incremental as inc_ops
 from .operators import layout as layout_ops
@@ -3466,3 +3467,24 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return corpus_ops.corpus_snapshot_diff(old, new)
+
+
+@query(
+    "bucketed_order_rollup",
+    oracle=bucketing_ops.sql_order_priority_revenue(),
+)
+def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue over BUCKETED twins of orders/lineitem
+    (co-bucketed on the order key at write time): the merge join under
+    the rollup plans with ZERO Exchange — the write-once shuffle layout
+    every repeat join on the key amortizes. The oracle recomputes from
+    the raw tables, so the differential proves the bucketed copies are a
+    faithful layout of the source (operators/bucketing.py;
+    tests/test_bucketing.py pins the plan facts). Engine extension of
+    SURVEY §2 H1 (the reference's per-run dim repartition,
+    spark/app.py:118-121) done the way 100 TB wants it: pay the shuffle
+    at write time, once."""
+    o_name, l_name = bucketing_ops.ensure_bucketed_order_tables(spark, sf_dir)
+    return bucketing_ops.order_priority_revenue(
+        spark.table(o_name), spark.table(l_name)
+    )
