@@ -1623,3 +1623,152 @@ def sql_corpus_snapshot_diff(
     FROM o FULL OUTER JOIN n USING (doc_id)
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: sketch pass + exact verify
+# ---------------------------------------------------------------------------
+
+MG_CAPACITY = 127
+
+
+def _mg_partition(capacity: int):
+    """Batched Misra-Gries summary over one partition's token stream.
+
+    Per Arrow batch: pandas ``value_counts`` merges at C speed (dict work
+    is per DISTINCT token, never per row), then one vectorized trim when
+    the summary overflows — subtract the ``over``-th-smallest counter
+    value from every counter and drop the non-positives, which removes at
+    least ``over`` entries in one step. The trim is the classic decrement
+    generalized: delta is the over-th smallest, so at least k+1 counters
+    sit at >= delta and the trim burns >= delta*(k+1) of the partition's
+    mass — hence the sum of all deltas is <= n_p/(k+1), and any token
+    with partition count > n_p/(k+1) still has a positive counter at the
+    end. Emits the surviving candidate tokens (n_part NULL) plus one
+    NULL-token row carrying the partition's total token count.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            total += int(len(pdf))
+            for tok, cnt in pdf["token"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(cnt)
+            over = len(counters) - capacity
+            if over > 0:
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                delta = int(np.partition(vals, over - 1)[over - 1])
+                counters = {t: c - delta for t, c in counters.items() if c > delta}
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "n_part": pd.array(
+                    [None] * len(counters) + [total], dtype="Int64"
+                ),
+            }
+        )
+
+    return run
+
+
+def frequent_tokens_sketch(
+    df: DataFrame,
+    *,
+    capacity: int = MG_CAPACITY,
+    text_col: str = "text",
+) -> DataFrame:
+    """(token, n_occ, share): every token whose corpus-wide occurrence
+    share strictly exceeds 1/(capacity+1), with EXACT counts — found
+    without ever shuffling the vocabulary.
+
+    Pass 1 (sketch, zero shuffle): each partition runs the bounded-memory
+    Misra-Gries summary (:func:`_mg_partition`, O(capacity) state per
+    task). The union of per-partition survivors is a SUPERSET of every
+    global heavy hitter: if total(x) > n/(k+1), then some partition has
+    count_p(x) > n_p/(k+1) (averaging over partitions), and such a token
+    always survives that partition's summary. The sketch is model-sized
+    (<= partitions*(capacity+1) rows), so it is collected like a fitted
+    model — the same k-sized-collect boundary the ANN fitters use.
+
+    Pass 2 (verify, pure JVM): the candidate set broadcasts back over a
+    second scan; only candidate occurrences reach the aggregate, so the
+    shuffle carries <= partitions*|candidates| partial rows — never the
+    vocabulary. The strict integer filter n_occ*(k+1) > n_total (operands
+    widened to decimal before the product, house overflow rule) makes the
+    output exact AND partitioning-invariant: false candidates — artifacts
+    of where file splits fell — are counted and discarded; true heavy
+    hitters are never missed. The differential against the brute-force
+    oracle is therefore equality, not tolerance.
+
+    At 100 TB this replaces the full-vocabulary groupBy for head-only
+    decisions (which keys need salting, which grams are boilerplate):
+    vocab_top_tokens shuffles every distinct token to rank them all; this
+    shuffles a capacity-bounded candidate set.
+    """
+    from .text import tokens
+
+    def stream():
+        return df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+
+    sketch = stream().mapInPandas(
+        _mg_partition(capacity), "token string, n_part long"
+    )
+    rows = sketch.collect()  # model-sized: <= partitions*(capacity+1)
+    n_total = sum(r.n_part for r in rows if r.token is None)
+    cands = [(r.token,) for r in rows if r.token is not None]
+    spark = df.sparkSession
+    if not cands or n_total == 0:
+        return spark.createDataFrame(
+            [], "token string, n_occ bigint, share double"
+        )
+    cand_df = spark.createDataFrame(cands, "token string").distinct()
+    d19 = "decimal(19,0)"
+    return (
+        stream()
+        .join(F.broadcast(cand_df), "token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(
+            F.col("n_occ").cast(d19) * F.lit(capacity + 1).cast(d19)
+            > F.lit(n_total).cast(d19)
+        )
+        .select(
+            "token",
+            "n_occ",
+            (F.col("n_occ").cast("double") / F.lit(float(n_total))).alias(
+                "share"
+            ),
+        )
+    )
+
+
+def sql_frequent_tokens_sketch(
+    table: str = "documents",
+    *,
+    capacity: int = MG_CAPACITY,
+    text_col: str = "text",
+) -> str:
+    """DuckDB twin: the brute-force full groupBy with the same strict
+    share threshold — equality with the sketch+verify path is the MG
+    superset guarantee made testable."""
+    from .text import sql_tokens
+
+    return f"""
+    WITH t AS (
+        SELECT unnest({sql_tokens(text_col)}) AS token FROM {table}
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM t),
+    c AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occ FROM t GROUP BY 1
+    )
+    SELECT token, n_occ,
+           CAST(n_occ AS DOUBLE) / (SELECT n FROM tot) AS share
+    FROM c
+    WHERE CAST(n_occ AS HUGEINT) * {capacity + 1} > (SELECT n FROM tot)
+    """

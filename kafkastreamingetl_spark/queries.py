@@ -3488,3 +3488,19 @@ def q_bucketed_order_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bucketing_ops.order_priority_revenue(
         spark.table(o_name), spark.table(l_name)
     )
+
+
+@query(
+    "frequent_tokens_sketch",
+    oracle=corpus_ops.sql_frequent_tokens_sketch(),
+)
+def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters without shuffling the vocabulary: per-partition
+    Misra-Gries summaries (Arrow mapInPandas, O(capacity) state, zero
+    shuffle) emit a guaranteed SUPERSET of every token whose share
+    exceeds 1/(capacity+1); a JVM-only verify scan counts just the
+    candidates and applies the strict threshold, so the result is EXACT
+    and partitioning-invariant — the differential against the
+    brute-force oracle is equality, not tolerance
+    (operators/corpus.py frequent_tokens_sketch)."""
+    return corpus_ops.frequent_tokens_sketch(_t(spark, sf_dir, "documents"))

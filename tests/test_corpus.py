@@ -515,3 +515,119 @@ def test_corpus_snapshot_diff_hand_computed(spark):
     )
     got = {r.status: r.n_docs for r in corpus_snapshot_diff(old, new).collect()}
     assert got == {"unchanged": 1, "changed": 2, "removed": 1, "added": 1}
+
+
+# ---------------------------------------------------------------------------
+# frequent_tokens_sketch (Misra-Gries candidates + exact verify)
+# ---------------------------------------------------------------------------
+
+
+def _brute_heavy(texts: list[str], capacity: int) -> dict[str, int]:
+    from collections import Counter
+
+    toks = [t for s in texts for t in s.split(" ")]
+    n = len(toks)
+    c = Counter(toks)
+    return {t: k for t, k in c.items() if k * (capacity + 1) > n}
+
+
+def test_frequent_tokens_sketch_hand_computed(spark):
+    """capacity=2 → threshold share 1/3: 'a' (6/12) passes, 'b' (3/12)
+    does not even though it likely survives the sketch — the exact verify
+    pass discards it."""
+    from kafkastreamingetl_spark.operators.corpus import frequent_tokens_sketch
+
+    texts = ["a a a b", "a b c d", "a a b e"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.token: r.n_occ
+        for r in frequent_tokens_sketch(docs, capacity=2).collect()
+    }
+    assert got == _brute_heavy(texts, 2) == {"a": 6}
+
+
+def test_frequent_tokens_sketch_partitioning_invariant(spark):
+    """Candidate SETS depend on where partition splits fall; the verified
+    output must not."""
+    from kafkastreamingetl_spark.operators.corpus import frequent_tokens_sketch
+
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(
+            rng.choices(vocab, weights=[50, 30, 20] + [1] * 37, k=30)
+        )
+        for _ in range(60)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    outs = []
+    for parts in (1, 7):
+        rows = frequent_tokens_sketch(
+            docs.repartition(parts), capacity=5
+        ).collect()
+        outs.append(sorted((r.token, r.n_occ, r.share) for r in rows))
+    assert outs[0] == outs[1]
+    assert {t for t, _, _ in outs[0]} == set(_brute_heavy(texts, 5))
+
+
+def test_frequent_tokens_sketch_matches_brute_force_seeded(spark):
+    """Seeded sweep over skew shapes and capacities: sketch+verify equals
+    the Counter brute force every time (the MG superset guarantee plus
+    the strict exact filter)."""
+    from kafkastreamingetl_spark.operators.corpus import frequent_tokens_sketch
+
+    import random
+
+    for seed, cap in [(1, 3), (2, 10), (3, 4)]:
+        rng = random.Random(seed)
+        vocab = [f"t{i}" for i in range(rng.randint(5, 80))]
+        weights = [rng.choice([1, 1, 1, 2, 5, 40]) for _ in vocab]
+        texts = [
+            " ".join(rng.choices(vocab, weights=weights, k=rng.randint(5, 40)))
+            for _ in range(40)
+        ]
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        ).repartition(5)
+        got = {
+            r.token: r.n_occ
+            for r in frequent_tokens_sketch(docs, capacity=cap).collect()
+        }
+        assert got == _brute_heavy(texts, cap), (seed, cap)
+
+
+def test_mg_partition_superset_and_bounded():
+    """Direct summary check: across multi-batch streams the survivor set
+    stays <= capacity, contains every token above the n_p/(k+1) bound,
+    and the NULL row carries the exact partition total."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from kafkastreamingetl_spark.operators.corpus import _mg_partition
+
+    import random
+
+    rng = random.Random(11)
+    stream = rng.choices(
+        ["hot"] * 5 + [f"cold{i}" for i in range(30)], k=500
+    )
+    batches = [
+        pd.DataFrame({"token": stream[i : i + 64]})
+        for i in range(0, 500, 64)
+    ]
+    out = pd.concat(list(_mg_partition(8)(iter(batches))))
+    survivors = set(out[out["token"].notna()]["token"])
+    assert len(survivors) <= 8
+    total = int(out[out["token"].isna()]["n_part"].iloc[0])
+    assert total == 500
+    true_counts = Counter(stream)
+    for tok, cnt in true_counts.items():
+        if cnt * 9 > 500:
+            assert tok in survivors, tok
