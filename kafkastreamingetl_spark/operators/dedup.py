@@ -1597,3 +1597,92 @@ def sql_substring_run_pairs(
     GROUP BY doc_a, doc_b
     HAVING MAX(run_grams) + {gram_n - 1} >= {min_run_tokens}
     """
+
+
+# ---------------------------------------------------------------------------
+# leakage-free train/test split (near-dup-cluster granularity)
+# ---------------------------------------------------------------------------
+
+
+def leakage_free_split(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    train_pct: int = 80,
+    salt: str = "split:v1",
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """(doc_id, group_id, split): the salted-hash train/test split drawn
+    at near-duplicate-GROUP granularity — an eval set that shares a
+    near-duplicate with the training side is contaminated before a
+    single eval query runs, and a per-document split
+    (corpus.train_test_split) plants exactly that leak whenever a
+    near-dup cluster straddles the boundary. Here the hash is drawn on
+    ``group_id`` = the doc's near-dup cluster label (its connected
+    component's min id) or its own id for singletons, so a whole cluster
+    lands on one side by construction.
+
+    Inherits every guarantee of the per-doc split (membership a pure
+    function of (salt, group); re-runs/growth/repartitioning never move
+    existing groups; raising ``train_pct`` only grows train) because it
+    IS that split, keyed one level up.
+
+    Scale shape: the cluster label table is proportional to the
+    documents *in verified near-dup pairs* — the duplicate fraction, not
+    the corpus — so the left join broadcasts under AQE and the corpus
+    never reshuffles (same boundary as :func:`neardup_dedup`); the
+    closure itself is the memoized :func:`neardup_clusters` computation
+    every other cluster consumer shares. Output is a projection: no
+    window, no extra shuffle.
+    """
+    from .corpus import SPLIT_BUCKETS
+
+    clusters = neardup_clusters(
+        df, text_col, id_col, min_jaccard=min_jaccard
+    ).withColumnRenamed("cluster_id", "_cl")
+    grouped = (
+        df.select(id_col)
+        .join(clusters, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_cl"), F.col(id_col)).alias("group_id"),
+        )
+    )
+    bucket = (
+        hash60(F.concat(F.lit(salt), F.col("group_id").cast("string")))
+        % SPLIT_BUCKETS
+    )
+    return grouped.select(
+        id_col,
+        "group_id",
+        F.when(bucket < train_pct, F.lit("train"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def sql_leakage_free_split(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    train_pct: int = 80,
+    salt: str = "split:v1",
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    """DuckDB twin: the same recursive-CTE transitive closure as the
+    cluster oracles, left-joined to the corpus, with the split hash drawn
+    on COALESCE(cluster, doc)."""
+    from .corpus import SPLIT_BUCKETS
+
+    h = sql_hash60(
+        f"'{salt}' || CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR)"
+    )
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)}
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS group_id,
+           CASE WHEN ({h}) % {SPLIT_BUCKETS} < {train_pct}
+                THEN 'train' ELSE 'test' END AS split
+    FROM {table} d LEFT JOIN clusters c ON d.doc_id = c.node
+    """

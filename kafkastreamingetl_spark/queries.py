@@ -3504,3 +3504,18 @@ def q_frequent_tokens_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle is equality, not tolerance
     (operators/corpus.py frequent_tokens_sketch)."""
     return corpus_ops.frequent_tokens_sketch(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "leakage_free_split",
+    oracle=dedup_ops.sql_leakage_free_split(),
+)
+def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test split at near-dup-cluster granularity: the salted-hash
+    split drawn on the doc's connected-component label (own id for
+    singletons), so no near-duplicate pair ever straddles the eval
+    boundary — the split a per-document hash cannot give once a dup
+    cluster lands on both sides (operators/dedup.py leakage_free_split;
+    shares the memoized cluster closure with every other cluster
+    consumer)."""
+    return dedup_ops.leakage_free_split(_t(spark, sf_dir, "documents"))

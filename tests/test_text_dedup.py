@@ -486,3 +486,59 @@ def test_substring_runs_short_docs_no_rows(spark):
         [(1, "only"), (2, "only"), (3, None)], "doc_id long, text string"
     )
     assert substring_run_pairs(docs, gram_n=2, min_run_tokens=2).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# leakage_free_split
+# ---------------------------------------------------------------------------
+
+
+def test_leakage_free_split_keeps_cluster_together(spark):
+    """The planted near-dup pair (1, 2) must land on ONE side, under the
+    group key = the cluster min id; the unrelated doc splits by its own
+    id exactly as the per-doc splitter would."""
+    from kafkastreamingetl_spark.operators.corpus import train_test_split
+    from kafkastreamingetl_spark.operators.dedup import leakage_free_split
+
+    docs = _corpus(spark)
+    got = {r.doc_id: r for r in leakage_free_split(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].group_id == got[2].group_id == 1
+    assert got[1].split == got[2].split
+    assert got[3].group_id == 3
+    per_doc = {
+        r.doc_id: r.split for r in train_test_split(docs).collect()
+    }
+    assert got[3].split == per_doc[3]  # singleton == per-doc split
+    assert got[1].split == per_doc[1]  # group key 1 == doc key 1
+
+
+def test_leakage_free_split_no_pair_straddles(spark, sf_dir):
+    """Leakage invariant on the real corpus: every verified near-dup pair
+    has both ends on the same side."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.dedup import (
+        leakage_free_split,
+        neardup_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    split = leakage_free_split(docs).select("doc_id", "split")
+    pairs = neardup_pairs(docs).select("doc_a", "doc_b")
+    straddlers = (
+        pairs.join(
+            split.withColumnRenamed("doc_id", "doc_a").withColumnRenamed(
+                "split", "_sa"
+            ),
+            "doc_a",
+        )
+        .join(
+            split.withColumnRenamed("doc_id", "doc_b").withColumnRenamed(
+                "split", "_sb"
+            ),
+            "doc_b",
+        )
+        .filter("_sa != _sb")
+        .count()
+    )
+    assert straddlers == 0
