@@ -458,3 +458,79 @@ def sql_event_transition_matrix() -> str:
                       AS DOUBLE) AS p_transition
     FROM counts
     """
+
+
+# ---------------------------------------------------------------------------
+# autoregressive training pairs (sequence-model dataset builder)
+# ---------------------------------------------------------------------------
+
+CONTEXT_LEN = 3
+
+
+def next_event_training_pairs(
+    events: DataFrame,
+    *,
+    context_len: int = CONTEXT_LEN,
+    key_col: str = "user_id",
+) -> DataFrame:
+    """(user_id, event_id, context, target): one autoregressive training
+    example per event — the up-to-``context_len`` preceding event types
+    in the user's timeline, '>'-joined, paired with the event that
+    actually came next. The dataset builder for next-action /
+    session-recommendation models, and the n-gram generalization of the
+    bigram :func:`event_transition_matrix` (context_len=1 reproduces its
+    pair stream).
+
+    Determinism: the timeline order is (ts, event_id) — event ids are
+    unique, so the order is total and ``collect_list`` over the running
+    frame is reproducible on any partitioning (the same total-order
+    discipline as :func:`user_value_ewma`). NULL event types are dropped
+    before windowing (a NULL is a quality defect, not a vocabulary
+    token); sequence-initial events with an empty context emit nothing —
+    a model learns nothing from an empty prompt.
+
+    Scale shape: one shuffle, partitioned by user (never an
+    unpartitioned window); rows carry (user, id, type, ts) only and each
+    emitted context is bounded by ``context_len`` tokens, so output is
+    O(input) with a small constant. At 100 TB the user key is the same
+    granularity every session/retention operator already shuffles on.
+    """
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-context_len, -1)
+    )
+    return (
+        events.filter(F.col("event_type").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            key_col,
+            "event_id",
+            F.concat_ws(">", F.collect_list("event_type").over(w)).alias(
+                "context"
+            ),
+            F.col("event_type").alias("target"),
+        )
+        .filter(F.col("context") != "")
+    )
+
+
+def sql_next_event_training_pairs(
+    *, context_len: int = CONTEXT_LEN, key_col: str = "user_id"
+) -> str:
+    return f"""
+    WITH e AS (
+        SELECT {key_col}, event_id, ts, event_type
+        FROM events
+        WHERE event_type IS NOT NULL AND ts IS NOT NULL
+    )
+    SELECT {key_col}, event_id,
+           array_to_string(
+               array_agg(event_type) OVER (
+                   PARTITION BY {key_col}
+                   ORDER BY ts ASC, event_id ASC
+                   ROWS BETWEEN {context_len} PRECEDING AND 1 PRECEDING
+               ), '>') AS context,
+           event_type AS target
+    FROM e
+    QUALIFY context != ''
+    """

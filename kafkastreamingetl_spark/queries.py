@@ -3519,3 +3519,19 @@ def q_leakage_free_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares the memoized cluster closure with every other cluster
     consumer)."""
     return dedup_ops.leakage_free_split(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "next_event_training_pairs",
+    oracle=temporal_ops.sql_next_event_training_pairs(),
+)
+def q_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autoregressive dataset builder: per event, the up-to-3 preceding
+    event types in the user's (ts, event_id)-total-ordered timeline,
+    '>'-joined, paired with the event that came next — the
+    (context, target) examples a next-action model trains on, and the
+    n-gram generalization of event_transition_matrix
+    (operators/temporal.py next_event_training_pairs)."""
+    return temporal_ops.next_event_training_pairs(
+        _t(spark, sf_dir, "events")
+    )

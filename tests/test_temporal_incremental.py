@@ -209,3 +209,68 @@ def test_ewma_overflow_guard_fails_loudly(spark):
     ).withColumn("ts", F.to_timestamp("ts"))
     with pytest.raises(Exception, match="2\\^43-cent"):
         user_value_ewma(ev).collect()
+
+
+# ---------------------------------------------------------------------------
+# next_event_training_pairs
+# ---------------------------------------------------------------------------
+
+
+def test_next_event_pairs_hand_computed(spark):
+    """Known two-user timeline: contexts grow to the 3-cap and slide;
+    sequence-initial rows (empty context) and NULL types are absent."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.operators.temporal import (
+        next_event_training_pairs,
+    )
+
+    rows = [
+        (1, 10, "2024-01-01 00:00:01", "a"),
+        (2, 10, "2024-01-01 00:00:02", "b"),
+        (3, 10, "2024-01-01 00:00:03", None),  # dropped, not a token
+        (4, 10, "2024-01-01 00:00:04", "c"),
+        (5, 10, "2024-01-01 00:00:05", "d"),
+        (6, 10, "2024-01-01 00:00:06", "e"),
+        (7, 20, "2024-01-01 00:00:01", "x"),
+        (8, 20, "2024-01-01 00:00:02", "y"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        r.event_id: (r.context, r.target)
+        for r in next_event_training_pairs(ev).collect()
+    }
+    assert got == {
+        2: ("a", "b"),
+        4: ("a>b", "c"),
+        5: ("a>b>c", "d"),
+        6: ("b>c>d", "e"),
+        8: ("x", "y"),
+    }
+
+
+def test_next_event_pairs_tie_order_total(spark):
+    """Same-ts rows order by event_id — the context is reproducible on
+    any partitioning."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.operators.temporal import (
+        next_event_training_pairs,
+    )
+
+    rows = [
+        (2, 1, "2024-01-01 00:00:01", "b"),
+        (1, 1, "2024-01-01 00:00:01", "a"),
+        (3, 1, "2024-01-01 00:00:02", "c"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for parts in (1, 5):
+        got = {
+            r.event_id: (r.context, r.target)
+            for r in next_event_training_pairs(ev.repartition(parts)).collect()
+        }
+        assert got == {2: ("a", "b"), 3: ("a>b", "c")}
