@@ -600,3 +600,122 @@ def sql_daily_autocorr(key_col: str = "event_type") -> str:
                 END AS autocorr_lag1
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection over daily volumes
+# ---------------------------------------------------------------------------
+
+
+def daily_volume_cusum(events: DataFrame, *, key_col: str = "event_type") -> DataFrame:
+    """(key, n_days, peak_day, max_cusum_scaled, shift_share): one-sided
+    CUSUM changepoint detection over each key's daily event volume — the
+    "did this stream's rate step up, and when" alert a volume monitor
+    raises, where a z-score lane (events_zscore_anomalies) flags single
+    outlier DAYS but is blind to a sustained small shift.
+
+    Exact by construction: the recursive CUSUM
+    ``C_t = max(0, C_{t-1} + (x_t - mean))`` is closed-form
+    ``C_t = S_t - min_{j<=t} S_j`` over prefix sums of the mean-centered
+    series — a running sum and a running min, two frames over ONE
+    key-partitioned ordering, no recursion, no UDF. Mean-centering stays
+    in integers by scaling: dev_t = x_t*D - N (D = key's day count, N =
+    key's total), so C is in count*D units; every product runs with
+    operands widened to DECIMAL(19,0) (HUGEINT in the oracle — x_t*D and
+    the N*D normalizer are exactly the >3e9-per-key products the house
+    overflow rule exists for) and the two doubles at the end are pure
+    output formatting. ``peak_day`` is the earliest day attaining the
+    max (ties broken by date, deterministic on any partitioning);
+    ``shift_share`` = max C / (N*D) is the fraction of the key's total
+    volume the worst sustained shift represents (0 for a flat or
+    single-day series).
+
+    Scale shape: one count aggregation events→(key, day) (map-side
+    combined), a key-sized broadcast of (N, D), then windows partitioned
+    by key over day-grained rows — state per task is one partition of
+    DAYS, not events. Observed days only (a silent day contributes no
+    row; the dense-series lane exists for zero-fill semantics).
+    """
+    d19 = "decimal(19,0)"
+    daily = (
+        events.filter(F.col("ts").isNotNull())
+        .groupBy(key_col, F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    # NB: Spark resolves case-insensitively, so the totals' columns must
+    # not collide with the date column `d`
+    tot = daily.groupBy(key_col).agg(
+        F.sum("x").alias("tot_n"), F.count(F.lit(1)).alias("tot_d")
+    )
+    dev = (
+        F.col("x").cast(d19) * F.col("tot_d").cast(d19)
+        - F.col("tot_n").cast(d19)
+    )
+    run = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("d").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    keyed = Window.partitionBy(key_col)
+    rows = (
+        daily.join(F.broadcast(tot), key_col)
+        .withColumn("_s", F.sum(dev).over(run))
+        .withColumn("_c", F.col("_s") - F.min("_s").over(run))
+        .withColumn("_mc", F.max("_c").over(keyed))
+    )
+    return rows.groupBy(key_col).agg(
+        F.max("tot_d").alias("n_days"),
+        F.min(F.when(F.col("_c") == F.col("_mc"), F.col("d"))).alias(
+            "peak_day"
+        ),
+        F.max("_c").cast("double").alias("max_cusum_scaled"),
+        (
+            F.max("_c").cast("double")
+            / (
+                F.max("tot_n").cast(d19) * F.max("tot_d").cast(d19)
+            ).cast("double")
+        ).alias("shift_share"),
+    )
+
+
+def sql_daily_volume_cusum(key_col: str = "event_type") -> str:
+    return f"""
+    WITH daily AS (
+        SELECT {key_col} AS key, CAST(ts AS DATE) AS d,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT key, CAST(SUM(x) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS dd
+        FROM daily GROUP BY 1
+    ),
+    pre AS (
+        SELECT daily.key, daily.d, tot.n, tot.dd,
+               SUM(CAST(daily.x AS HUGEINT) * tot.dd - tot.n) OVER (
+                   PARTITION BY daily.key ORDER BY daily.d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s
+        FROM daily JOIN tot USING (key)
+    ),
+    cus AS (
+        SELECT key, d, n, dd,
+               s - MIN(s) OVER (
+                   PARTITION BY key ORDER BY d ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS c
+        FROM pre
+    ),
+    mx AS (
+        SELECT key, MAX(c) OVER (PARTITION BY key) AS mc, c, d, n, dd
+        FROM cus
+    )
+    SELECT key AS {key_col},
+           MAX(dd) AS n_days,
+           MIN(CASE WHEN c = mc THEN d END) AS peak_day,
+           CAST(MAX(c) AS DOUBLE) AS max_cusum_scaled,
+           CAST(MAX(c) AS DOUBLE)
+               / CAST(CAST(MAX(n) AS HUGEINT) * MAX(dd) AS DOUBLE)
+               AS shift_share
+    FROM mx
+    GROUP BY 1
+    """

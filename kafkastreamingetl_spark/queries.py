@@ -3535,3 +3535,18 @@ def q_next_event_training_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temporal_ops.next_event_training_pairs(
         _t(spark, sf_dir, "events")
     )
+
+
+@query(
+    "daily_volume_cusum",
+    oracle=ts_ops.sql_daily_volume_cusum(),
+)
+def q_daily_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM changepoint per event type over daily volumes:
+    the recursive max(0, C+dev) statistic computed closed-form as
+    running-sum-minus-running-min over exact integer mean-centered
+    deviations (x·D − N, operands decimal-widened) — catches the
+    sustained small rate shift the z-score lane is blind to, plus the
+    earliest peak day and the shift's share of total volume
+    (operators/timeseries.py daily_volume_cusum)."""
+    return ts_ops.daily_volume_cusum(_t(spark, sf_dir, "events"))

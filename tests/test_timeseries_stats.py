@@ -163,3 +163,87 @@ def test_trend_wide_domain_no_int64_wrap(spark):
     assert r.n_days == 2
     assert r.slope_per_day == 0.0
     assert math.isclose(r.intercept, 9.0e13)
+
+
+# ---------------------------------------------------------------------------
+# daily_volume_cusum
+# ---------------------------------------------------------------------------
+
+
+def _cusum_events(spark, counts_by_day: dict[str, list[int]]):
+    """One event row per count unit; day i = 2024-01-(i+1)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    rows = []
+    eid = 0
+    for key, counts in counts_by_day.items():
+        for i, c in enumerate(counts):
+            day = datetime.datetime(2024, 1, 1 + i)
+            for _ in range(c):
+                rows.append((eid, key, day))
+                eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp"
+    )
+
+
+def _py_cusum(counts: list[int]) -> tuple[int, int]:
+    """Reference recursive CUSUM on the scaled-integer devs: returns
+    (max C, index of earliest peak day)."""
+    dd, n = len(counts), sum(counts)
+    c = best = 0
+    best_i = 0
+    for i, x in enumerate(counts):
+        c = max(0, c + (x * dd - n))
+        if c > best:
+            best, best_i = c, i
+    return best, best_i
+
+
+def test_cusum_step_up_detected_at_step(spark):
+    from kafkastreamingetl_spark.operators.timeseries import daily_volume_cusum
+
+    counts = [2, 2, 2, 2, 6, 6, 6, 6]  # rate doubles on day 5
+    ev = _cusum_events(spark, {"click": counts})
+    r = daily_volume_cusum(ev).collect()[0]
+    want_max, want_i = _py_cusum(counts)
+    assert r.n_days == 8
+    assert r.max_cusum_scaled == float(want_max)
+    assert r.peak_day.isoformat() == f"2024-01-0{want_i + 1}"
+    assert abs(r.shift_share - want_max / (sum(counts) * 8)) < 1e-15
+    # the peak of a step-up series is its last day
+    assert want_i == 7
+
+
+def test_cusum_flat_series_is_zero(spark):
+    from kafkastreamingetl_spark.operators.timeseries import daily_volume_cusum
+
+    ev = _cusum_events(spark, {"view": [3, 3, 3, 3]})
+    r = daily_volume_cusum(ev).collect()[0]
+    assert r.max_cusum_scaled == 0.0 and r.shift_share == 0.0
+    # C never rises above 0, so every day ties at the max; earliest wins
+    assert r.peak_day.isoformat() == "2024-01-01"
+
+
+def test_cusum_matches_recursive_reference_seeded(spark):
+    """Closed form (S - running min S) == the textbook recursion, on
+    seeded random series per key, regardless of partitioning."""
+    import random
+
+    from kafkastreamingetl_spark.operators.timeseries import daily_volume_cusum
+
+    rng = random.Random(3)
+    series = {
+        f"k{j}": [rng.randint(0, 9) + (5 if i > rng.randint(3, 8) else 0)
+                  for i in range(12)]
+        for j in range(4)
+    }
+    # drop zero-count days (no event rows exist for them)
+    observed = {k: [c for c in v if c > 0] for k, v in series.items()}
+    ev = _cusum_events(spark, observed).repartition(7)
+    got = {r.event_type: r for r in daily_volume_cusum(ev).collect()}
+    for k, counts in observed.items():
+        want_max, _ = _py_cusum(counts)
+        assert got[k].max_cusum_scaled == float(want_max), k
