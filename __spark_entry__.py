@@ -107,13 +107,14 @@ _PRIORITY = [
     "embedding_ivf_kmeans_topk",
     "embedding_pq_kmeans_topk",
     # --- driver window boundary (~50) ---
-    # ROUND-10 ROTATION PLAN: head the next window with the twelve round-9
-    # registrations that have never earned a driver row (doc_ngram_novelty,
-    # doc_oov_rate, embedding_label_drift, substring_run_pairs,
-    # weighted_doc_sample, hard_negative_topk, corpus_snapshot_diff,
-    # bucketed_order_rollup, frequent_tokens_sketch, leakage_free_split,
-    # next_event_training_pairs, daily_volume_cusum — never-green outranks
-    # stale-green), then fill with the r6 cohort (oldest evidence first).
+    # ROUND-10 ROTATION PLAN: head the next window with the thirteen
+    # round-9 registrations that have never earned a driver row
+    # (doc_ngram_novelty, doc_oov_rate, embedding_label_drift,
+    # substring_run_pairs, weighted_doc_sample, hard_negative_topk,
+    # corpus_snapshot_diff, bucketed_order_rollup, frequent_tokens_sketch,
+    # leakage_free_split, next_event_training_pairs, daily_volume_cusum,
+    # dedup_disposition — never-green outranks stale-green), then fill
+    # with the r6 cohort (oldest evidence first).
 ]
 
 

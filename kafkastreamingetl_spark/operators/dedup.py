@@ -1686,3 +1686,93 @@ def sql_leakage_free_split(
                 THEN 'train' ELSE 'test' END AS split
     FROM {table} d LEFT JOIN clusters c ON d.doc_id = c.node
     """
+
+
+# ---------------------------------------------------------------------------
+# per-document dedup disposition (corpus-governance report)
+# ---------------------------------------------------------------------------
+
+
+def dedup_disposition(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """(doc_id, status, survivor_id): per-document disposition across the
+    dedup lanes — the provenance line a corpus-governance audit needs
+    ("why is this document not in the training set, and which one
+    replaced it"), where the dedup operators themselves only emit the
+    surviving side.
+
+    Status priority (each doc gets exactly one):
+    - ``exact_dup``  — not the min-id survivor of its identical-content
+      group (the :func:`exact_dedup` rule); ``survivor_id`` is that
+      group's min id.
+    - ``near_dup``   — in a verified near-dup cluster and not its min-id
+      representative; ``survivor_id`` is the cluster label (the
+      component min — the TERMINAL survivor, since the cluster min is
+      the smallest id in the whole component; an exact_dup's immediate
+      survivor may itself be near_dup, and its chain resolves there).
+    - ``kept``       — everything else; ``survivor_id`` is itself.
+
+    Scale shape: one window partitioned by (hash, content) — the same
+    fixed-width shuffle key as :func:`exact_dedup`, collision-proof for
+    the same reason — plus the memoized cluster closure every other
+    cluster consumer shares, joined corpus←labels where the label side
+    is proportional to the duplicate fraction (AQE-broadcast). Output is
+    one row per document, three scalar columns.
+    """
+    w = Window.partitionBy("_h", text_col)
+    ex = (
+        ensure_parallelism(df)
+        .select(id_col, text_col)
+        .withColumn("_h", hash60(F.col(text_col)))
+        .withColumn("_ex_surv", F.min(id_col).over(w))
+    )
+    clusters = neardup_clusters(
+        df, text_col, id_col, min_jaccard=min_jaccard
+    ).withColumnRenamed("cluster_id", "_cl")
+    joined = ex.join(clusters, id_col, "left")
+    is_exact_dup = F.col(id_col) != F.col("_ex_surv")
+    is_near_dup = F.col("_cl").isNotNull() & (F.col(id_col) != F.col("_cl"))
+    return joined.select(
+        F.col(id_col),
+        F.when(is_exact_dup, F.lit("exact_dup"))
+        .when(is_near_dup, F.lit("near_dup"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.when(is_exact_dup, F.col("_ex_surv"))
+        .when(is_near_dup, F.col("_cl"))
+        .otherwise(F.col(id_col))
+        .alias("survivor_id"),
+    )
+
+
+def sql_dedup_disposition(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)},
+    ex AS (
+        SELECT doc_id,
+               MIN(doc_id) OVER (
+                   PARTITION BY {sql_hash60(text_col)}, {text_col}
+               ) AS ex_surv
+        FROM {table}
+    )
+    SELECT e.doc_id,
+           CASE WHEN e.ex_surv != e.doc_id THEN 'exact_dup'
+                WHEN c.cluster_id IS NOT NULL AND c.cluster_id != e.doc_id
+                    THEN 'near_dup'
+                ELSE 'kept' END AS status,
+           CASE WHEN e.ex_surv != e.doc_id THEN e.ex_surv
+                WHEN c.cluster_id IS NOT NULL AND c.cluster_id != e.doc_id
+                    THEN c.cluster_id
+                ELSE e.doc_id END AS survivor_id
+    FROM ex e LEFT JOIN clusters c ON e.doc_id = c.node
+    """

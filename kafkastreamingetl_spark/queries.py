@@ -3550,3 +3550,17 @@ def q_daily_volume_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     earliest peak day and the shift's share of total volume
     (operators/timeseries.py daily_volume_cusum)."""
     return ts_ops.daily_volume_cusum(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "dedup_disposition",
+    oracle=dedup_ops.sql_dedup_disposition(),
+)
+def q_dedup_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-governance provenance: one disposition row per document —
+    kept / exact_dup / near_dup with the survivor that replaced it
+    (exact lane's min-id content-group survivor; near-dup lane's cluster
+    label, the terminal component min). One (hash, content)-partitioned
+    window plus the shared memoized cluster closure
+    (operators/dedup.py dedup_disposition)."""
+    return dedup_ops.dedup_disposition(_t(spark, sf_dir, "documents"))

@@ -35,10 +35,10 @@ def test_never_green_queries_sit_inside_driver_window():
     # DECISION, not an accident: any never-green query outside the window
     # has to be on this explicit list. Round 9: the window is fully booked
     # with the 44 three-round-stale rotations + 3 implementation-changed
-    # overflow fixes + 3 r6 rotations, so the twelve round-9 additions
+    # overflow fixes + 3 r6 rotations, so the thirteen round-9 additions
     # (locally differential-green) wait for round 10, whose window MUST
-    # head with these twelve (never-green outranks stale-green) and fill
-    # the rest from the r6 cohort.
+    # head with these thirteen (never-green outranks stale-green) and
+    # fill the rest from the r6 cohort.
     deferred_this_round: set[str] = {
         "doc_ngram_novelty",
         "doc_oov_rate",
@@ -47,6 +47,7 @@ def test_never_green_queries_sit_inside_driver_window():
         "leakage_free_split",
         "next_event_training_pairs",
         "daily_volume_cusum",
+        "dedup_disposition",
         "embedding_label_drift",
         "substring_run_pairs",
         "weighted_doc_sample",

@@ -542,3 +542,56 @@ def test_leakage_free_split_no_pair_straddles(spark, sf_dir):
         .count()
     )
     assert straddlers == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_disposition
+# ---------------------------------------------------------------------------
+
+
+def test_dedup_disposition_hand_computed(spark):
+    """Exact pair + near pair + singleton: exact_dup outranks near_dup,
+    survivors point one lane up (exact -> content-group min, near ->
+    cluster min), kept points at itself."""
+    from kafkastreamingetl_spark.operators.dedup import dedup_disposition
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    near = base.replace("today", "tonight")
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, near),  # near-dup of 1 -> cluster min 1
+            (4, base),  # exact copy of 1 -> exact survivor 1
+            (9, "completely different words about spark partitions here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r.doc_id: (r.status, r.survivor_id)
+        for r in dedup_disposition(docs).collect()
+    }
+    assert got == {
+        1: ("kept", 1),
+        2: ("near_dup", 1),
+        4: ("exact_dup", 1),
+        9: ("kept", 9),
+    }
+
+
+def test_dedup_disposition_partitions_and_counts(spark, sf_dir):
+    """On the real corpus: statuses partition the corpus (one row per
+    doc), kept-count equals the composed dedup pipeline's survivor
+    count for the same lanes."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.dedup import (
+        dedup_disposition,
+        exact_dedup,
+        neardup_dedup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    disp = dedup_disposition(docs)
+    assert disp.count() == docs.count()
+    kept = disp.filter("status = 'kept'").count()
+    composed = neardup_dedup(exact_dedup(docs)).count()
+    assert kept == composed
