@@ -113,6 +113,18 @@ STRESS_QUERIES = [
     "substring_run_pairs",
     "weighted_doc_sample",
     "hard_negative_topk",
+    # round-9 late additions: snapshot-diff join at 10× the doc volume,
+    # the bucketed layout rebuilt over 10× the fact rows, MG candidate
+    # behavior at 10× the token stream, the cluster closure consumed by
+    # the split/disposition lanes at 10× the duplicate graph, per-user
+    # window occupancy, and the CUSUM day grid
+    "corpus_snapshot_diff",
+    "bucketed_order_rollup",
+    "frequent_tokens_sketch",
+    "leakage_free_split",
+    "dedup_disposition",
+    "next_event_training_pairs",
+    "daily_volume_cusum",
 ]
 
 pytestmark = pytest.mark.slow

@@ -78,6 +78,10 @@ HEAVY_QUERIES = [
     "embedding_ann_topk",
     "embedding_ivf_topk",
     "substring_run_pairs",
+    # not expensive at sf0.1, but its CLAIM is a scale claim: the
+    # Misra-Gries sketch pass must stay O(capacity) memory and the verify
+    # shuffle candidate-bounded as the token stream grows ×K
+    "frequent_tokens_sketch",
 ]
 
 _SHUFFLE_TEXT = (
