@@ -634,7 +634,10 @@ def daily_volume_cusum(events: DataFrame, *, key_col: str = "event_type") -> Dat
     combined), a key-sized broadcast of (N, D), then windows partitioned
     by key over day-grained rows — state per task is one partition of
     DAYS, not events. Observed days only (a silent day contributes no
-    row; the dense-series lane exists for zero-fill semantics).
+    row; the dense-series lane exists for zero-fill semantics). A NULL
+    key drops at the totals equi-join in BOTH engines (NULL never
+    equi-matches) — a null event_type is a cleaning problem
+    (clean_events), not a monitored stream.
     """
     d19 = "decimal(19,0)"
     daily = (
