@@ -22,6 +22,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from kafkastreamingetl_spark.streaming import (
+    semantic_flag_sink,
     neardup_flag_sink,
     read_upserted,
     run_available_now,
@@ -168,5 +169,48 @@ def test_neardup_flag_sink_50_batches_flat_latency_bounded_checkpoint(
     # the shared base text makes later batches near-dups of earlier ones:
     # the persisted index must actually flag across batches
     flagged = report.where(F.col("n_index_bands") > 0).count()
+    assert flagged > 0
+    print("SCALE.md numbers:", stats)
+
+
+def test_semantic_flag_sink_50_batches_flat_latency_bounded_checkpoint(
+    spark, tmp_path
+):
+    """The embedding twin under the same 50-batch gate: the persisted
+    signature index grows, but per-batch cost tracks the BATCH (probe =
+    bucket equi-join against an 8-byte-signature index, never vectors)."""
+    import random
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "report")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    rng = random.Random(5)
+    base = [rng.uniform(-0.3, 0.3) for _ in range(64)]
+    for i in range(N_BATCHES):
+        rows = []
+        for j in range(8):
+            if j % 2 == 0:
+                # tiny jitter on a shared anchor: near-dups across batches
+                vec = [v + 0.0001 * ((i * 8 + j) % 7) for v in base]
+            else:
+                vec = [rng.uniform(-0.3, 0.3) for _ in range(64)]
+            rows.append((i * 8 + j, vec))
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>"
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "vec_id long, embedding array<float>"
+    ).option("maxFilesPerTrigger", 1).parquet(src)
+    q = semantic_flag_sink(stream, out, index, ckpt, available_now=True)
+    run_available_now([q], timeout_sec=900)
+    stats = _assert_flat_and_stateless(q, ckpt, "semantic_flag_sink")
+
+    report = spark.read.parquet(out)
+    assert report.select("batch_id").distinct().count() == N_BATCHES
+    assert report.count() == N_BATCHES * 8
+    # the shared anchor must flag against the index across batches
+    flagged = report.where(F.col("n_index_buckets") > 0).count()
     assert flagged > 0
     print("SCALE.md numbers:", stats)
