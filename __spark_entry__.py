@@ -39,82 +39,79 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The driver's CORRECTNESS harness records the first ~50 dict entries per
 # round, so ordering is part of the verification contract (no green row may
-# age past ~4 rounds). Round-9 window: the 44 queries whose latest green
-# row is round 5 (3 rounds stale — the reference-surface staples and the
-# exact-ANN serving family, VERDICT r8 item 1) head the window; then the 3
-# queries whose implementation changed this round (int64→decimal widening
-# in the drift/TWAP/trend moment sums); then new round-9 registrations;
-# the first of the 46 round-6 greens start rotating through the remaining
-# slots (the rest rotate in round 10, becoming the only age-4 cohort).
+# age past ~4 rounds). Round-10 window (the rotation plan committed at
+# round-9 close, VERDICT r9 item 1): the thirteen round-9 registrations
+# that have never earned a driver row head the window (never-green outranks
+# stale-green), then 37 of the 43 queries whose latest green row is round 6
+# (3 rounds stale) fill the remaining slots. The 6 r6-green queries that do
+# not fit — chosen as the cheapest-to-re-green by BENCH_DETAIL wall time —
+# reach age 4 (the policy boundary) and MUST lead the round-11 window:
+#   rolling_hour_value, doc_pack_bins, user_running_totals,
+#   corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract.
+# After them, round 11 fills with any round-10 never-greens, then starts
+# rotating the 47-query r8 cohort (age 3 at round 11).
 _PRIORITY = [
-    # latest green row is round 5 — 3 rounds stale, rotate (VERDICT r8 #1)
-    # reference-surface staples first
-    "clean_events",
-    "windowed_agg_tumbling",
-    "windowed_agg_sliding",
-    "session_agg",
-    "enrich_events",
-    "daily_segment_metrics",
-    "premium_rollup",
-    "daily_metrics_run_date",
-    "order_line_rollup",
-    "top_segments",
-    "json_decode",
-    "json_roundtrip",
-    "wire_normalize",
-    "sql_projection",
-    "sql_top_active_days",
-    "literal_dim_enrich",
-    "props_map_extract",
-    "csv_wire_roundtrip",
-    # analytics on events/orders
-    "cohort_retention",
-    "grouping_sets_activity",
-    "active_customers",
-    "daily_counts_unpivot",
-    "events_last_purchase",
-    "orphan_events",
-    "purchase_attribution",
-    "supplier_region_revenue",
-    "type_stats_null_safe",
-    "value_histogram",
-    "value_percentiles",
-    "value_quartiles_by_type",
-    # exact-ANN serving family (oldest evidence in the package)
-    "embedding_topk",
-    "embedding_ann_topk",
-    "embedding_ann_multiprobe",
-    "embedding_ivf_topk",
-    "embedding_pq_topk",
-    "embedding_label_centroids",
-    "embedding_neardup_pairs",
-    # near-dup verify lanes + multimodal + sampling
-    "neardup_pairs_jaccard",
-    "neardup_pairs_containment",
-    "simhash_candidates",
-    "multimodal_features",
-    "multimodal_frame_sample",
-    "multimodal_resize",
-    "training_set_sample",
-    # implementation changed in round 9: moment-sum operands widened to
-    # decimal(19,0)/HUGEINT before the product (overflow fix, ADVICE r8)
-    "events_value_drift",
-    "time_weighted_value",
-    "daily_value_trend",
-    # round-6 greens begin rotating through the remaining slots (the rest
-    # of that 46-query cohort rotates in round 10)
-    "embedding_int8_topk",
-    "embedding_ivf_kmeans_topk",
-    "embedding_pq_kmeans_topk",
-    # --- driver window boundary (~50) ---
-    # ROUND-10 ROTATION PLAN: head the next window with the thirteen
-    # round-9 registrations that have never earned a driver row
-    # (doc_ngram_novelty, doc_oov_rate, embedding_label_drift,
-    # substring_run_pairs, weighted_doc_sample, hard_negative_topk,
-    # corpus_snapshot_diff, bucketed_order_rollup, frequent_tokens_sketch,
-    # leakage_free_split, next_event_training_pairs, daily_volume_cusum,
-    # dedup_disposition — never-green outranks stale-green), then fill
-    # with the r6 cohort (oldest evidence first).
+    # never-green round-9 registrations (local DuckDB differential green;
+    # 12 of 13 additionally ×10/×50 scale-stressed) — the window head
+    "substring_run_pairs",
+    "frequent_tokens_sketch",
+    "daily_volume_cusum",
+    "dedup_disposition",
+    "leakage_free_split",
+    "next_event_training_pairs",
+    "bucketed_order_rollup",
+    "weighted_doc_sample",
+    "hard_negative_topk",
+    "corpus_snapshot_diff",
+    "doc_ngram_novelty",
+    "doc_oov_rate",
+    "embedding_label_drift",
+    # r6-green cohort (3 rounds stale): 37 of 43 rotate now
+    # — TPC-H shapes + SQL-door analytics
+    "pricing_summary",
+    "top_revenue_orders",
+    "customer_order_distribution",
+    "late_order_priority",
+    "orders_above_customer_avg",
+    "events_dow_hour_heatmap",
+    "events_zscore_anomalies",
+    "daily_dense_series",
+    "salted_join_rollup",
+    "events_column_profile",
+    # — corpus / text-pipeline lanes
+    "doc_vocab_token_counts",
+    "eval_contamination",
+    "decontaminated_corpus",
+    "incremental_dedup_documents",
+    "quality_weighted_sample",
+    "doc_lm_score",
+    "temperature_mix_sample",
+    "dedup_rate_by_source",
+    "hot_ngrams",
+    "strip_boilerplate",
+    "dup_ngram_doc_fraction",
+    "quality_percentile_filter",
+    "vocab_top_tokens",
+    "minhash_jaccard_estimate",
+    # — embedding / ANN lanes
+    "embedding_ann_multitable",
+    "embedding_covariance",
+    "kmeans_centroids",
+    "cluster_balanced_sample",
+    # — temporal / incremental lanes
+    "error_impact_windows",
+    "scd2_event_type_history",
+    "campaign_attribution_scd2",
+    "user_daily_streaks",
+    "user_value_ewma",
+    "incremental_daily_rollup",
+    "user_snapshot_diff",
+    "entity_match_suppliers",
+    "winsorized_type_stats",
+    # --- driver window boundary (13 + 37 = 50) ---
+    # ROUND-11 ROTATION PLAN: head with the six age-4 r6 stragglers named
+    # above, then any round-10 never-green registrations, then fill with
+    # the oldest slice of the r8-green cohort (47 queries, age 3 at r11).
 ]
 
 

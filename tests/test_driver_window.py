@@ -33,27 +33,14 @@ def test_never_green_queries_sit_inside_driver_window():
     # prior failures and adds new operators; same-round additions are the
     # ones that wait (they rotate in next round). That deferral must be a
     # DECISION, not an accident: any never-green query outside the window
-    # has to be on this explicit list. Round 9: the window is fully booked
-    # with the 44 three-round-stale rotations + 3 implementation-changed
-    # overflow fixes + 3 r6 rotations, so the thirteen round-9 additions
-    # (locally differential-green) wait for round 10, whose window MUST
-    # head with these thirteen (never-green outranks stale-green) and
-    # fill the rest from the r6 cohort.
-    deferred_this_round: set[str] = {
-        "doc_ngram_novelty",
-        "doc_oov_rate",
-        "bucketed_order_rollup",
-        "frequent_tokens_sketch",
-        "leakage_free_split",
-        "next_event_training_pairs",
-        "daily_volume_cusum",
-        "dedup_disposition",
-        "embedding_label_drift",
-        "substring_run_pairs",
-        "weighted_doc_sample",
-        "hard_negative_topk",
-        "corpus_snapshot_diff",
-    }
+    # has to be on this explicit list. Round 10: the window heads with the
+    # thirteen round-9 never-greens and fills with 37 of the 43 r6-greens;
+    # round-10 additions (locally differential-green) wait for round 11,
+    # whose window MUST lead with the six age-4 r6 stragglers
+    # (rolling_hour_value, doc_pack_bins, user_running_totals,
+    # corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract)
+    # and then these never-greens.
+    deferred_this_round: set[str] = set()
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (
         f"queries with no green driver row outside the first "
