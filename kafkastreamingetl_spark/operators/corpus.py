@@ -1644,8 +1644,10 @@ def _mg_partition(capacity: int):
     sit at >= delta and the trim burns >= delta*(k+1) of the partition's
     mass — hence the sum of all deltas is <= n_p/(k+1), and any token
     with partition count > n_p/(k+1) still has a positive counter at the
-    end. Emits the surviving candidate tokens (n_part NULL) plus one
-    NULL-token row carrying the partition's total token count.
+    end. Emits the surviving candidates with their RESIDUAL counter
+    values (``weight``) — the mergeable-summary form :func:`_mg_merge`
+    consumes — plus one NULL-token row whose weight is the partition's
+    total token count.
     """
 
     def run(batches):
@@ -1668,13 +1670,91 @@ def _mg_partition(capacity: int):
         yield pd.DataFrame(
             {
                 "token": list(counters.keys()) + [None],
-                "n_part": pd.array(
-                    [None] * len(counters) + [total], dtype="Int64"
+                "weight": pd.array(
+                    list(counters.values()) + [total], dtype="Int64"
                 ),
             }
         )
 
     return run
+
+
+def _mg_merge(capacity: int):
+    """Merge Misra-Gries summaries into one capacity-bounded summary.
+
+    Consumes (token, weight) summary rows — residual counters from
+    :func:`_mg_partition` or from a previous merge level — and runs the
+    SAME trim: counters add token-wise (weighted), and on overflow the
+    ``over``-th-smallest value is subtracted from every counter. MG
+    summaries are mergeable with no loss of guarantee (Agarwal et al.,
+    "Mergeable Summaries", PODS'12): every trim at every level burns
+    >= delta*(k+1) of the ORIGINAL stream's mass, so the sum of all
+    deltas across partitions and merge levels stays <= n/(k+1), and any
+    token with global count > n/(k+1) still holds a positive counter in
+    the final summary. NULL-token rows carry stream totals; their
+    weights add outside the counter dict and re-emit as one NULL row.
+    """
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict = {}
+        total = 0
+        for pdf in batches:
+            isnull = pdf["token"].isna()
+            if isnull.any():
+                total += int(pdf.loc[isnull, "weight"].sum())
+            for tok, w in (
+                pdf.loc[~isnull].groupby("token")["weight"].sum().items()
+            ):
+                counters[tok] = counters.get(tok, 0) + int(w)
+            over = len(counters) - capacity
+            if over > 0:
+                vals = np.fromiter(
+                    counters.values(), dtype=np.int64, count=len(counters)
+                )
+                delta = int(np.partition(vals, over - 1)[over - 1])
+                counters = {t: c - delta for t, c in counters.items() if c > delta}
+        yield pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "weight": pd.array(
+                    list(counters.values()) + [total], dtype="Int64"
+                ),
+            }
+        )
+
+    return run
+
+
+_MG_SUMMARY_SCHEMA = "token string, weight long"
+
+
+def mg_summary(
+    df: DataFrame, *, capacity: int = MG_CAPACITY, text_col: str = "text"
+) -> DataFrame:
+    """The corpus-wide Misra-Gries summary as a <= capacity+1 row frame.
+
+    Tree shape: per-partition summaries (zero shuffle, O(capacity) state
+    per task) -> optional 32-way intermediate merge when the scan is wide
+    (keeps any single merger's input bounded at ~parts/32 summaries) ->
+    one final merger. The driver-facing result is O(capacity) ROWS
+    REGARDLESS OF INPUT PARTITIONING — at 10^5 scan tasks the old flat
+    collect was partitions*(capacity+1) candidate strings on the driver;
+    the merged summary stays <= capacity+1 (VERDICT r9 item 3).
+    """
+    from .text import tokens
+
+    stream = df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+    sketch = stream.mapInPandas(_mg_partition(capacity), _MG_SUMMARY_SCHEMA)
+    if sketch.rdd.getNumPartitions() > 32:
+        sketch = sketch.repartition(32, F.col("token")).mapInPandas(
+            _mg_merge(capacity), _MG_SUMMARY_SCHEMA
+        )
+    return sketch.repartition(1).mapInPandas(
+        _mg_merge(capacity), _MG_SUMMARY_SCHEMA
+    )
 
 
 def frequent_tokens_sketch(
@@ -1687,14 +1767,15 @@ def frequent_tokens_sketch(
     share strictly exceeds 1/(capacity+1), with EXACT counts — found
     without ever shuffling the vocabulary.
 
-    Pass 1 (sketch, zero shuffle): each partition runs the bounded-memory
+    Pass 1 (sketch + tree merge): each partition runs the bounded-memory
     Misra-Gries summary (:func:`_mg_partition`, O(capacity) state per
-    task). The union of per-partition survivors is a SUPERSET of every
-    global heavy hitter: if total(x) > n/(k+1), then some partition has
-    count_p(x) > n_p/(k+1) (averaging over partitions), and such a token
-    always survives that partition's summary. The sketch is model-sized
-    (<= partitions*(capacity+1) rows), so it is collected like a fitted
-    model — the same k-sized-collect boundary the ANN fitters use.
+    task, zero shuffle), and the per-partition summaries tree-merge into
+    ONE capacity-bounded summary (:func:`mg_summary` — MG summaries are
+    mergeable with the same n/(k+1) guarantee, so the merged survivor
+    set is still a SUPERSET of every global heavy hitter). Only that
+    summary — <= capacity+1 rows no matter how many scan tasks ran — is
+    collected like a fitted model, the same k-sized-collect boundary the
+    ANN fitters use.
 
     Pass 2 (verify, pure JVM): the candidate set broadcasts back over a
     second scan; only candidate occurrences reach the aggregate, so the
@@ -1716,11 +1797,10 @@ def frequent_tokens_sketch(
     def stream():
         return df.select(F.explode(tokens(F.col(text_col))).alias("token"))
 
-    sketch = stream().mapInPandas(
-        _mg_partition(capacity), "token string, n_part long"
-    )
-    rows = sketch.collect()  # model-sized: <= partitions*(capacity+1)
-    n_total = sum(r.n_part for r in rows if r.token is None)
+    rows = mg_summary(
+        df, capacity=capacity, text_col=text_col
+    ).collect()  # O(capacity): <= capacity+1 rows at any partitioning
+    n_total = sum(r.weight for r in rows if r.token is None)
     cands = [(r.token,) for r in rows if r.token is not None]
     spark = df.sparkSession
     if not cands or n_total == 0:

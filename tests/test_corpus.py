@@ -625,9 +625,73 @@ def test_mg_partition_superset_and_bounded():
     out = pd.concat(list(_mg_partition(8)(iter(batches))))
     survivors = set(out[out["token"].notna()]["token"])
     assert len(survivors) <= 8
-    total = int(out[out["token"].isna()]["n_part"].iloc[0])
+    total = int(out[out["token"].isna()]["weight"].iloc[0])
     assert total == 500
     true_counts = Counter(stream)
     for tok, cnt in true_counts.items():
         if cnt * 9 > 500:
             assert tok in survivors, tok
+
+
+def test_mg_merge_preserves_superset_guarantee():
+    """Partition the stream arbitrarily, summarize each piece, merge the
+    summaries: the merged survivor set stays <= capacity, the NULL row
+    carries the exact global total, and every global heavy hitter
+    (count > n/(k+1)) survives the merge — the mergeability property the
+    tree collapse relies on."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from kafkastreamingetl_spark.operators.corpus import (
+        _mg_merge,
+        _mg_partition,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    stream = rng.choices(
+        ["hh1"] * 6 + ["hh2"] * 4 + [f"cold{i}" for i in range(50)], k=2000
+    )
+    cap = 6
+    cuts = sorted(rng.sample(range(1, 2000), 9))
+    pieces = [
+        stream[a:b] for a, b in zip([0] + cuts, cuts + [2000]) if b > a
+    ]
+    summaries = [
+        pd.concat(list(_mg_partition(cap)(iter([pd.DataFrame({"token": p})]))))
+        for p in pieces
+    ]
+    merged = pd.concat(list(_mg_merge(cap)(iter(summaries))))
+    survivors = set(merged[merged["token"].notna()]["token"])
+    assert len(survivors) <= cap
+    assert int(merged[merged["token"].isna()]["weight"].iloc[0]) == 2000
+    for tok, cnt in Counter(stream).items():
+        if cnt * (cap + 1) > 2000:
+            assert tok in survivors, tok
+
+
+def test_mg_summary_driver_payload_bounded(spark):
+    """The collected summary is O(capacity) rows REGARDLESS of input
+    partitioning (VERDICT r9 item 3): the tree merge keeps the driver
+    payload <= 2*(capacity+1) where the old flat collect grew as
+    partitions*(capacity+1)."""
+    import random
+
+    from kafkastreamingetl_spark.operators.corpus import mg_summary
+
+    rng = random.Random(31)
+    vocab = [f"w{i}" for i in range(60)]
+    texts = [
+        " ".join(rng.choices(vocab, weights=[40, 25] + [1] * 58, k=25))
+        for _ in range(80)
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    cap = 5
+    for parts in (1, 13, 40):
+        rows = mg_summary(docs.repartition(parts), capacity=cap).collect()
+        assert len(rows) <= 2 * (cap + 1), (parts, len(rows))
+        assert sum(r.weight for r in rows if r.token is None) == 80 * 25
