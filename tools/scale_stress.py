@@ -82,6 +82,17 @@ HEAVY_QUERIES = [
     # Misra-Gries sketch pass must stay O(capacity) memory and the verify
     # shuffle candidate-bounded as the token stream grows ×K
     "frequent_tokens_sketch",
+    # the composed text-dedup lane (VERDICT r9 item 5): signatures →
+    # banded candidates → cluster closure → per-doc disposition. Its
+    # shuffles are posting-list-shaped ((band, sig) equi-joins, never
+    # all-pairs) — the remaining unmeasured 100 TB claim before this run.
+    # neardup_clusters serves from the prewarmed closure memo (the build
+    # is timed under prewarm_neardup_clusters and held to the same bound);
+    # dedup_disposition layers the exact-hash lane + survivor joins on it.
+    "minhash_signatures",
+    "neardup_candidates",
+    "neardup_clusters",
+    "dedup_disposition",
 ]
 
 _SHUFFLE_TEXT = (
