@@ -388,25 +388,29 @@ def _sql_minhash_exprs() -> list[str]:
     ]
 
 
-def _sql_sigs_cte(table: str, text_col: str) -> str:
+def _sql_sigs_cte(table: str, text_col: str, prefix: str = "") -> str:
+    """CTE chain toks/feats/mhs/sigs deriving per-doc band signatures;
+    ``prefix`` renames the chain so one oracle can derive signatures for
+    two different slices (incremental dedup) without CTE collisions."""
     mh = _sql_minhash_exprs()
     sig_expr = "concat_ws('-', " + ", ".join(
         f"mh[band * {LSH_ROWS} + {j + 1}]::VARCHAR" for j in range(LSH_ROWS)
     ) + ")"
     band_ids = ", ".join(str(k) for k in range(LSH_BANDS))
+    p = prefix
     return f"""
-    toks AS (
+    {p}toks AS (
         SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
     ),
-    feats AS (
-        SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs FROM toks
+    {p}feats AS (
+        SELECT doc_id, {sql_shingle_hashes_over_w()} AS hs FROM {p}toks
     ),
-    mhs AS (
-        SELECT doc_id, [{", ".join(mh)}] AS mh FROM feats WHERE len(hs) > 0
+    {p}mhs AS (
+        SELECT doc_id, [{", ".join(mh)}] AS mh FROM {p}feats WHERE len(hs) > 0
     ),
-    sigs AS (
+    {p}sigs AS (
         SELECT doc_id, band, {sig_expr} AS sig
-        FROM mhs CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
+        FROM {p}mhs CROSS JOIN (SELECT unnest([{band_ids}]) AS band) b
     )
     """
 
@@ -1775,4 +1779,350 @@ def sql_dedup_disposition(
                     THEN c.cluster_id
                 ELSE e.doc_id END AS survivor_id
     FROM ex e LEFT JOIN clusters c ON e.doc_id = c.node
+    """
+
+
+# ---------------------------------------------------------------------------
+# LSH band load profile: measuring the blocking-key skew before it bites
+# ---------------------------------------------------------------------------
+
+
+def lsh_band_load_profile(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """Per-band load report of the MinHash-LSH blocking key: how many
+    buckets the band splits the corpus into, the biggest bucket, and the
+    EXACT candidate-pair volume sum over buckets of s*(s-1)/2 that the
+    (band, sig) self-join will emit — the number that decides whether the
+    dedup lane survives a corpus (``never all-pairs`` is only true while
+    max_bucket stays bounded; a template-heavy corpus collapsing one
+    signature to millions of docs turns the self-join quadratic, and THIS
+    report is how that is caught before the join runs).
+
+    Scale shape: two map-side-combined hash aggregations over the
+    signature projection — groupBy (band, sig) count, then groupBy band —
+    no joins, no windows. Pair volume is summed in DECIMAL(38,0) (house
+    overflow rule: s*(s-1) products widen to decimal(19,0) operands) and
+    emitted as DOUBLE after a /2 that is exact because every s*(s-1) is
+    even. The same profile shape applies to any blocking key (SimHash
+    bands, embedding buckets); MinHash bands are the registered instance.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, feats=feats)
+    buckets = sigs.groupBy("band", "sig").agg(F.count(F.lit(1)).alias("s"))
+    d19 = "decimal(19,0)"
+    pair2 = F.col("s").cast(d19) * (F.col("s") - 1).cast(d19)
+    return (
+        buckets.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("s").alias("n_docs"),
+            F.max("s").alias("max_bucket"),
+            (F.sum(pair2).cast("double") / 2.0).alias("candidate_pairs"),
+        )
+        .select("band", "n_buckets", "n_docs", "max_bucket", "candidate_pairs")
+    )
+
+
+def sql_lsh_band_load_profile(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    buckets AS (
+        SELECT band, sig, COUNT(*) AS s FROM sigs GROUP BY 1, 2
+    )
+    SELECT band::INT AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(s) AS BIGINT) AS n_docs,
+           CAST(MAX(s) AS BIGINT) AS max_bucket,
+           CAST(SUM(CAST(s AS HUGEINT) * (s - 1)) AS DOUBLE) / 2.0
+               AS candidate_pairs
+    FROM buckets
+    GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# incremental near-dup dedup: new batch vs an existing corpus
+# ---------------------------------------------------------------------------
+
+
+def incremental_neardup(
+    base: DataFrame,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """The production shape of NEAR-dup dedup: a new batch deduped against
+    an already-deduplicated base without re-clustering the base — the
+    lexical twin of :func:`incremental_exact_dedup` for the daily-ingest
+    pipeline where the base is 100 TB and the increment is a day's crawl.
+    A row of ``increment`` survives iff
+
+    - no BASE document verifies as a near-dup (LSH candidates from joining
+      increment signatures against base signatures, exact shingle-set
+      Jaccard >= ``min_jaccard``), and
+    - no LOWER-ID increment document verifies as a near-dup (pairwise
+      first-arrival-wins — deliberately NOT the transitive closure: the
+      incremental setting processes arrivals greedily, matching what the
+      streaming near-dup flag sink does per batch; full-closure semantics
+      remain the batch :func:`neardup_dedup`'s job).
+
+    Scale shape: signatures on both sides are shuffle-free projections;
+    the cross-corpus candidate join shuffles (band, sig) keys only — at a
+    daily cadence the increment side is orders of magnitude smaller, so
+    AQE broadcasts it and the BASE IS NEVER RESHUFFLED; verification joins
+    touch only candidate ids. Like the exact lane, the base signature side
+    can be persisted once (build-index form) so daily cost tracks the
+    increment.
+    """
+    feats_b = shingle_features(base, text_col, id_col)
+    feats_i = shingle_features(increment, text_col, id_col)
+    sigs_b = minhash_signatures(base, text_col, id_col, feats=feats_b).select(
+        F.col(id_col).alias("base_id"), "band", "sig"
+    )
+    sigs_i = minhash_signatures(
+        increment, text_col, id_col, feats=feats_i
+    ).select(F.col(id_col).alias("inc_id"), "band", "sig")
+    cands = (
+        sigs_i.join(sigs_b, ["band", "sig"])
+        .select("inc_id", "base_id")
+        .dropDuplicates()
+    )
+    fi = feats_i.select(F.col(id_col).alias("inc_id"), F.col("_hs").alias("hs_i"))
+    fb = feats_b.select(F.col(id_col).alias("base_id"), F.col("_hs").alias("hs_b"))
+    jac = F.size(F.array_intersect("hs_i", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_i", "hs_b")
+    )
+    dup_vs_base = (
+        cands.join(fi, "inc_id")
+        .join(fb, "base_id")
+        .filter(jac >= F.lit(min_jaccard))
+        .select(F.col("inc_id").alias(id_col))
+        .distinct()
+    )
+    dup_within = (
+        neardup_pairs(increment, text_col, id_col, min_jaccard=min_jaccard)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return increment.join(dup_vs_base, id_col, "left_anti").join(
+        dup_within, id_col, "left_anti"
+    )
+
+
+def sql_incremental_neardup(
+    base_pred: str,
+    inc_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+    out_cols: str = "*",
+) -> str:
+    """DuckDB twin of :func:`incremental_neardup` where base and increment
+    are predicate-split slices of one table."""
+    base_t = f"(SELECT * FROM {table} WHERE {base_pred})"
+    inc_t = f"(SELECT * FROM {table} WHERE {inc_pred})"
+    jac = (
+        "len(list_intersect(i.hs, b.hs))::DOUBLE"
+        " / len(list_distinct(list_concat(i.hs, b.hs)))"
+    )
+    jac_ii = (
+        "len(list_intersect(x.hs, y.hs))::DOUBLE"
+        " / len(list_distinct(list_concat(x.hs, y.hs)))"
+    )
+    return f"""
+    WITH {_sql_sigs_cte(base_t, text_col, "b_")},
+    {_sql_sigs_cte(inc_t, text_col, "i_")},
+    cands AS (
+        SELECT DISTINCT i.doc_id AS inc_id, b.doc_id AS base_id
+        FROM i_sigs i JOIN b_sigs b ON i.band = b.band AND i.sig = b.sig
+    ),
+    dup_vs_base AS (
+        SELECT DISTINCT c.inc_id AS doc_id
+        FROM cands c
+        JOIN i_feats i ON c.inc_id = i.doc_id
+        JOIN b_feats b ON c.base_id = b.doc_id
+        WHERE {jac} >= {min_jaccard}
+    ),
+    intra_cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM i_sigs a JOIN i_sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    dup_within AS (
+        SELECT DISTINCT c.doc_b AS doc_id
+        FROM intra_cands c
+        JOIN i_feats x ON c.doc_a = x.doc_id
+        JOIN i_feats y ON c.doc_b = y.doc_id
+        WHERE {jac_ii} >= {min_jaccard}
+    )
+    SELECT {out_cols} FROM {inc_t} inc
+    WHERE inc.doc_id NOT IN (SELECT doc_id FROM dup_vs_base)
+      AND inc.doc_id NOT IN (SELECT doc_id FROM dup_within)
+    """
+
+
+# ---------------------------------------------------------------------------
+# PageRank centrality over the near-dup candidate graph
+# ---------------------------------------------------------------------------
+
+PR_MICRO = 1_000_000  # score quantization: integer micro-units
+PR_ITER = 3  # fixed power-iteration count, unrolled on both engines
+PR_DAMPING = 0.85
+
+
+def neardup_pagerank(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n_iter: int = PR_ITER,
+) -> DataFrame:
+    """PageRank centrality of each document in the near-dup CANDIDATE
+    graph (undirected: both directions of every LSH candidate pair) after
+    ``n_iter`` fixed power iterations — the template-hub detector: a
+    boilerplate page that collides with everything accumulates score from
+    its whole neighborhood, where raw degree only counts direct edges.
+    Output: ``(doc_id, degree, score_micro)`` for every node with >= 1
+    candidate edge.
+
+    Iterative-algorithm discipline on Spark: the iteration count is FIXED
+    and small, so the loop unrolls into one declarative plan (n_iter
+    join+aggregate rounds) — no driver-side convergence loop, no
+    collect(). The edge list is ``localCheckpoint``-ed lazily (the
+    connected-components / rankstats pattern): every unrolled round
+    references the edges, and without the pin Catalyst would inline and
+    re-execute the whole signature + self-join pipeline once per round
+    (observed: 4x the Generate/HashAggregate nodes in the plan). Each
+    round then shuffles (node, score) pairs only. Exactness across
+    engines: scores live in integer micro-units; each edge contribution
+    rounds score/degree once (same IEEE double division and
+    HALF_UP-for-positives round on both engines), per-node sums are exact
+    BIGINT adds (order-independent), and the damped update rounds
+    0.85*sum once per node per round. Every node has degree >= 1 by
+    construction, so there are no dangling-mass corrections.
+    """
+    pairs = lsh_candidate_pairs(df, text_col, id_col)
+    edges = (
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = deg.select(F.col("src").alias("node"), "deg")
+    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("n")))
+    # one-row broadcast scalars (house pattern: bounded crossJoin)
+    scores = nodes.crossJoin(n_df).select(
+        "node",
+        "deg",
+        F.round(F.lit(float(PR_MICRO)) / F.col("n")).cast("bigint").alias(
+            "score"
+        ),
+        F.round(F.lit((1.0 - PR_DAMPING) * PR_MICRO) / F.col("n"))
+        .cast("bigint")
+        .alias("base"),
+    )
+    for _ in range(n_iter):
+        contrib = (
+            edges.join(
+                scores.select(
+                    F.col("node").alias("src"), "deg", "score"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("score").cast("double") / F.col("deg"))
+                .cast("bigint")
+                .alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("m"))
+        )
+        scores = (
+            scores.select("node", "deg", "base")
+            .join(contrib, "node", "left")
+            .select(
+                "node",
+                "deg",
+                "base",
+                (
+                    F.col("base")
+                    + F.round(
+                        F.lit(PR_DAMPING)
+                        * F.coalesce(F.col("m"), F.lit(0)).cast("double")
+                    ).cast("bigint")
+                ).alias("score"),
+            )
+        )
+    return scores.select(
+        F.col("node").alias(id_col),
+        F.col("deg").alias("degree"),
+        F.col("score").alias("score_micro"),
+    )
+
+
+def sql_neardup_pagerank(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    n_iter: int = PR_ITER,
+) -> str:
+    """DuckDB twin: the same fixed iterations unrolled as CTEs s0..sN."""
+    rounds = []
+    for i in range(n_iter):
+        prev, cur = f"s{i}", f"s{i + 1}"
+        rounds.append(f"""
+    c{i + 1} AS (
+        SELECT e.dst AS node,
+               SUM(CAST(ROUND(CAST(s.score AS DOUBLE) / s.deg) AS BIGINT))
+                   AS m
+        FROM edges e JOIN {prev} s ON e.src = s.node
+        GROUP BY 1
+    ),
+    {cur} AS (
+        SELECT d.node, d.deg, d.base,
+               d.base + CAST(ROUND({PR_DAMPING} *
+                   CAST(COALESCE(c.m, 0) AS DOUBLE)) AS BIGINT) AS score
+        FROM s0 d LEFT JOIN c{i + 1} c ON d.node = c.node
+    )""")
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM cands
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM cands
+    ),
+    deg AS (SELECT src AS node, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    s0 AS (
+        SELECT node, deg,
+               CAST(ROUND({float(PR_MICRO)} / n) AS BIGINT) AS score,
+               CAST(ROUND({(1.0 - PR_DAMPING) * PR_MICRO} / n) AS BIGINT)
+                   AS base
+        FROM deg CROSS JOIN nn
+    ),{",".join(rounds)}
+    SELECT node AS doc_id,
+           CAST(deg AS BIGINT) AS degree,
+           score AS score_micro
+    FROM s{n_iter}
     """

@@ -786,6 +786,85 @@ def sql_ann_hyperplane_topk(
     """
 
 
+def ann_recall_report(
+    embeddings: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 10,
+) -> DataFrame:
+    """Per-query recall@k of the hyperplane-LSH serving path against the
+    exact top-k — the measurement that turns "LSH trades recall for a
+    bounded compare volume" from a claim into a number. Output one row per
+    query: ``(query_id, n_exact, n_approx, n_hit, recall)`` where
+    ``n_hit`` counts approximate results that appear in the exact top-k
+    and ``recall = n_hit / n_exact``.
+
+    Both inputs are the REGISTERED serving paths run verbatim
+    (:func:`cosine_topk`, :func:`ann_hyperplane_topk`) — deterministic
+    sets under the (cos DESC, vec_id ASC) total order, so the
+    intersection and the report are engine-reproducible. Everything after
+    the two top-k stages is k-bounded per query: a left-semi join on
+    (query_id, vec_id) and three tiny aggregations. At 100 TB this is the
+    recall-regression canary a serving pipeline runs per index build —
+    the cost is one exact pass over the query SAMPLE (not the corpus per
+    query: the exact side broadcasts the same sampled queries), which is
+    how offline recall evaluation is actually priced.
+    """
+    q = self_queries(embeddings) if queries is None else queries
+    exact = cosine_topk(embeddings, q, k).select("query_id", "vec_id")
+    approx = ann_hyperplane_topk(embeddings, q, k).select(
+        "query_id", "vec_id"
+    )
+    hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
+    n_exact = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact")
+    )
+    n_approx = approx.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_approx")
+    )
+    n_hit = hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        n_exact.join(n_approx, "query_id", "left")
+        .join(n_hit, "query_id", "left")
+        .select(
+            "query_id",
+            "n_exact",
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx"),
+            F.coalesce("n_hit", F.lit(0)).alias("n_hit"),
+            (
+                F.coalesce("n_hit", F.lit(0)).cast("double")
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+
+
+def sql_ann_recall_report(
+    table: str = "embeddings", k: int = 10, n_queries: int = 8
+) -> str:
+    """DuckDB twin of :func:`ann_recall_report`: the two registered
+    serving-path oracles nested as CTEs, then the same k-bounded
+    intersection arithmetic."""
+    return f"""
+    WITH exact AS ({sql_cosine_topk(table, k, n_queries)}),
+    approx AS ({sql_ann_hyperplane_topk(table, k, n_queries)}),
+    hit AS (
+        SELECT e.query_id, e.vec_id FROM exact e
+        SEMI JOIN approx a ON e.query_id = a.query_id AND e.vec_id = a.vec_id
+    ),
+    ne AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+    na AS (SELECT query_id, COUNT(*) AS n_approx FROM approx GROUP BY 1),
+    nh AS (SELECT query_id, COUNT(*) AS n_hit FROM hit GROUP BY 1)
+    SELECT ne.query_id,
+           CAST(ne.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(na.n_approx, 0) AS BIGINT) AS n_approx,
+           CAST(COALESCE(nh.n_hit, 0) AS BIGINT) AS n_hit,
+           CAST(COALESCE(nh.n_hit, 0) AS DOUBLE) / ne.n_exact AS recall
+    FROM ne
+    LEFT JOIN na ON ne.query_id = na.query_id
+    LEFT JOIN nh ON ne.query_id = nh.query_id
+    """
+
+
 _SQL_SQDIST = (
     "list_reduce([(x[1]::DOUBLE - x[2]) * (x[1]::DOUBLE - x[2])"
     " for x in list_zip({a}, {b})], (p, q) -> p + q)"

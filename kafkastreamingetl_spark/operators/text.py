@@ -753,3 +753,95 @@ def sql_doc_repetition_stats(table: str = "documents", text_col: str = "text") -
             AND distinct_token_frac >= {REP_MIN_DISTINCT}) AS keep
     FROM f
     """
+
+
+# ---------------------------------------------------------------------------
+# character-distribution entropy: gibberish / encoding-noise detector
+# ---------------------------------------------------------------------------
+
+ENT_MICRO = 1_000_000  # log quantization: integer micro-nats
+
+
+def doc_char_entropy(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document character-distribution entropy in micro-nats — the
+    CCNet-style gibberish signal: natural language sits in a narrow
+    entropy band (~2.5-3.5 nats for English char distributions), while
+    base64 blobs, minified code, and key-mash noise score high and
+    repeated-character padding scores near zero. Output:
+    ``(doc_id, n_chars, n_distinct_chars, entropy_micro)`` where
+    ``entropy_micro = sum over chars of c * round(-ln(c/L) * 1e6) / L``.
+
+    Exactness: each character class's negative log-probability quantizes
+    to integer micro-nats ONCE (the :func:`~.corpus.doc_lm_score` trick),
+    so the per-doc accumulation is a sum of exact bigint products in any
+    order and the differential stays bit-identical despite ln(); the
+    final /L is one double division. Shape: characters explode via
+    ``regexp_extract_all(., '.')`` (expression-only, linear in corpus
+    bytes), one (doc, char) count aggregation, then doc length arrives by
+    a doc-partitioned window sum over the (small) class counts rather
+    than a self-join — the explode pipeline is evaluated ONCE (a join
+    back onto the counts would make Catalyst inline and re-run it for
+    the length branch).
+    """
+    from pyspark.sql import Window
+
+    chars = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.expr(f"regexp_extract_all({text_col}, '.', 0)")
+        ).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("doc_id")
+    with_len = counts.select(
+        "doc_id",
+        "c",
+        F.sum("c").over(w).alias("len"),
+        F.count(F.lit(1)).over(w).alias("n_distinct_chars"),
+    )
+    mnll = F.round(
+        -F.log(F.col("c").cast("double") / F.col("len")) * ENT_MICRO
+    ).cast("bigint")
+    return (
+        with_len.select(
+            "doc_id", "len", "n_distinct_chars", (F.col("c") * mnll).alias("_e")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.max("len").alias("n_chars"),
+            F.max("n_distinct_chars").alias("n_distinct_chars"),
+            (F.sum("_e").cast("double") / F.max("len")).alias(
+                "entropy_micro"
+            ),
+        )
+    )
+
+
+def sql_doc_char_entropy(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+    WITH chars AS (
+        SELECT doc_id, unnest(regexp_extract_all({text_col}, '.')) AS ch
+        FROM {table}
+    ),
+    counts AS (
+        SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2
+    ),
+    lens AS (
+        SELECT doc_id, SUM(c) AS len, COUNT(*) AS n_distinct_chars
+        FROM counts GROUP BY 1
+    )
+    SELECT counts.doc_id,
+           CAST(MAX(lens.len) AS BIGINT) AS n_chars,
+           CAST(MAX(lens.n_distinct_chars) AS BIGINT) AS n_distinct_chars,
+           CAST(SUM(c * CAST(ROUND(-ln(CAST(c AS DOUBLE) / lens.len)
+                                   * {ENT_MICRO}) AS BIGINT)) AS DOUBLE)
+               / MAX(lens.len) AS entropy_micro
+    FROM counts JOIN lens ON counts.doc_id = lens.doc_id
+    GROUP BY 1
+    """

@@ -722,3 +722,97 @@ def sql_daily_volume_cusum(key_col: str = "event_type") -> str:
     FROM mx
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# inter-arrival profile: per-user event-gap statistics (bot/burst signal)
+# ---------------------------------------------------------------------------
+
+BURST_GAP_US = 60_000_000  # gaps under a minute count as burst behavior
+
+
+def user_interarrival_stats(
+    events: DataFrame, *, key_col: str = "user_id"
+) -> DataFrame:
+    """Per-user inter-arrival profile of the event stream: gap count,
+    mean/min/max gap seconds, and how many gaps were sub-minute bursts —
+    the rate-anomaly fingerprint that separates organic users from bots
+    and replayed logs before their events poison a training corpus (a
+    scraper fires every 50 ms forever; a human doesn't).
+
+    Gaps are ``unix_micros`` deltas over the (ts, event_id) TOTAL order
+    (equal timestamps give deterministic zero gaps on both engines —
+    themselves a replay signal). One lag window partitioned by user (never
+    unpartitioned), one map-side-combinable aggregation; micro-second
+    sums stay exact BIGINTs (a user's total observed span cannot exceed
+    int64 micros), with double division only at the output. Single-event
+    users keep a row with ``n_gaps = 0`` and NULL gap stats — honest, not
+    0/0. Null timestamps are non-observations.
+    """
+    ev = events.filter(F.col("ts").isNotNull()).select(
+        F.col(key_col).alias("key"),
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.col("t_us").asc_nulls_first(), F.col("event_id").asc_nulls_first()
+    )
+    gaps = ev.withColumn("gap_us", F.col("t_us") - F.lag("t_us").over(w))
+    return (
+        gaps.groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("gap_us").alias("n_gaps"),
+            F.sum("gap_us").alias("_sum_us"),
+            F.min("gap_us").alias("_min_us"),
+            F.max("gap_us").alias("_max_us"),
+            F.sum(
+                F.when(F.col("gap_us") < BURST_GAP_US, 1).otherwise(0)
+            ).alias("_n_burst"),
+        )
+        .select(
+            F.col("key").alias(key_col),
+            "n_events",
+            "n_gaps",
+            F.when(
+                F.col("n_gaps") > 0,
+                F.col("_sum_us").cast("double")
+                / F.col("n_gaps")
+                / 1e6,
+            ).alias("mean_gap_sec"),
+            (F.col("_min_us").cast("double") / 1e6).alias("min_gap_sec"),
+            (F.col("_max_us").cast("double") / 1e6).alias("max_gap_sec"),
+            F.coalesce(F.col("_n_burst"), F.lit(0))
+            .cast("bigint")
+            .alias("n_burst_gaps"),
+        )
+    )
+
+
+def sql_user_interarrival_stats(key_col: str = "user_id") -> str:
+    return f"""
+    WITH ev AS (
+        SELECT {key_col} AS key, epoch_us(ts) AS t_us, event_id
+        FROM events WHERE ts IS NOT NULL
+    ),
+    gaps AS (
+        SELECT key,
+               t_us - LAG(t_us) OVER (
+                   PARTITION BY key
+                   ORDER BY t_us ASC NULLS FIRST, event_id ASC NULLS FIRST
+               ) AS gap_us
+        FROM ev
+    )
+    SELECT key AS {key_col},
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(gap_us) AS BIGINT) AS n_gaps,
+           CASE WHEN COUNT(gap_us) > 0
+                THEN CAST(SUM(gap_us) AS DOUBLE) / COUNT(gap_us) / 1e6
+                END AS mean_gap_sec,
+           CAST(MIN(gap_us) AS DOUBLE) / 1e6 AS min_gap_sec,
+           CAST(MAX(gap_us) AS DOUBLE) / 1e6 AS max_gap_sec,
+           CAST(COALESCE(SUM(CASE WHEN gap_us < {BURST_GAP_US} THEN 1
+                                  ELSE 0 END), 0) AS BIGINT) AS n_burst_gaps
+    FROM gaps
+    GROUP BY 1
+    """

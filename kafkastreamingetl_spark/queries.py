@@ -3564,3 +3564,101 @@ def q_dedup_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
     window plus the shared memoized cluster closure
     (operators/dedup.py dedup_disposition)."""
     return dedup_ops.dedup_disposition(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "ann_recall_report",
+    oracle=sim_ops.sql_ann_recall_report(),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the hyperplane-LSH serving path against the exact
+    top-10, per query vector — the measurement that prices the LSH
+    recall-for-compare-volume trade and the regression canary a serving
+    pipeline runs per index build. Both sides are the REGISTERED serving
+    paths run verbatim; everything after them is k-bounded
+    (operators/similarity.py ann_recall_report)."""
+    return sim_ops.ann_recall_report(_t(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "lsh_band_load_profile",
+    oracle=dedup_ops.sql_lsh_band_load_profile(),
+)
+def q_lsh_band_load_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-band load report of the MinHash-LSH blocking key: bucket
+    count, biggest bucket, and the EXACT candidate-pair volume
+    sum(s*(s-1)/2) the (band, sig) self-join will emit — how a
+    template-heavy corpus that would turn the dedup self-join quadratic
+    is caught BEFORE the join runs. Two map-side-combined aggregations,
+    no joins (operators/dedup.py lsh_band_load_profile)."""
+    return dedup_ops.lsh_band_load_profile(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "incremental_neardup_documents",
+    oracle=dedup_ops.sql_incremental_neardup(
+        "doc_id % 2 = 0",
+        "doc_id % 2 = 1",
+        out_cols="inc.doc_id, inc.lang, inc.source",
+    ),
+)
+def q_incremental_neardup_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental NEAR-dup dedup — the daily-ingest shape: a new batch
+    (odd doc_ids) deduped against an existing base corpus (even doc_ids)
+    without re-clustering the base. Survivors have no verified near-dup
+    in the base and none at a lower id within the batch (pairwise
+    first-arrival-wins, deliberately not the transitive closure — that
+    is the batch lane's job). The cross-corpus join shuffles (band, sig)
+    keys only; the base is never reshuffled
+    (operators/dedup.py incremental_neardup)."""
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    return dedup_ops.incremental_neardup(base, inc).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "neardup_pagerank",
+    oracle=dedup_ops.sql_neardup_pagerank(),
+)
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the near-dup candidate graph (3 fixed
+    power iterations unrolled into ONE declarative plan — no driver
+    loop, no collect): the template-hub detector that separates a
+    boilerplate page colliding with its whole neighborhood from a page
+    with one stray twin. Scores are exact integer micro-units; each
+    round shuffles (node, score) pairs only
+    (operators/dedup.py neardup_pagerank)."""
+    return dedup_ops.neardup_pagerank(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "user_interarrival_stats",
+    oracle=ts_ops.sql_user_interarrival_stats(),
+)
+def q_user_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival profile: gap count, mean/min/max gap
+    seconds, sub-minute burst count over the (ts, event_id) total order
+    — the rate-anomaly fingerprint that flags bots and replayed logs
+    before their events poison a corpus. One user-partitioned lag
+    window, exact microsecond bigint sums, double division at the end
+    (operators/timeseries.py user_interarrival_stats)."""
+    return ts_ops.user_interarrival_stats(load_events(spark, sf_dir))
+
+
+@query(
+    "doc_char_entropy",
+    oracle=text_ops.sql_doc_char_entropy(),
+)
+def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution entropy per document in exact integer
+    micro-nats (one quantized -ln per (doc, char) class, order-
+    independent bigint accumulation, one double division) — the
+    gibberish/encoding-noise detector: base64 blobs and key-mash score
+    high, repeated-padding scores near zero, natural text sits in a
+    narrow band (operators/text.py doc_char_entropy)."""
+    return text_ops.doc_char_entropy(_t(spark, sf_dir, "documents"))

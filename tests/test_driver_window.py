@@ -40,7 +40,14 @@ def test_never_green_queries_sit_inside_driver_window():
     # (rolling_hour_value, doc_pack_bins, user_running_totals,
     # corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract)
     # and then these never-greens.
-    deferred_this_round: set[str] = set()
+    deferred_this_round: set[str] = {
+        "ann_recall_report",
+        "lsh_band_load_profile",
+        "incremental_neardup_documents",
+        "neardup_pagerank",
+        "user_interarrival_stats",
+        "doc_char_entropy",
+    }
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (
         f"queries with no green driver row outside the first "

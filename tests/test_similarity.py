@@ -327,3 +327,51 @@ def test_hard_negative_topk_hand_computed(spark):
         "query_id long, query_vec array<float>, query_label int",
     )
     assert hard_negative_topk(emb, nullq, k=5).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_report (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_ann_recall_report_perfect_when_one_bucket(spark):
+    """Co-directional vectors (one ray, varying magnitude) land on the
+    same side of EVERY hyperplane — one bucket — so LSH compares the full
+    corpus and recall@k is exactly 1.0 for every query (ties in cos break
+    on vec_id identically on both paths)."""
+    from kafkastreamingetl_spark.operators.similarity import (
+        ANN_DIM,
+        ann_recall_report,
+    )
+
+    rows = [
+        (i, [(1.0 + 0.01 * i)] * ANN_DIM)
+        for i in range(30)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    )
+    out = ann_recall_report(emb, k=10).collect()
+    assert len(out) == 8
+    for r in out:
+        assert r.n_exact == 10
+        assert r.n_approx == 10
+        assert r.n_hit == 10
+        assert r.recall == 1.0
+
+
+def test_ann_recall_report_invariants_real_data(spark, sf_dir):
+    """On the real corpus: hits never exceed either side, recall is the
+    exact ratio, and the approximate side never returns more than k."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = ann_recall_report(emb, k=10).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert 0 <= r.n_hit <= min(r.n_exact, r.n_approx)
+        assert r.n_approx <= 10
+        assert r.recall == r.n_hit / r.n_exact

@@ -595,3 +595,127 @@ def test_dedup_disposition_partitions_and_counts(spark, sf_dir):
     kept = disp.filter("status = 'kept'").count()
     composed = neardup_dedup(exact_dedup(docs)).count()
     assert kept == composed
+
+
+# ---------------------------------------------------------------------------
+# round-10 additions: band load profile, incremental near-dup, PageRank,
+# char entropy
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_band_load_profile_accounts_for_candidates(spark, sf_dir):
+    """Per-band pair volume must upper-bound the DISTINCT candidate pairs
+    (a pair colliding in several bands is counted once per band), and
+    per-band doc counts must equal the signature rows."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.dedup import (
+        LSH_BANDS,
+        lsh_band_load_profile,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    prof = {r.band: r for r in lsh_band_load_profile(docs).collect()}
+    assert set(prof) == set(range(LSH_BANDS))
+    sig_counts = (
+        minhash_signatures(docs)
+        .groupBy("band")
+        .count()
+        .collect()
+    )
+    for r in sig_counts:
+        assert prof[r.band].n_docs == r["count"]
+        assert prof[r.band].max_bucket <= r["count"]
+    n_pairs = lsh_candidate_pairs(docs).count()
+    total_volume = sum(r.candidate_pairs for r in prof.values())
+    assert total_volume >= n_pairs
+
+
+def test_incremental_neardup_hand_computed(spark):
+    """base holds TA; increment: TA-copy (dropped vs base), TB (survives),
+    second TB (dropped within, first-arrival-wins), another TA-copy
+    (dropped vs base), and a too-short-to-shingle doc (no signatures ->
+    trivially survives)."""
+    from kafkastreamingetl_spark.operators.dedup import incremental_neardup
+
+    ta = "the quick brown fox jumps over the lazy dog tonight"
+    tb = "completely different words describing some other topic entirely here"
+    base = spark.createDataFrame(
+        [(0, ta)], "doc_id long, text string"
+    )
+    inc = spark.createDataFrame(
+        [(1, ta), (3, tb), (5, tb), (7, ta), (9, "x y")],
+        "doc_id long, text string",
+    )
+    survivors = {
+        r.doc_id for r in incremental_neardup(base, inc).collect()
+    }
+    assert survivors == {3, 9}
+
+
+def test_neardup_pagerank_symmetric_triangle(spark):
+    """Three identical docs form a triangle: equal degrees, equal scores,
+    and the fixed point of the damped update (base 50000 + 0.85 * two
+    contributions of round(333333/2)) is 333334 micro-units each."""
+    from kafkastreamingetl_spark.operators.dedup import neardup_pagerank
+
+    t = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, t)], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in neardup_pagerank(docs).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert all(r.degree == 2 for r in rows.values())
+    assert all(r.score_micro == 333334 for r in rows.values())
+
+
+def test_neardup_pagerank_mass_conserved(spark, sf_dir):
+    """On the real candidate graph the total score stays ~1.0 (damped
+    PageRank conserves mass up to per-node rounding: the quantization
+    error is bounded by 1 micro-unit per node per round)."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.dedup import (
+        PR_ITER,
+        neardup_pagerank,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rows = neardup_pagerank(docs).collect()
+    if not rows:
+        return
+    total = sum(r.score_micro for r in rows)
+    slack = (PR_ITER + 1) * len(rows) + 1
+    assert abs(total - 1_000_000) <= slack, total
+
+
+def test_doc_char_entropy_hand_computed(spark):
+    """'aaaa' has zero entropy; 'ab' is one bit = round(ln 2 * 1e6)
+    micro-nats exactly under the quantize-then-average arithmetic."""
+    import math
+
+    from kafkastreamingetl_spark.operators.text import doc_char_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "aaaa"), (2, "ab")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in doc_char_entropy(docs).collect()}
+    assert rows[1].n_chars == 4 and rows[1].n_distinct_chars == 1
+    assert rows[1].entropy_micro == 0.0
+    assert rows[2].n_chars == 2 and rows[2].n_distinct_chars == 2
+    assert rows[2].entropy_micro == float(round(math.log(2) * 1_000_000))
+
+
+def test_doc_char_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_distinct_chars), scaled to micro-nats (+1 rounding
+    slack per class), for every real document."""
+    import math
+
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.text import doc_char_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    for r in doc_char_entropy(docs).collect():
+        assert r.entropy_micro >= 0.0
+        cap = math.log(r.n_distinct_chars) * 1_000_000 + r.n_distinct_chars
+        assert r.entropy_micro <= cap, (r.doc_id, r.entropy_micro, cap)

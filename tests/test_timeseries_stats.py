@@ -247,3 +247,45 @@ def test_cusum_matches_recursive_reference_seeded(spark):
     for k, counts in observed.items():
         want_max, _ = _py_cusum(counts)
         assert got[k].max_cusum_scaled == float(want_max), k
+
+
+# ---------------------------------------------------------------------------
+# user_interarrival_stats (round 10)
+# ---------------------------------------------------------------------------
+
+
+def test_user_interarrival_stats_hand_computed(spark):
+    """User 1: gaps of 10 s and 60 s -> mean 35, one sub-minute burst.
+    User 2: single event -> n_gaps 0, NULL gap stats. Equal timestamps
+    order by event_id and yield a deterministic zero gap (user 3)."""
+    from datetime import datetime
+
+    from kafkastreamingetl_spark.operators.timeseries import (
+        user_interarrival_stats,
+    )
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t10 = datetime(2024, 1, 1, 0, 0, 10)
+    t70 = datetime(2024, 1, 1, 0, 1, 10)
+    ev = spark.createDataFrame(
+        [
+            (1, 1, t0),
+            (2, 1, t10),
+            (3, 1, t70),
+            (4, 2, t0),
+            (5, 3, t0),
+            (6, 3, t0),
+        ],
+        "event_id long, user_id long, ts timestamp",
+    )
+    rows = {r.user_id: r for r in user_interarrival_stats(ev).collect()}
+    u1 = rows[1]
+    assert (u1.n_events, u1.n_gaps) == (3, 2)
+    assert u1.mean_gap_sec == 35.0
+    assert (u1.min_gap_sec, u1.max_gap_sec) == (10.0, 60.0)
+    assert u1.n_burst_gaps == 1
+    u2 = rows[2]
+    assert (u2.n_events, u2.n_gaps, u2.n_burst_gaps) == (1, 0, 0)
+    assert u2.mean_gap_sec is None and u2.max_gap_sec is None
+    u3 = rows[3]
+    assert (u3.n_gaps, u3.min_gap_sec, u3.n_burst_gaps) == (1, 0.0, 1)
