@@ -93,6 +93,11 @@ HEAVY_QUERIES = [
     "neardup_candidates",
     "neardup_clusters",
     "dedup_disposition",
+    # round-10 dedup-lane additions whose claims are scale claims: the
+    # PageRank rounds must stay (node, score)-shaped after the pinned
+    # edge build, and the incremental join must track the increment side
+    "neardup_pagerank",
+    "incremental_neardup_documents",
 ]
 
 _SHUFFLE_TEXT = (
