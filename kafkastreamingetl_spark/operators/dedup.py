@@ -1883,37 +1883,14 @@ def incremental_neardup(
     increment.
     """
     feats_b = shingle_features(base, text_col, id_col)
-    feats_i = shingle_features(increment, text_col, id_col)
-    sigs_b = minhash_signatures(base, text_col, id_col, feats=feats_b).select(
-        F.col(id_col).alias("base_id"), "band", "sig"
-    )
-    sigs_i = minhash_signatures(
-        increment, text_col, id_col, feats=feats_i
-    ).select(F.col(id_col).alias("inc_id"), "band", "sig")
-    cands = (
-        sigs_i.join(sigs_b, ["band", "sig"])
-        .select("inc_id", "base_id")
-        .dropDuplicates()
-    )
-    fi = feats_i.select(F.col(id_col).alias("inc_id"), F.col("_hs").alias("hs_i"))
-    fb = feats_b.select(F.col(id_col).alias("base_id"), F.col("_hs").alias("hs_b"))
-    jac = F.size(F.array_intersect("hs_i", "hs_b")).cast("double") / F.size(
-        F.array_union("hs_i", "hs_b")
-    )
-    dup_vs_base = (
-        cands.join(fi, "inc_id")
-        .join(fb, "base_id")
-        .filter(jac >= F.lit(min_jaccard))
-        .select(F.col("inc_id").alias(id_col))
-        .distinct()
-    )
-    dup_within = (
-        neardup_pairs(increment, text_col, id_col, min_jaccard=min_jaccard)
-        .select(F.col("doc_b").alias(id_col))
-        .distinct()
-    )
-    return increment.join(dup_vs_base, id_col, "left_anti").join(
-        dup_within, id_col, "left_anti"
+    sigs_b = minhash_signatures(base, text_col, id_col, feats=feats_b)
+    return _incremental_neardup_against(
+        increment,
+        sigs_b,
+        feats_b.select(F.col(id_col), F.col("_hs")),
+        text_col,
+        id_col,
+        min_jaccard,
     )
 
 
@@ -2126,3 +2103,100 @@ def sql_neardup_pagerank(
            score AS score_micro
     FROM s{n_iter}
     """
+
+
+def build_neardup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Persist the base corpus's near-dup probe index as parquet — the
+    lexical sibling of :func:`build_dedup_index`: ``{path}/sigs`` holds
+    the (band, sig, id) signature table candidate generation equi-joins,
+    ``{path}/feats`` the per-doc shingle-hash sets verification reads.
+    A daily job probes this index instead of re-scanning (and
+    re-shingling) the 100 TB base, and appends each deduped batch's own
+    signatures/features back so tomorrow's increment probes today's
+    corpus. Signature rows are ~3 small columns and feature sets ~8 bytes
+    per shingle — orders of magnitude smaller than the corpus text."""
+    import os
+
+    feats = shingle_features(df, text_col, id_col)
+    sigs = minhash_signatures(df, text_col, id_col, feats=feats)
+    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
+    feats.select(F.col(id_col), F.col("_hs")).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "feats"))
+
+
+def _incremental_neardup_against(
+    increment: DataFrame,
+    base_sigs: DataFrame,
+    base_feats: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_jaccard: float,
+) -> DataFrame:
+    """Shared core of :func:`incremental_neardup` and its index form:
+    survivors of ``increment`` against a base given as (band, sig, id)
+    signatures + (id, shingle-set) features."""
+    feats_i = shingle_features(increment, text_col, id_col)
+    sigs_i = minhash_signatures(
+        increment, text_col, id_col, feats=feats_i
+    ).select(F.col(id_col).alias("inc_id"), "band", "sig")
+    sigs_b = base_sigs.select(
+        F.col(id_col).alias("base_id"), "band", "sig"
+    )
+    cands = (
+        sigs_i.join(sigs_b, ["band", "sig"])
+        .select("inc_id", "base_id")
+        .dropDuplicates()
+    )
+    fi = feats_i.select(
+        F.col(id_col).alias("inc_id"), F.col("_hs").alias("hs_i")
+    )
+    fb = base_feats.select(
+        F.col(id_col).alias("base_id"), F.col("_hs").alias("hs_b")
+    )
+    jac = F.size(F.array_intersect("hs_i", "hs_b")).cast("double") / F.size(
+        F.array_union("hs_i", "hs_b")
+    )
+    dup_vs_base = (
+        cands.join(fi, "inc_id")
+        .join(fb, "base_id")
+        .filter(jac >= F.lit(min_jaccard))
+        .select(F.col("inc_id").alias(id_col))
+        .distinct()
+    )
+    dup_within = (
+        neardup_pairs(increment, text_col, id_col, min_jaccard=min_jaccard)
+        .select(F.col("doc_b").alias(id_col))
+        .distinct()
+    )
+    return increment.join(dup_vs_base, id_col, "left_anti").join(
+        dup_within, id_col, "left_anti"
+    )
+
+
+def incremental_neardup_from_index(
+    spark,
+    path: str,
+    increment: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """:func:`incremental_neardup` against a persisted index: the base
+    corpus is never scanned — candidates equi-join the (band, sig)
+    parquet and verification reads only the candidate ids' feature rows
+    (both scans prune to the probed columns), so daily cost tracks the
+    increment while the base only ever pays its shingling once."""
+    import os
+
+    base_sigs = spark.read.parquet(os.path.join(path, "sigs"))
+    base_feats = spark.read.parquet(os.path.join(path, "feats"))
+    return _incremental_neardup_against(
+        increment, base_sigs, base_feats, text_col, id_col, min_jaccard
+    )

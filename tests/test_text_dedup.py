@@ -719,3 +719,31 @@ def test_doc_char_entropy_bounds(spark, sf_dir):
         assert r.entropy_micro >= 0.0
         cap = math.log(r.n_distinct_chars) * 1_000_000 + r.n_distinct_chars
         assert r.entropy_micro <= cap, (r.doc_id, r.entropy_micro, cap)
+
+
+def test_incremental_neardup_from_index_matches_direct(spark, sf_dir, tmp_path):
+    """The persisted-index form returns exactly the direct form's
+    survivors — the base pays its shingling once, then disappears from
+    the daily plan."""
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.dedup import (
+        build_neardup_index,
+        incremental_neardup,
+        incremental_neardup_from_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % 2 == 0)
+    inc = docs.filter(F.col("doc_id") % 2 == 1)
+    index = str(tmp_path / "nd_index")
+    build_neardup_index(base, index)
+    direct = {
+        r.doc_id for r in incremental_neardup(base, inc).collect()
+    }
+    via_index = {
+        r.doc_id
+        for r in incremental_neardup_from_index(spark, index, inc).collect()
+    }
+    assert via_index == direct and direct
