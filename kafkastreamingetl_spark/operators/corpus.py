@@ -1947,3 +1947,145 @@ def frequent_tokens_stream(
     return keyed.groupBy("grp").applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram PMI: collocation mining for phrase/vocabulary building
+# ---------------------------------------------------------------------------
+
+PMI_MICRO = 1_000_000  # PMI quantization: integer micro-nats
+PMI_MIN_PAIR = 5  # pairs rarer than this are PMI noise, not collocations
+PMI_TOP_K = 50
+
+
+def bigram_pmi(
+    df: DataFrame,
+    *,
+    text_col: str = "text",
+    min_pair: int = PMI_MIN_PAIR,
+    k: int = PMI_TOP_K,
+) -> DataFrame:
+    """Top-``k`` adjacent-token collocations by pointwise mutual
+    information — the statistical step behind phrase detection and
+    wordpiece/BPE-style vocabulary growth: a pair that co-occurs far more
+    than its parts' frequencies predict ("new york") is a merge/phrase
+    candidate, where a merely common pair ("of the") is not. PMI =
+    ln(P(w1 w2) / (P(w1)·P(w2))) with P from corpus counts; pairs below
+    ``min_pair`` occurrences are dropped (rare-pair PMI is noise — one
+    co-occurrence of two rare words maxes the score).
+
+    Exactness: counts are exact bigints; PMI evaluates as ONE double
+    expression ``ln((c2·n·n)/(nb·c1a·c1b))`` with an identical
+    association tree on both engines (products in double: the operands
+    exceed int64 at corpus scale, and IEEE double ops are deterministic),
+    quantized to micro-nats once. Shape: one tokenization pass feeds two
+    map-side-combined count aggregations; scoring joins bigram counts to
+    the two unigram counts (narrow shuffles on the gram/token strings —
+    at 100 TB hash them first and the shuffles carry 8-byte keys); the
+    ordered result is TakeOrderedAndProject, never a global sort. Ties
+    break on the pair text, so top-k is deterministic.
+    """
+    from .text import gram_strings, tokens
+
+    uni = (
+        df.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    # both corpus scalars (n = Σ tokens, nb = Σ per-doc bigrams = Σ max(t−1,
+    # 0)) come from ONE expression-only pass over doc token counts —
+    # aggregating the uni/bigc branches instead would re-inline (and
+    # re-tokenize) their whole explode pipelines just to sum them
+    t = F.size(tokens(F.col(text_col)))
+    stats = F.broadcast(
+        df.select(t.alias("_t")).agg(
+            F.sum("_t").alias("n"),
+            F.sum(
+                F.when(F.col("_t") >= 2, F.col("_t") - 1).otherwise(0)
+            ).alias("nb"),
+        )
+    )
+    big = df.select(
+        F.explode(gram_strings(F.col(text_col), 2)).alias("g")
+    )
+    bigc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    pairs = (
+        bigc.filter(F.col("c2") >= min_pair)
+        .withColumn("w1", F.split_part(F.col("g"), F.lit(TOKEN_SEP), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("g"), F.lit(TOKEN_SEP), F.lit(2)))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    pmi = F.round(
+        F.log(
+            F.col("c2").cast("double")
+            * F.col("n")
+            * F.col("n")
+            / (
+                F.col("nb").cast("double")
+                * F.col("c1a")
+                * F.col("c1b")
+            )
+        )
+        * PMI_MICRO
+    ).cast("bigint")
+    return (
+        pairs.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(stats)
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("n_pair"),
+            pmi.alias("pmi_micro"),
+        )
+        .orderBy(
+            F.desc("pmi_micro"), F.asc("w1"), F.asc("w2")
+        )
+        .limit(k)
+    )
+
+
+def sql_bigram_pmi(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    min_pair: int = PMI_MIN_PAIR,
+    k: int = PMI_TOP_K,
+) -> str:
+    from .text import sql_gram_strings_over_w, sql_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, {sql_tokens(text_col)} AS w FROM {table}
+    ),
+    uni AS (
+        SELECT t.tok AS w, COUNT(*) AS c1
+        FROM (SELECT unnest(w) AS tok FROM toks) t
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT SUM(len(w)) AS n,
+               SUM(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END) AS nb
+        FROM toks
+    ),
+    big AS (
+        SELECT unnest({sql_gram_strings_over_w(2)}) AS g FROM toks
+    ),
+    bigc AS (SELECT g, COUNT(*) AS c2 FROM big GROUP BY 1),
+    pairs AS (
+        SELECT split_part(g, ' ', 1) AS w1, split_part(g, ' ', 2) AS w2, c2
+        FROM bigc WHERE c2 >= {min_pair}
+    )
+    SELECT p.w1, p.w2,
+           CAST(p.c2 AS BIGINT) AS n_pair,
+           CAST(ROUND(ln(CAST(p.c2 AS DOUBLE) * tot.n * tot.n
+                         / (CAST(tot.nb AS DOUBLE) * a.c1 * b.c1))
+                      * {PMI_MICRO}) AS BIGINT) AS pmi_micro
+    FROM pairs p
+    JOIN uni a ON p.w1 = a.w
+    JOIN uni b ON p.w2 = b.w
+    CROSS JOIN tot
+    ORDER BY pmi_micro DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST
+    LIMIT {k}
+    """

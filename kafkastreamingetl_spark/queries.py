@@ -3662,3 +3662,19 @@ def q_doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     high, repeated-padding scores near zero, natural text sits in a
     narrow band (operators/text.py doc_char_entropy)."""
     return text_ops.doc_char_entropy(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "bigram_pmi_collocations",
+    oracle=corpus_ops.sql_bigram_pmi(),
+)
+def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 adjacent-token collocations by pointwise mutual information
+    (exact-count PMI in micro-nats, min-pair floor against rare-pair
+    noise) — the statistical step behind phrase detection and
+    wordpiece/BPE vocabulary growth, next to vocab_top_tokens (raw
+    frequency) and doc_vocab_token_counts (inference). Two map-side
+    count aggregations off one tokenization pass, narrow gram-key joins,
+    TakeOrderedAndProject — never a global sort
+    (operators/corpus.py bigram_pmi)."""
+    return corpus_ops.bigram_pmi(_t(spark, sf_dir, "documents"))

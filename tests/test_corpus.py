@@ -695,3 +695,48 @@ def test_mg_summary_driver_payload_bounded(spark):
         rows = mg_summary(docs.repartition(parts), capacity=cap).collect()
         assert len(rows) <= 2 * (cap + 1), (parts, len(rows))
         assert sum(r.weight for r in rows if r.token is None) == 80 * 25
+
+
+def test_bigram_pmi_hand_computed(spark):
+    """Planted collocation: 'new york' co-occurs in every doc while the
+    filler words are shuffled per doc (every filler word is frequent, but
+    no filler ADJACENCY repeats enough to clear the floor) — the planted
+    pair is the only survivor, with the exact quantized score
+    ln(c2*n^2/(nb*c1a*c1b))."""
+    import math
+    import random
+
+    from kafkastreamingetl_spark.operators.corpus import bigram_pmi
+
+    rng = random.Random(3)
+    filler = ["cat", "dog", "tree", "lake", "bird", "rock"]
+    rows_in = []
+    for i in range(6):
+        shuffled = filler[:]
+        rng.shuffle(shuffled)
+        rows_in.append((i, "new york " + " ".join(shuffled)))
+    docs = spark.createDataFrame(rows_in, "doc_id long, text string")
+    out = bigram_pmi(docs, min_pair=5, k=5).collect()
+    assert [(r.w1, r.w2) for r in out] == [("new", "york")]
+    n_tokens = 8 * 6
+    n_bigrams = 7 * 6
+    expected = round(
+        math.log((6.0 * n_tokens * n_tokens) / (float(n_bigrams) * 6 * 6))
+        * 1_000_000
+    )
+    top = out[0]
+    assert top.n_pair == 6 and top.pmi_micro == expected
+
+
+def test_bigram_pmi_min_pair_floor(spark):
+    """A unique rare pair (would have huge PMI) is excluded by the floor."""
+    from kafkastreamingetl_spark.operators.corpus import bigram_pmi
+
+    docs = spark.createDataFrame(
+        [(1, "qux zap"), (2, "a b a b a b a b a b")],
+        "doc_id long, text string",
+    )
+    rows = bigram_pmi(docs, min_pair=5, k=10).collect()
+    pairs = {(r.w1, r.w2) for r in rows}
+    assert ("qux", "zap") not in pairs
+    assert ("a", "b") in pairs

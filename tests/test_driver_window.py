@@ -47,6 +47,7 @@ def test_never_green_queries_sit_inside_driver_window():
         "neardup_pagerank",
         "user_interarrival_stats",
         "doc_char_entropy",
+        "bigram_pmi_collocations",
     }
     unexpected = [n for n in outside if n not in deferred_this_round]
     assert not unexpected, (
