@@ -550,3 +550,63 @@ def test_backlog_empty_lineitem_and_null_days(spark):
         "2024-01-02": 1,  # order 1 still open; order 2 opens+closes net 0
         "2024-01-03": 0,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-10 operators under the same degenerate-input gate
+# ---------------------------------------------------------------------------
+
+
+def test_round10_ops_on_empty_and_null_documents(spark):
+    """Empty corpus and null/short text through every round-10 document
+    operator: no crashes, structurally-correct empties."""
+    from kafkastreamingetl_spark.operators.corpus import bigram_pmi
+    from kafkastreamingetl_spark.operators.dedup import (
+        incremental_neardup,
+        lsh_band_load_profile,
+        neardup_pagerank,
+    )
+    from kafkastreamingetl_spark.operators.text import doc_char_entropy
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    degenerate = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "x")], "doc_id long, text string"
+    )
+    for docs in (empty, degenerate):
+        # too short to shingle -> no signatures -> empty profile/graph
+        assert lsh_band_load_profile(docs).count() == 0
+        assert neardup_pagerank(docs).count() == 0
+        # below the pair floor -> empty collocation set
+        assert bigram_pmi(docs).count() == 0
+    # char entropy: null and empty text yield no row; 'x' has one class
+    rows = {r.doc_id: r for r in doc_char_entropy(degenerate).collect()}
+    assert set(rows) == {3}
+    assert rows[3].n_chars == 1 and rows[3].entropy_micro == 0.0
+    # incremental near-dup: empty increment -> empty; empty base -> only
+    # the within-batch first-arrival rule applies (no base drops)
+    assert incremental_neardup(degenerate, empty).count() == 0
+    t = "the quick brown fox jumps over the lazy dog tonight"
+    inc = spark.createDataFrame(
+        [(1, t), (3, t), (5, "x y")], "doc_id long, text string"
+    )
+    survivors = {
+        r.doc_id for r in incremental_neardup(empty, inc).collect()
+    }
+    assert survivors == {1, 5}
+
+
+def test_round10_events_ops_on_empty_events(spark, empty_events):
+    from kafkastreamingetl_spark.operators.timeseries import (
+        user_interarrival_stats,
+    )
+
+    assert user_interarrival_stats(empty_events).count() == 0
+
+
+def test_ann_recall_report_empty_corpus(spark):
+    from kafkastreamingetl_spark.operators.similarity import (
+        ann_recall_report,
+    )
+
+    emb = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert ann_recall_report(emb).count() == 0
