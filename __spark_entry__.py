@@ -10,11 +10,58 @@ oracle-checked, none are rows-only. Column names/types are aligned on both
 sides; float aggregates go through DECIMAL(18,4) and hashes through
 md5-hex→bigint so values are order-independent and bit-identical across
 engines (see kafkastreamingetl_spark/functions).
+
+Rotation policy (round 11, replacing the hand-maintained _PRIORITY list)
+========================================================================
+
+The driver's CORRECTNESS harness records only the first ~``DRIVER_WINDOW``
+(50) entries of ``queries()`` per round, so registration ORDER is part of
+the verification contract. Through round 10 the order was a hand-committed
+list, re-planned each round — VERDICT r10 flagged that the arithmetic no
+longer closes by hand (160 queries / 50 slots = a 3.2-round refresh cycle
+against a 4-round staleness policy, retightened by every new query). The
+policy is now DERIVED, not transcribed:
+
+* **Order**: never-green queries first (each needs its first driver row),
+  then green queries ascending by the round of their latest green driver
+  row — oldest-green-first round-robin. Ties break on registration order,
+  which is deterministic (module-level dict construction order in
+  ``kafkastreamingetl_spark.queries``).
+* **Evidence**: the latest green round per query is read from the committed
+  ``CORRECTNESS_r*.json`` files next to this module (green = truthy
+  ``hash_match``, the same rule the driver-window test has always used).
+  The rotation therefore updates itself the moment the driver commits a new
+  round's record — no transcription step, nothing to typo (ADVICE r10 #2:
+  a misspelled name can no longer silently waste a slot, because the order
+  is a permutation of ``queries()`` by construction, test-enforced).
+* **Why it closes**: with N registered queries and W = 50 slots per round,
+  oldest-first round-robin re-greens every query at most every ceil(N / W)
+  rounds. Any 4 consecutive rounds offer 4·W = 200 slots, so the ≤4-round
+  staleness bound is satisfiable indefinitely iff N ≤ 200 — enforced as
+  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At the current
+  N = 160 the steady state is: each round greens the ≤10 queries that have
+  just reached age 4 plus 40 age-3 queries; nothing ever exceeds age 4.
+  Registry growth is frozen this round (VERDICT r10 item 2 option (a))
+  until the r8 cohort has re-greened; future additions spend the
+  200 − N remaining headroom.
+
+Round-11 window under this policy (= the plan VERDICT r10 committed):
+the 7 round-10 never-greens (ann_recall_report, lsh_band_load_profile,
+incremental_neardup_documents, neardup_pagerank, user_interarrival_stats,
+doc_char_entropy, bigram_pmi_collocations), then the 6 age-4 r6 stragglers
+(rolling_hour_value, doc_pack_bins, user_running_totals,
+corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract),
+then the first 37 of the 47-query r8 cohort in registration order. The 10
+r8 queries that do not fit reach age 4 at round 12 and — by this same
+ordering rule — automatically head the round-12 window.
 """
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -25,6 +72,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafkastreamingetl_spark.catalog import load_table  # noqa: E402
 from kafkastreamingetl_spark.queries import QUERIES, ORACLE_SQL  # noqa: E402
 from kafkastreamingetl_spark.operators.rollup import daily_segment_metrics  # noqa: E402
+
+#: slots the driver's CORRECTNESS harness records per round
+DRIVER_WINDOW = 50
+#: no green row may age past this many rounds without re-verification
+MAX_STALENESS_ROUNDS = 4
+#: registry size above which the staleness bound is arithmetically
+#: unsatisfiable (see module docstring) — test-enforced ceiling
+REGISTRY_CAP = DRIVER_WINDOW * MAX_STALENESS_ROUNDS
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -37,88 +92,49 @@ def entry(spark: SparkSession) -> DataFrame:
     return daily_segment_metrics(events, customer)
 
 
-# The driver's CORRECTNESS harness records the first ~50 dict entries per
-# round, so ordering is part of the verification contract (no green row may
-# age past ~4 rounds). Round-10 window (the rotation plan committed at
-# round-9 close, VERDICT r9 item 1): the thirteen round-9 registrations
-# that have never earned a driver row head the window (never-green outranks
-# stale-green), then 37 of the 43 queries whose latest green row is round 6
-# (3 rounds stale) fill the remaining slots. The 6 r6-green queries that do
-# not fit — chosen as the cheapest-to-re-green by BENCH_DETAIL wall time —
-# reach age 4 (the policy boundary) and MUST lead the round-11 window:
-#   rolling_hour_value, doc_pack_bins, user_running_totals,
-#   corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract.
-# After them, round 11 fills with any round-10 never-greens, then starts
-# rotating the 47-query r8 cohort (age 3 at round 11).
-_PRIORITY = [
-    # never-green round-9 registrations (local DuckDB differential green;
-    # 12 of 13 additionally ×10/×50 scale-stressed) — the window head
-    "substring_run_pairs",
-    "frequent_tokens_sketch",
-    "daily_volume_cusum",
-    "dedup_disposition",
-    "leakage_free_split",
-    "next_event_training_pairs",
-    "bucketed_order_rollup",
-    "weighted_doc_sample",
-    "hard_negative_topk",
-    "corpus_snapshot_diff",
-    "doc_ngram_novelty",
-    "doc_oov_rate",
-    "embedding_label_drift",
-    # r6-green cohort (3 rounds stale): 37 of 43 rotate now
-    # — TPC-H shapes + SQL-door analytics
-    "pricing_summary",
-    "top_revenue_orders",
-    "customer_order_distribution",
-    "late_order_priority",
-    "orders_above_customer_avg",
-    "events_dow_hour_heatmap",
-    "events_zscore_anomalies",
-    "daily_dense_series",
-    "salted_join_rollup",
-    "events_column_profile",
-    # — corpus / text-pipeline lanes
-    "doc_vocab_token_counts",
-    "eval_contamination",
-    "decontaminated_corpus",
-    "incremental_dedup_documents",
-    "quality_weighted_sample",
-    "doc_lm_score",
-    "temperature_mix_sample",
-    "dedup_rate_by_source",
-    "hot_ngrams",
-    "strip_boilerplate",
-    "dup_ngram_doc_fraction",
-    "quality_percentile_filter",
-    "vocab_top_tokens",
-    "minhash_jaccard_estimate",
-    # — embedding / ANN lanes
-    "embedding_ann_multitable",
-    "embedding_covariance",
-    "kmeans_centroids",
-    "cluster_balanced_sample",
-    # — temporal / incremental lanes
-    "error_impact_windows",
-    "scd2_event_type_history",
-    "campaign_attribution_scd2",
-    "user_daily_streaks",
-    "user_value_ewma",
-    "incremental_daily_rollup",
-    "user_snapshot_diff",
-    "entity_match_suppliers",
-    "winsorized_type_stats",
-    # --- driver window boundary (13 + 37 = 50) ---
-    # ROUND-11 ROTATION PLAN: head with the six age-4 r6 stragglers named
-    # above, then any round-10 never-green registrations, then fill with
-    # the oldest slice of the r8-green cohort (47 queries, age 3 at r11).
-]
+def latest_green_rounds() -> dict[str, int]:
+    """query name → round of its latest green driver CORRECTNESS row.
+
+    Green = truthy ``hash_match`` (rows+schema+values), the same rule
+    ``tests/test_driver_window.py`` has applied since round 9. Unreadable
+    or missing files degrade to "no evidence" — a fresh checkout with no
+    CORRECTNESS records falls back to pure registration order, which is
+    the correct cold-start behavior (everything is never-green).
+    """
+    here = os.path.dirname(os.path.abspath(__file__))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match"):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def rotation_order(names: list[str]) -> list[str]:
+    """The policy: never-green first (registration order), then green
+    ascending by latest-green round (oldest first), ties on registration
+    order. Pure function of (names, committed CORRECTNESS files) —
+    deterministic, and a permutation of ``names`` by construction.
+    """
+    latest = latest_green_rounds()
+    reg = {n: i for i, n in enumerate(names)}
+    return sorted(names, key=lambda n: (latest.get(n, -1), reg[n]))
 
 
 def _ordered(mapping: dict) -> dict:
-    head = {k: mapping[k] for k in _PRIORITY if k in mapping}
-    tail = {k: v for k, v in mapping.items() if k not in head}
-    return {**head, **tail}
+    order = rotation_order(list(mapping))
+    return {k: mapping[k] for k in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -790,7 +790,12 @@ def doc_char_entropy(
     chars = df.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
-            F.expr(f"regexp_extract_all({text_col}, '.', 0)")
+            # (?s) makes '.' match EVERY character on both engines: Java's
+            # '.' excludes \r, U+0085, U+2028, U+2029 while DuckDB's RE2 '.'
+            # excludes only \n — a crawl corpus with \r would silently skew
+            # n_chars/entropy against the oracle without the DOTALL flag
+            # (ADVICE r10).
+            F.expr(f"regexp_extract_all({text_col}, '(?s).', 0)")
         ).alias("ch"),
     )
     counts = chars.groupBy("doc_id", "ch").agg(
@@ -826,7 +831,7 @@ def sql_doc_char_entropy(
 ) -> str:
     return f"""
     WITH chars AS (
-        SELECT doc_id, unnest(regexp_extract_all({text_col}, '.')) AS ch
+        SELECT doc_id, unnest(regexp_extract_all({text_col}, '(?s).')) AS ch
         FROM {table}
     ),
     counts AS (

@@ -1,7 +1,17 @@
 """The driver's CORRECTNESS harness records roughly the first 50 entries of
 ``queries()`` per round, so registration order is part of the verification
-contract: every query that has never earned a green driver row must sit
-inside that window, or it can never earn one.
+contract. Since round 11 the order is DERIVED from the committed
+CORRECTNESS records (never-green first, then oldest-green-first — see the
+``__spark_entry__`` module docstring for the policy and its closing
+arithmetic) instead of hand-transcribed; these tests enforce the policy's
+three load-bearing properties:
+
+1. the emitted order IS the policy (permutation + exact sort key);
+2. every query that MUST be in this round's window (never-green, or green
+   row at the staleness boundary) actually is — i.e. demand fits capacity;
+3. the registry stays small enough that the staleness bound is satisfiable
+   indefinitely (N ≤ 4 × 50 slots = 200 — at that cap, oldest-first
+   round-robin re-greens every query within 4 rounds forever).
 """
 
 from __future__ import annotations
@@ -9,49 +19,93 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-DRIVER_WINDOW = 50
+sys.path.insert(0, REPO)
+
+from __spark_entry__ import (  # noqa: E402
+    DRIVER_WINDOW,
+    MAX_STALENESS_ROUNDS,
+    REGISTRY_CAP,
+    latest_green_rounds,
+    queries,
+    oracle_sql,
+    rotation_order,
+)
 
 
-def test_never_green_queries_sit_inside_driver_window():
-    import sys
-
-    sys.path.insert(0, REPO)
-    from __spark_entry__ import queries
-
-    names = list(queries())
-    green: set[str] = set()
+def _independent_latest_green() -> tuple[dict[str, int], int]:
+    """Recompute latest-green per query straight from the files (not via the
+    module under test) and return it with the current round number (= newest
+    committed CORRECTNESS round + 1)."""
+    latest: dict[str, int] = {}
+    newest = 0
     for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        newest = max(newest, rnd)
         with open(path) as f:
             for name, row in json.load(f).items():
-                if row.get("hash_match"):
-                    green.add(name)
-    never_green = [n for n in names if n not in green]
-    outside = [n for n in never_green if n not in set(names[:DRIVER_WINDOW])]
-    # Demand can exceed the 50-slot window in a round that both fixes
-    # prior failures and adds new operators; same-round additions are the
-    # ones that wait (they rotate in next round). That deferral must be a
-    # DECISION, not an accident: any never-green query outside the window
-    # has to be on this explicit list. Round 10: the window heads with the
-    # thirteen round-9 never-greens and fills with 37 of the 43 r6-greens;
-    # round-10 additions (locally differential-green) wait for round 11,
-    # whose window MUST lead with the six age-4 r6 stragglers
-    # (rolling_hour_value, doc_pack_bins, user_running_totals,
-    # corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract)
-    # and then these never-greens.
-    deferred_this_round: set[str] = {
-        "ann_recall_report",
-        "lsh_band_load_profile",
-        "incremental_neardup_documents",
-        "neardup_pagerank",
-        "user_interarrival_stats",
-        "doc_char_entropy",
-        "bigram_pmi_collocations",
-    }
-    unexpected = [n for n in outside if n not in deferred_this_round]
-    assert not unexpected, (
-        f"queries with no green driver row outside the first "
-        f"{DRIVER_WINDOW} registrations (and not deliberately deferred): "
-        f"{unexpected}"
+                if isinstance(row, dict) and row.get("hash_match"):
+                    latest[name] = max(latest.get(name, 0), rnd)
+    return latest, newest + 1
+
+
+def test_order_is_exactly_the_policy():
+    names = list(queries())
+    latest, _ = _independent_latest_green()
+    reg_names = list(queries.__globals__["QUERIES"])
+    reg = {n: i for i, n in enumerate(reg_names)}
+    expected = sorted(names, key=lambda n: (latest.get(n, -1), reg[n]))
+    assert names == expected
+    # module's own evidence reader agrees with the independent one
+    assert latest_green_rounds() == latest
+    assert rotation_order(reg_names) == expected
+    # queries() and oracle_sql() emit the SAME order (the driver zips them)
+    assert list(oracle_sql()) == names
+    # permutation of the registry: nothing dropped, nothing invented
+    # (ADVICE r10 #2 — the failure mode of the old hand list)
+    assert sorted(names) == sorted(reg_names)
+    assert len(set(names)) == len(names)
+
+
+def test_window_demand_fits_capacity():
+    """Everything that MUST be verified this round sits inside the window:
+    never-green queries (need a first row) and queries whose green row is at
+    the staleness boundary (age >= MAX_STALENESS_ROUNDS this round). If this
+    ever fails, the registry grew faster than the window can re-verify —
+    remove/merge queries or widen the policy, but DECIDE, don't drift."""
+    names = list(queries())
+    latest, current_round = _independent_latest_green()
+    window = set(names[:DRIVER_WINDOW])
+    must = [
+        n
+        for n in names
+        if n not in latest
+        or current_round - latest[n] >= MAX_STALENESS_ROUNDS
+    ]
+    assert len(must) <= DRIVER_WINDOW, (
+        f"{len(must)} queries need a driver row this round but only "
+        f"{DRIVER_WINDOW} slots exist: {must}"
+    )
+    outside = [n for n in must if n not in window]
+    assert not outside, (
+        f"queries that must re-verify this round sit outside the "
+        f"{DRIVER_WINDOW}-slot window: {outside}"
+    )
+
+
+def test_registry_within_sustainable_cap():
+    """ceil(N / window) <= max staleness, i.e. N <= 200: the arithmetic
+    under which oldest-first rotation keeps every green row fresh forever.
+    Every registration beyond the cap would make the staleness policy
+    unsatisfiable no matter the ordering."""
+    n = len(queries())
+    assert n <= REGISTRY_CAP, (
+        f"{n} registered queries > sustainable cap {REGISTRY_CAP} "
+        f"(= {DRIVER_WINDOW} slots x {MAX_STALENESS_ROUNDS}-round bound)"
     )
