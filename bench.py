@@ -247,6 +247,7 @@ def main() -> None:
         "notes": _STICKY_NOTES,
     }
     detail.update(_regression_report(timings, sf))
+    detail.update(_frozen_floor_report(timings, sf))
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -268,6 +269,9 @@ def main() -> None:
         "detail_file": "BENCH_DETAIL.json",
         "baseline_round": detail.get("baseline_round"),
         "n_regressions": len(detail.get("regressions", {})),
+        "frozen_floor_round": detail.get("frozen_floor_round"),
+        "frozen_headline_ratio": detail.get("frozen_headline_ratio"),
+        "n_frozen_regressions": len(detail.get("frozen_regressions", {})),
         "n_errors": len(errors),
         "n_approx": len(approx),
     }
@@ -374,6 +378,43 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     if base_round is None:
         return {"baseline_round": None, "regressions": {}}
     return {"baseline_round": base_round, "regressions": _flag(timings, floors)}
+
+
+def _frozen_floor_report(timings: dict[str, float], sf: float) -> dict:
+    """Anti-creep gate (VERDICT r10 item 4): the per-round floor refresh
+    only proves "no regression vs LAST round", so a slow multi-round creep
+    would never trip it. BENCH_FLOOR_r10.json freezes the round-10 sf0.1
+    walls for the PLANS.md headline set and is NEVER regenerated; every
+    later round's bench compares against it directly. Flag rule matches
+    the per-round gate's noise analysis (>2x AND >0.5 s absolute — the
+    headline floors start at 0.3 s where a bare ratio flags timer noise);
+    the aggregate ``frozen_headline_ratio`` (sum now / sum frozen) is the
+    creep-proof single number. Reported, not raised: a nonzero bench exit
+    loses the whole round's numbers (round-5 lesson)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_FLOOR_r10.json")) as f:
+            frozen = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return {}
+    if sf is None or frozen.get("sf") != sf:
+        return {}
+    floors = frozen["queries"]
+    shared = {n: t for n, t in timings.items() if n in floors}
+    if not shared:
+        return {}
+    flagged = {
+        name: {"now": t, "frozen_floor": floors[name]}
+        for name, t in shared.items()
+        if t > 2 * floors[name] and t - floors[name] > 0.5
+    }
+    return {
+        "frozen_floor_round": frozen.get("frozen_at_round"),
+        "frozen_headline_ratio": round(
+            sum(shared.values()) / sum(floors[n] for n in shared), 4
+        ),
+        "frozen_regressions": flagged,
+    }
 
 
 def _flag(timings: dict[str, float], floors: dict[str, float]) -> dict:
