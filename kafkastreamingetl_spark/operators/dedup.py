@@ -2117,17 +2117,41 @@ def build_neardup_index(
     ``{path}/feats`` the per-doc shingle-hash sets verification reads.
     A daily job probes this index instead of re-scanning (and
     re-shingling) the 100 TB base, and appends each deduped batch's own
-    signatures/features back so tomorrow's increment probes today's
-    corpus. Signature rows are ~3 small columns and feature sets ~8 bytes
-    per shingle — orders of magnitude smaller than the corpus text."""
+    signatures/features back (:func:`append_neardup_index`) so tomorrow's
+    increment probes today's corpus. Signature rows are ~3 small columns
+    and feature sets ~8 bytes per shingle — orders of magnitude smaller
+    than the corpus text."""
+    _write_neardup_index(df, path, "overwrite", text_col, id_col)
+
+
+def append_neardup_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """The write-back half of the daily incremental loop: after
+    :func:`incremental_neardup_from_index` picks a batch's survivors,
+    appending THEIR signatures/features makes tomorrow's increment dedup
+    against today's accepted corpus, not just the original base. Pass
+    survivors only — appending pre-dedup rows would accrete into the
+    index the very duplicates the probe just rejected. Parquet append is
+    a pure file add (no rewrite of the base's index files), so the daily
+    write cost also tracks the increment."""
+    _write_neardup_index(df, path, "append", text_col, id_col)
+
+
+def _write_neardup_index(
+    df: DataFrame, path: str, mode: str, text_col: str, id_col: str
+) -> None:
     import os
 
     feats = shingle_features(df, text_col, id_col)
     sigs = minhash_signatures(df, text_col, id_col, feats=feats)
-    sigs.write.mode("overwrite").parquet(os.path.join(path, "sigs"))
-    feats.select(F.col(id_col), F.col("_hs")).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(path, "feats"))
+    sigs.write.mode(mode).parquet(os.path.join(path, "sigs"))
+    feats.select(F.col(id_col), F.col("_hs")).write.mode(mode).parquet(
+        os.path.join(path, "feats")
+    )
 
 
 def _incremental_neardup_against(
