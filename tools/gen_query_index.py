@@ -71,7 +71,7 @@ def main() -> int:
         f"{len(ordered)} queries, every one oracle-checked (ORACLE_SQL covers "
         f"{len(ORACLE_SQL)}/{len(QUERIES)}). Order below is driver registration "
         "order — the first ~50 form the driver's per-round CORRECTNESS window "
-        "(see __spark_entry__._PRIORITY and tests/test_driver_window.py).",
+        "(rotation DERIVED from the CORRECTNESS records since round 11: never-green first, then oldest-green-first — see the __spark_entry__ module docstring and tests/test_driver_window.py).",
         "",
         "## Driver-verification age",
         "",

@@ -98,6 +98,14 @@ HEAVY_QUERIES = [
     # edge build, and the incremental join must track the increment side
     "neardup_pagerank",
     "incremental_neardup_documents",
+    # remaining round-10 additions (VERDICT r10 item 5). The events
+    # replication keeps user_id, so user_interarrival_stats' per-user lag
+    # window grows xK per user — the harsh direction for windowed state;
+    # the two text reports must stay one-explode-one-agg shaped (their
+    # (doc, class) / (gram) count state is bounded by corpus bytes).
+    "user_interarrival_stats",
+    "doc_char_entropy",
+    "bigram_pmi_collocations",
 ]
 
 _SHUFFLE_TEXT = (
