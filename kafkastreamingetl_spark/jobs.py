@@ -13,6 +13,7 @@ op — can run them without writing Python:
     python -m kafkastreamingetl_spark.jobs expire --path PATH --partition-col COL --keep-from VALUE [--delete]
     python -m kafkastreamingetl_spark.jobs vacuum-tombstones --path PATH --partition-col COL --older-than TS [--delete]
     python -m kafkastreamingetl_spark.jobs kafka-smoke [--bootstrap HOST:9092] [--n-events N]
+    python -m kafkastreamingetl_spark.jobs neardup-ingest --index PATH --batch PARQUET [--out PATH] [--min-jaccard J]
 
 Each command prints ONE JSON result line on stdout (row counts / files
 written / partitions expired) — the machine-readable contract a
@@ -140,6 +141,56 @@ def cmd_kafka_smoke(args: argparse.Namespace) -> dict:
     return {"job": "kafka-smoke", "status": "ok", **result}
 
 
+def cmd_neardup_ingest(args: argparse.Namespace) -> dict:
+    """The daily near-dup ingest loop as one scheduler command: dedup a
+    new document batch against the persisted signature index
+    (dedup.build_neardup_index layout), optionally append survivors to a
+    corpus directory, and write the survivors' own signatures/features
+    back to the index so tomorrow's batch dedups against today's accepted
+    corpus. First run bootstraps: within-batch near-dup dedup only, then
+    the index is born from the survivors. The base corpus is never
+    rescanned — per-day cost tracks the batch size (dedup.py
+    incremental_neardup_from_index / append_neardup_index)."""
+    import os
+
+    from .operators.dedup import (
+        NEARDUP_MIN_JACCARD,
+        append_neardup_index,
+        build_neardup_index,
+        incremental_neardup_from_index,
+        neardup_dedup,
+    )
+
+    spark = _spark("job_neardup_ingest")
+    mj = (
+        NEARDUP_MIN_JACCARD if args.min_jaccard is None else args.min_jaccard
+    )
+    batch = spark.read.parquet(args.batch)
+    n_in = batch.count()
+    bootstrap = not os.path.exists(os.path.join(args.index, "sigs"))
+    if bootstrap:
+        survivors = neardup_dedup(batch, min_jaccard=mj)
+    else:
+        survivors = incremental_neardup_from_index(
+            spark, args.index, batch, min_jaccard=mj
+        )
+    survivors = survivors.persist()
+    n_out = survivors.count()
+    if args.out:
+        survivors.write.mode("append").parquet(args.out)
+    if bootstrap:
+        build_neardup_index(survivors, args.index)
+    else:
+        append_neardup_index(survivors, args.index)
+    survivors.unpersist()
+    return {
+        "job": "neardup-ingest",
+        "batch_rows": n_in,
+        "survivors": n_out,
+        "bootstrapped": bootstrap,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kafkastreamingetl_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -179,6 +230,17 @@ def build_parser() -> argparse.ArgumentParser:
     v.add_argument("--older-than", required=True)
     v.add_argument("--delete", action="store_true")
     v.set_defaults(fn=cmd_vacuum_tombstones)
+
+    n = sub.add_parser(
+        "neardup-ingest",
+        help="daily near-dup dedup of a document batch against the "
+        "persisted index, with survivor append-back",
+    )
+    n.add_argument("--index", required=True)
+    n.add_argument("--batch", required=True)
+    n.add_argument("--out", default=None)
+    n.add_argument("--min-jaccard", type=float, default=None)
+    n.set_defaults(fn=cmd_neardup_ingest)
 
     s = sub.add_parser(
         "kafka-smoke",

@@ -90,3 +90,37 @@ def test_vacuum_tombstones_job_cli(capsys, spark, tmp_path):
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["dry_run"] is False and out["n_vacuumed"] == 1
     assert spark.read.parquet(path).count() == 1
+
+
+def test_neardup_ingest_job_cli_two_days(capsys, spark, tmp_path):
+    """Two scheduler runs of the daily loop: day 1 bootstraps the index
+    from its own within-batch survivors; day 2 dedups against BOTH the
+    bootstrap corpus and nothing else — a day-2 copy of a day-1 survivor
+    is rejected, a fresh doc survives and lands in the corpus dir."""
+    schema = "doc_id long, text string"
+    base_text = "alpha beta gamma delta epsilon zeta eta theta"
+    fresh1 = "one two three four five six seven eight nine"
+    fresh2 = "north south east west up down left right hub"
+    day1 = spark.createDataFrame(
+        [(1, base_text), (2, base_text), (3, fresh1)], schema
+    )
+    day2 = spark.createDataFrame([(10, fresh1), (11, fresh2)], schema)
+    b1, b2 = str(tmp_path / "day1"), str(tmp_path / "day2")
+    day1.write.parquet(b1)
+    day2.write.parquet(b2)
+    index, out = str(tmp_path / "nd_index"), str(tmp_path / "corpus")
+
+    rc = main(["neardup-ingest", "--index", index, "--batch", b1, "--out", out])
+    assert rc == 0
+    o1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o1["bootstrapped"] is True
+    assert o1["batch_rows"] == 3 and o1["survivors"] == 2  # 2 dups 1
+
+    rc = main(["neardup-ingest", "--index", index, "--batch", b2, "--out", out])
+    assert rc == 0
+    o2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o2["bootstrapped"] is False
+    assert o2["batch_rows"] == 2 and o2["survivors"] == 1  # 10 dups 3
+
+    corpus_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert corpus_ids == {1, 3, 11}
