@@ -1987,28 +1987,33 @@ def bigram_pmi(
     """
     from .text import gram_strings, tokens
 
+    # Persist the two count tables (vocabulary-sized — orders of magnitude
+    # smaller than the corpus; the shingle_features discipline): uni is
+    # joined twice (w1 and w2 sides) and both scalars aggregate off these
+    # tables, so without the persist Catalyst re-inlined the explode
+    # pipelines per consumer and the plan scanned the CORPUS four times
+    # (caught in the round-11 PLANS.md audit). Now exactly two corpus
+    # scans: one per explode.
     uni = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-    )
-    # both corpus scalars (n = Σ tokens, nb = Σ per-doc bigrams = Σ max(t−1,
-    # 0)) come from ONE expression-only pass over doc token counts —
-    # aggregating the uni/bigc branches instead would re-inline (and
-    # re-tokenize) their whole explode pipelines just to sum them
-    t = F.size(tokens(F.col(text_col)))
-    stats = F.broadcast(
-        df.select(t.alias("_t")).agg(
-            F.sum("_t").alias("n"),
-            F.sum(
-                F.when(F.col("_t") >= 2, F.col("_t") - 1).otherwise(0)
-            ).alias("nb"),
-        )
+        .persist()
     )
     big = df.select(
         F.explode(gram_strings(F.col(text_col), 2)).alias("g")
     )
-    bigc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
+    bigc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2")).persist()
+    # both corpus scalars derive from the persisted aggregates by exact
+    # bigint identity — every token occurrence is counted once in uni
+    # (n = Σc1) and every adjacent pair once in bigc (nb = Σ per-doc
+    # max(t−1, 0) = Σc2) — replacing what used to be a third full corpus
+    # scan with two vocabulary-sized sums
+    stats = F.broadcast(
+        uni.agg(F.sum("c1").alias("n")).crossJoin(
+            bigc.agg(F.sum("c2").alias("nb"))
+        )
+    )
     pairs = (
         bigc.filter(F.col("c2") >= min_pair)
         .withColumn("w1", F.split_part(F.col("g"), F.lit(TOKEN_SEP), F.lit(1)))
