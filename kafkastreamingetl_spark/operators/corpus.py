@@ -294,7 +294,16 @@ def tfidf_top_terms(
     terms = df.select(
         F.col(id_col), F.explode(F.split(c, TOKEN_SEP)).alias("term")
     ).where(F.col("term") != "")
-    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds both the document-frequency rollup and the scoring join;
+    # persisting the collapsed (doc, term, tf) table keeps the tokenize
+    # explode to ONE corpus scan (the remaining n_docs pass is count(1)
+    # with an empty read schema — parquet footers only). Round-11 scan
+    # audit: was three corpus scans.
+    tf = (
+        terms.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     doc_freq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
     idf = doc_freq.crossJoin(F.broadcast(n_docs)).select(
@@ -1154,8 +1163,16 @@ def temperature_mix_sample(
     hash threshold (monotone in rate, like every sampler here). All
     arithmetic is double pow/division of exact counts — identical in both
     engines, hash-checkable."""
-    counts = df.groupBy(F.col(source_col).alias("_src")).agg(
-        F.count(F.lit(1)).alias("_n")
+    # counts and rated are each consumed twice (by their own scalar
+    # reduction and by the row side of its crossJoin-back); persisting the
+    # |sources|-row tables keeps Catalyst from re-inlining the whole count
+    # pipeline per consumer — the executed plan scans the corpus once for
+    # the counts and once for the sampling pass (round-11 scan audit: it
+    # was five corpus scans before)
+    counts = (
+        df.groupBy(F.col(source_col).alias("_src"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .persist()
     )
     total = counts.agg(F.sum("_n").alias("_tot"))
     # rate_s = (n_s/total)^(alpha-1), normalized by the max over sources
@@ -1167,6 +1184,7 @@ def temperature_mix_sample(
                 F.col("_n").cast("double") / F.col("_tot"), F.lit(alpha - 1.0)
             ).alias("_raw"),
         )
+        .persist()
     )
     mx = rated.agg(F.max("_raw").alias("_mx"))
     rates = rated.crossJoin(F.broadcast(mx)).select(
@@ -1248,10 +1266,16 @@ def doc_lm_score(
     bigrams and no row."""
     from .text import gram_strings, tokens
 
+    # uni is consumed twice (the V scalar and the smoothing join);
+    # persisting the vocabulary-sized count table keeps both reads off one
+    # tokenization scan (round-11 scan audit: 4 corpus scans → 3 — the two
+    # bigram-stream passes, count-then-score, are the model's inherent
+    # minimum since c(w1 w2) must be global before any doc can be scored)
     uni = (
         df.select(F.explode(tokens(F.col(text_col))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .persist()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
     big = df.select(

@@ -1237,6 +1237,13 @@ def source_overlap(
     shingle (bounded by the source count, NOT document count). Pairs with
     zero overlap produce no row (inner join — absence means disjoint).
     """
+    # persisted (memory-and-disk, the shingle_features discipline): hs
+    # feeds both self-join sides and both per-source size lookups, and
+    # without the persist Catalyst re-inlined the whole explode+distinct
+    # pipeline per consumer — four corpus scans where one suffices
+    # (round-11 scan audit). The cached table is the distinct
+    # (source, shingle) set: shingle-vocabulary-scale, far below corpus
+    # bytes, exactly what the near-dup pipeline already caches.
     hs = (
         documents.filter(
             F.col(source_col).isNotNull() & F.col(content_col).isNotNull()
@@ -1246,6 +1253,7 @@ def source_overlap(
             F.explode(shingle_hashes(F.col(content_col))).alias("h"),
         )
         .distinct()
+        .persist()
     )
     sizes = hs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
     a = hs.select(F.col("src").alias("source_a"), "h")

@@ -809,10 +809,21 @@ def ann_recall_report(
     query: the exact side broadcasts the same sampled queries), which is
     how offline recall evaluation is actually priced.
     """
-    q = self_queries(embeddings) if queries is None else queries
-    exact = cosine_topk(embeddings, q, k).select("query_id", "vec_id")
-    approx = ann_hyperplane_topk(embeddings, q, k).select(
-        "query_id", "vec_id"
+    # Persist the tiny intermediates (round-11 scan audit): the report
+    # consumes each top-k set TWICE (the hit semi-join and its count agg),
+    # and without the persist Catalyst re-inlined both serving pipelines
+    # per consumer — the corpus was scanned 8 times instead of 2 (once per
+    # serving path, the irreducible by-design cost). The persisted frames
+    # are k×|queries| rows (exact/approx) and |queries| rows (q) — driver-
+    # memo-sized, never corpus-sized.
+    q = (self_queries(embeddings) if queries is None else queries).persist()
+    exact = (
+        cosine_topk(embeddings, q, k).select("query_id", "vec_id").persist()
+    )
+    approx = (
+        ann_hyperplane_topk(embeddings, q, k)
+        .select("query_id", "vec_id")
+        .persist()
     )
     hits = exact.join(approx, ["query_id", "vec_id"], "left_semi")
     n_exact = exact.groupBy("query_id").agg(

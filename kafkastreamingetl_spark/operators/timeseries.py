@@ -59,6 +59,12 @@ def daily_dense_series(
     last_first = Window.partitionBy("key", "day").orderBy(
         F.col("_ts").desc_nulls_last(), F.col("event_id").desc_nulls_last()
     )
+    # daily is persisted ((key × day)-sized) and the span bounds + key set
+    # derive FROM it rather than from the raw events: every observed (key,
+    # day) survives the aggregation, so min/max day and the distinct keys
+    # are identical — and the executed plan scans events exactly once
+    # where it used to re-run the scan for each of the three consumers
+    # (round-11 scan audit)
     daily = (
         ev.withColumn("_rn", F.row_number().over(last_first))
         .groupBy("key", "day")
@@ -67,14 +73,15 @@ def daily_dense_series(
             F.count(F.lit(1)).alias("n_events"),
             F.max(F.when(F.col("_rn") == 1, F.col("_v"))).alias("_close_raw"),
         )
+        .persist()
     )
-    bounds = ev.agg(
+    bounds = daily.agg(
         F.min("day").alias("_d0"), F.max("day").alias("_d1")
     )
     days = bounds.select(
         F.explode(F.expr("sequence(_d0, _d1, interval 1 day)")).alias("day")
     )
-    keys = ev.select("key").distinct()
+    keys = daily.select("key").distinct()
     grid = keys.crossJoin(days)
     ff = Window.partitionBy("key").orderBy(F.col("day").asc_nulls_first()).rowsBetween(
         Window.unboundedPreceding, 0
@@ -359,15 +366,24 @@ def pending_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     close = lineitem.groupBy("l_orderkey").agg(
         F.max(F.col("l_shipdate").cast("date")).alias("close_day")
     )
-    spans = o.join(close, o.o_orderkey == close.l_orderkey).filter(
-        F.col("open_day").isNotNull() & F.col("close_day").isNotNull()
+    # spans feeds both union legs and daily feeds both prefix-sum sides;
+    # persisted (two date columns per order / one row per calendar day)
+    # so the orders⋈lineitem close join and the delta aggregation each
+    # execute once — round-11 scan audit: both base tables were scanned
+    # four times before
+    spans = (
+        o.join(close, o.o_orderkey == close.l_orderkey)
+        .filter(
+            F.col("open_day").isNotNull() & F.col("close_day").isNotNull()
+        )
+        .persist()
     )
     deltas = spans.select(
         F.col("open_day").alias("day"), F.lit(1).alias("delta")
     ).unionByName(
         spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
     )
-    daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d"))
+    daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d")).persist()
     grid = daily.select(F.col("day").alias("_day2"), F.col("_d").alias("_d2"))
     return (
         daily.join(F.broadcast(grid), F.col("_day2") <= F.col("day"))

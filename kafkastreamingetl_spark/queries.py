@@ -1542,17 +1542,29 @@ def q_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     first click, then purchased AFTER that view. Each stage is a filtered
     min-aggregate joined to the previous stage on user_id — three
     co-partitioned shuffles on the same key (one exchange reused under
-    AQE), never a window over the whole event stream."""
+    AQE), never a window over the whole event stream. The c/v stage states
+    (one (user, first-ts) row per qualifying user — the state ANY funnel
+    evaluation must hold) are persisted because each feeds both the next
+    stage's join and its own census count: without the persist Catalyst
+    re-inlined every upstream stage per consumer and the plan scanned
+    events six times instead of the deliberate one-filtered-scan-per-stage
+    (round-11 scan audit)."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", "ts", normalize_string("event_type").alias("t")
     )
-    c = ev.where(F.col("t") == "click").groupBy("user_id").agg(F.min("ts").alias("t0"))
+    c = (
+        ev.where(F.col("t") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+        .persist()
+    )
     v = (
         ev.where(F.col("t") == "view")
         .join(c.select("user_id", F.col("t0").alias("prev")), "user_id")
         .where(F.col("ts") > F.col("prev"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t0"))
+        .persist()
     )
     p = (
         ev.where(F.col("t") == "purchase")
