@@ -1176,16 +1176,14 @@ def temperature_mix_sample(
     )
     total = counts.agg(F.sum("_n").alias("_tot"))
     # rate_s = (n_s/total)^(alpha-1), normalized by the max over sources
-    rated = (
-        counts.crossJoin(F.broadcast(total))
-        .select(
-            "_src",
-            F.pow(
-                F.col("_n").cast("double") / F.col("_tot"), F.lit(alpha - 1.0)
-            ).alias("_raw"),
-        )
-        .persist()
+    rated = counts.crossJoin(F.broadcast(total)).select(
+        "_src",
+        F.pow(
+            F.col("_n").cast("double") / F.col("_tot"), F.lit(alpha - 1.0)
+        ).alias("_raw"),
     )
+    # rated's two consumers re-derive it from the persisted counts — a
+    # |sources|-row recompute, cheaper than a second cache's job boundary
     mx = rated.agg(F.max("_raw").alias("_mx"))
     rates = rated.crossJoin(F.broadcast(mx)).select(
         "_src", (F.col("_raw") / F.col("_mx")).alias("keep_rate")

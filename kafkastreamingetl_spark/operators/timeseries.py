@@ -366,23 +366,29 @@ def pending_backlog(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
     close = lineitem.groupBy("l_orderkey").agg(
         F.max(F.col("l_shipdate").cast("date")).alias("close_day")
     )
-    # spans feeds both union legs and daily feeds both prefix-sum sides;
-    # persisted (two date columns per order / one row per calendar day)
-    # so the orders⋈lineitem close join and the delta aggregation each
-    # execute once — round-11 scan audit: both base tables were scanned
-    # four times before
-    spans = (
-        o.join(close, o.o_orderkey == close.l_orderkey)
-        .filter(
-            F.col("open_day").isNotNull() & F.col("close_day").isNotNull()
-        )
-        .persist()
+    # Each span emits its two deltas from ONE row via an in-row explode
+    # (not a union of two selects over spans — the union's second leg
+    # re-ran the whole orders⋈lineitem close join, and round-11's scan
+    # audit showed both base tables scanned FOUR times: twice per union
+    # leg, doubled again by daily's two consumers). daily is persisted
+    # (one row per calendar day) so the triangle prefix-sum's two sides
+    # read the cache. Executed plan: one scan of each base table.
+    spans = o.join(close, o.o_orderkey == close.l_orderkey).filter(
+        F.col("open_day").isNotNull() & F.col("close_day").isNotNull()
     )
     deltas = spans.select(
-        F.col("open_day").alias("day"), F.lit(1).alias("delta")
-    ).unionByName(
-        spans.select(F.col("close_day").alias("day"), F.lit(-1).alias("delta"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("open_day").alias("day"), F.lit(1).alias("delta")
+                ),
+                F.struct(
+                    F.col("close_day").alias("day"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
+        ).alias("_x")
+    ).select("_x.day", "_x.delta")
     daily = deltas.groupBy("day").agg(F.sum("delta").alias("_d")).persist()
     grid = daily.select(F.col("day").alias("_day2"), F.col("_d").alias("_d2"))
     return (
