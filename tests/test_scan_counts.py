@@ -1,0 +1,72 @@
+"""Scan-count regression net for the round-11 audit: the number of
+DISTINCT parquet scan nodes per source file in each fixed query's physical
+plan. Catalyst re-inlines the whole upstream pipeline for every consumer
+of an unpersisted DataFrame — the failure mode that had ann_recall_report
+scanning embeddings 8 times — and nothing else in the test suite notices
+(results and operator-count snapshots stay identical while the executed
+scan volume silently multiplies). Cached-lineage reprints in
+explain("formatted") reuse the same node id, so counting distinct ids
+counts executed scans.
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import io
+import re
+
+import pytest
+
+from kafkastreamingetl_spark.queries import QUERIES
+
+pytestmark = pytest.mark.slow
+
+# query -> {file: max distinct scan nodes allowed}. These are the audited
+# minima (SCALE.md "Round-11 plan fixes"); a failure means a plan change
+# reintroduced a redundant corpus scan.
+SCAN_BUDGET = {
+    "bigram_pmi_collocations": {"documents.parquet": 2},
+    "ann_recall_report": {"embeddings.parquet": 3},
+    "orders_pending_backlog": {"orders.parquet": 1, "lineitem.parquet": 1},
+    "conversion_funnel": {"events.parquet": 3},
+    "temperature_mix_sample": {"documents.parquet": 2},
+    "source_overlap_matrix": {"documents.parquet": 1},
+    "daily_dense_series": {"events.parquet": 1},
+    "tfidf_top_terms": {"documents.parquet": 2},
+    "doc_lm_score": {"documents.parquet": 3},
+}
+
+
+def _scan_counts(df) -> dict[str, int]:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    ids: dict[str, str] = {}
+    cur = None
+    for line in buf.getvalue().splitlines():
+        m = re.match(r"\((\d+)\) Scan parquet", line.strip())
+        if m:
+            cur = m.group(1)
+            continue
+        if cur and line.strip().startswith("Location:"):
+            ids[cur] = line.strip().split("/")[-1].rstrip("]")
+            cur = None
+    return dict(collections.Counter(ids.values()))
+
+
+@pytest.mark.parametrize("name", sorted(SCAN_BUDGET))
+def test_scan_count_stays_within_audit_budget(spark, sf_dir, name):
+    try:
+        counts = _scan_counts(QUERIES[name](spark, sf_dir))
+    finally:
+        spark.catalog.clearCache()
+    over = {
+        f: (counts.get(f, 0), budget)
+        for f, budget in SCAN_BUDGET[name].items()
+        if counts.get(f, 0) > budget
+    }
+    assert not over, (
+        f"{name}: distinct parquet scans exceed the audited budget "
+        f"(now, budget) = {over}; full counts {counts}"
+    )
