@@ -55,6 +55,42 @@ def _scan_counts(df) -> dict[str, int]:
     return dict(collections.Counter(ids.values()))
 
 
+# The registry-wide ceiling: after the audit no query reads any single
+# file more than twice, except these seven documented cases at exactly 3
+# (SCALE.md "Round-11 plan fixes" — per-FK-edge pruned scans, Spark's own
+# decorrelation of the same-ANSI-text subquery, demo-shape eval/train and
+# base/increment splits of one table, the bigram LM's count-then-score
+# minimum, the funnel's one-filtered-scan-per-stage, and the recall
+# report's two serving paths + query sample). A NEW query landing at 3+
+# must either get fixed or earn its place on this list.
+ALLOWED_AT_3 = {
+    "referential_integrity",
+    "orders_above_customer_avg",
+    "incremental_neardup_documents",
+    "doc_lm_score",
+    "decontaminated_corpus",
+    "conversion_funnel",
+    "ann_recall_report",
+}
+
+
+def test_registry_wide_scan_ceiling(spark, sf_dir):
+    over: dict[str, dict[str, int]] = {}
+    for name, fn in QUERIES.items():
+        try:
+            counts = _scan_counts(fn(spark, sf_dir))
+        finally:
+            spark.catalog.clearCache()
+        cap = 3 if name in ALLOWED_AT_3 else 2
+        bad = {f: c for f, c in counts.items() if c > cap}
+        if bad:
+            over[name] = bad
+    assert not over, (
+        f"queries scanning a file more than their ceiling "
+        f"(2, or 3 if allowlisted): {over}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGET))
 def test_scan_count_stays_within_audit_budget(spark, sf_dir, name):
     try:
