@@ -106,6 +106,14 @@ HEAVY_QUERIES = [
     "user_interarrival_stats",
     "doc_char_entropy",
     "bigram_pmi_collocations",
+    # round-11 scan-audit queries whose fix persists a derived table: the
+    # claim is that the cache stays vocabulary-sized (tf: (doc, term)
+    # collapsed; lm: unigram counts; mix: per-source counts) while the
+    # corpus grows xK — a cache that secretly tracked corpus bytes would
+    # show up here as superlinear wall or heap pressure
+    "tfidf_top_terms",
+    "doc_lm_score",
+    "temperature_mix_sample",
 ]
 
 _SHUFFLE_TEXT = (
