@@ -1323,6 +1323,72 @@ def sql_source_overlap(
     """
 
 
+SOURCE_MINHASH_K = 64
+
+
+def source_overlap_minhash(
+    documents: DataFrame,
+    *,
+    content_col: str = "text",
+    source_col: str = "source",
+    k: int = SOURCE_MINHASH_K,
+) -> DataFrame:
+    """Sketch lane of :func:`source_overlap` — the 100 TB production path:
+    one ``k``-component MinHash signature per source (k independent
+    ``xxhash64(i, shingle)`` mins), pairwise agreement fraction estimates
+    the shingle Jaccard. The exact lane must materialize (and, since
+    round 11, cache) the full distinct (source, shingle) table —
+    shingle-vocabulary-scale; this lane's whole state is k×|sources|
+    bigints in ONE map-side-combined aggregate, because min over
+    occurrences equals min over the distinct set (no ``distinct`` needed
+    anywhere) and the per-component min is a mergeable summary. Standard
+    error ≈ sqrt(J(1−J)/k) (~0.06 at k=64, J=0.5); tolerance-tested
+    against the exact lane in tests/test_approx.py.
+
+    Output: ``(source_a, source_b, n_agree, jaccard_est)`` for EVERY
+    source pair — the sketch cannot distinguish zero overlap from small
+    overlap, so unlike the exact lane (inner join: absence = disjoint) it
+    reports all pairs and lets the consumer threshold.
+    """
+    sigs = (
+        documents.filter(
+            F.col(source_col).isNotNull() & F.col(content_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(shingle_hashes(F.col(content_col))).alias("h"),
+        )
+        .groupBy("src")
+        .agg(
+            F.array(
+                *[
+                    F.min(F.xxhash64(F.lit(i), F.col("h")))
+                    for i in range(k)
+                ]
+            ).alias("sig")
+        )
+    )
+    a = sigs.select(F.col("src").alias("source_a"), F.col("sig").alias("_sa"))
+    b = sigs.select(F.col("src").alias("source_b"), F.col("sig").alias("_sb"))
+    agree = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    # |sources|² pairs via a broadcast inequality join — the row count is
+    # dimension-sized (sources², not documents²), the one place a
+    # nested-loop join is the right tool
+    return (
+        a.join(F.broadcast(b), F.col("source_a") < F.col("source_b"))
+        .select(
+            "source_a",
+            "source_b",
+            agree.cast("bigint").alias("n_agree"),
+            (agree.cast("double") / F.lit(float(k))).alias("jaccard_est"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-document n-gram novelty (corpus-order contribution scoring)
 # ---------------------------------------------------------------------------

@@ -2882,6 +2882,7 @@ def a_winsorized_type_stats_approx(spark: SparkSession, sf_dir: str) -> DataFram
     return quality_ops.clamp_and_aggregate(e, thresholds)
 
 
+
 # ===========================================================================
 # Round 7: runtime-filter join, compaction, backlog, dedup/report additions
 # ===========================================================================
@@ -3283,6 +3284,17 @@ def q_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-keyed self-equi-join over distinct (source, shingle) pairs,
     fan-out bounded by |sources|², no text crosses the shuffle."""
     return dedup_ops.source_overlap(_t(spark, sf_dir, "documents"))
+
+
+@approx_variant("source_overlap_minhash", twin="source_overlap_matrix")
+def a_source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-signature production lane of the source-overlap report: the
+    exact twin materializes (and caches) the full distinct (source,
+    shingle) table — shingle-vocabulary-scale; this lane keeps k×|sources|
+    bigints in one map-side-combined aggregate and estimates Jaccard by
+    signature agreement (operators/dedup.source_overlap_minhash;
+    tolerance-tested in tests/test_approx.py)."""
+    return dedup_ops.source_overlap_minhash(_t(spark, sf_dir, "documents"))
 
 
 @query(
