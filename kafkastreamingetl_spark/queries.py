@@ -3338,16 +3338,7 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     + broadcast offsets, never a single-partition ntile sort — the same
     de-weaking user_ltv_deciles got in round 7), with user_id tie-breaks
     so both engines cut identically."""
-    ev = load_events(spark, sf_dir).filter(
-        F.col("value").isNotNull()
-        & F.col("ts").isNotNull()
-        & F.col("user_id").isNotNull()
-    )
-    u = ev.groupBy("user_id").agg(
-        F.max(F.unix_micros("ts")).alias("last_us"),
-        F.count(F.lit(1)).alias("n_events"),
-        dsum("value", "ltv"),
-    )
+    u = _rfm_user_base(spark, sf_dir)
     u = rank_ops.with_exact_ntile(
         u, 4, ["last_us", "user_id"], bucket_col="r_bucket"
     )
@@ -3359,6 +3350,68 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return u.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv")
+    )
+
+
+def _rfm_user_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-user (recency, frequency, monetary) base of the two RFM
+    lanes."""
+    ev = load_events(spark, sf_dir).filter(
+        F.col("value").isNotNull()
+        & F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+    )
+    return ev.groupBy("user_id").agg(
+        F.max(F.unix_micros("ts")).alias("last_us"),
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "ltv"),
+    )
+
+
+@approx_variant("user_rfm_segments_approx", twin="user_rfm_segments")
+def a_user_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-cut production lane of the RFM census: ONE approx_percentile
+    aggregation yields all nine quartile edges (3 dimensions × 3 cuts) —
+    zero range exchanges, zero P×P offset joins, just a broadcast
+    comparison per user. Semantics differ from the exact lane exactly
+    where a sketch must: threshold cuts put tie mass on one side instead
+    of splitting it by user_id, so heavy-tie dimensions (frequency's
+    small-integer counts) deviate most — priced in the tolerance test
+    (tests/test_approx.py: near-unique dimensions agree per-user ≥ 90%)."""
+    u = _rfm_user_base(spark, sf_dir)
+    qs = F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    cuts = u.agg(
+        F.approx_percentile("last_us", qs, F.lit(10000)).alias("_rc"),
+        F.approx_percentile("n_events", qs, F.lit(10000)).alias("_fc"),
+        F.approx_percentile(F.col("ltv").cast("double"), qs, F.lit(10000)).alias(
+            "_mc"
+        ),
+    )
+
+    def bucket(col: str, edges: str):
+        c = (
+            F.col(col).cast("double")
+            if col == "ltv"
+            else F.col(col).cast("double")
+        )
+        return (
+            F.lit(1)
+            + sum(
+                (c > F.element_at(F.col(edges), i + 1)).cast("int")
+                for i in range(3)
+            )
+        )
+
+    return (
+        u.crossJoin(F.broadcast(cuts))
+        .select(
+            "ltv",
+            bucket("last_us", "_rc").alias("r_bucket"),
+            bucket("n_events", "_fc").alias("f_bucket"),
+            bucket("ltv", "_mc").alias("m_bucket"),
+        )
+        .groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv"))
     )
 
 

@@ -198,3 +198,63 @@ def test_source_overlap_minhash_near_exact(spark, sf_dir):
     for pair, j_est in est.items():
         j = exact.get(pair, 0.0)
         assert abs(j_est - j) <= 0.2, (pair, j_est, j)
+
+
+def test_rfm_approx_near_exact(spark, sf_dir):
+    """The sketch-cut RFM lane: the census partitions the same user
+    population (totals preserved, buckets in 1..4), and on the
+    near-unique monetary dimension the per-user bucket agrees with the
+    exact quartile cut for >= 90% of users (disagreement concentrates at
+    the sketch's edge error; frequency's small-integer tie mass is the
+    documented divergence and is not asserted)."""
+    from pyspark.sql import Window
+
+    from kafkastreamingetl_spark.queries import (
+        APPROX_VARIANTS,
+        QUERIES,
+        _rfm_user_base,
+    )
+
+    exact_census = QUERIES["user_rfm_segments"](spark, sf_dir).collect()
+    approx_census = APPROX_VARIANTS["user_rfm_segments_approx"](
+        spark, sf_dir
+    ).collect()
+    n_exact = sum(r.n_users for r in exact_census)
+    n_approx = sum(r.n_users for r in approx_census)
+    assert n_exact == n_approx > 0
+    for r in approx_census:
+        assert {r.r_bucket, r.f_bucket, r.m_bucket} <= {1, 2, 3, 4}
+
+    # per-user monetary bucket: exact ntile (test-only unpartitioned
+    # window, small data) vs the sketch's threshold cut
+    u = _rfm_user_base(spark, sf_dir)
+    exact_m = u.select(
+        "user_id",
+        F.ntile(4)
+        .over(Window.orderBy(F.asc("ltv"), F.asc("user_id")))
+        .alias("m_exact"),
+    )
+    cuts = u.agg(
+        F.approx_percentile(
+            F.col("ltv").cast("double"),
+            F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+            F.lit(10000),
+        ).alias("_mc")
+    )
+    approx_m = u.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        (
+            F.lit(1)
+            + sum(
+                (
+                    F.col("ltv").cast("double")
+                    > F.element_at(F.col("_mc"), i + 1)
+                ).cast("int")
+                for i in range(3)
+            )
+        ).alias("m_approx"),
+    )
+    joined = exact_m.join(approx_m, "user_id")
+    n = joined.count()
+    n_agree = joined.filter(F.col("m_exact") == F.col("m_approx")).count()
+    assert n_agree / n >= 0.9, (n_agree, n)
