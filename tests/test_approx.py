@@ -258,3 +258,34 @@ def test_rfm_approx_near_exact(spark, sf_dir):
     n = joined.count()
     n_agree = joined.filter(F.col("m_exact") == F.col("m_approx")).count()
     assert n_agree / n >= 0.9, (n_agree, n)
+
+
+def test_source_overlap_minhash_single_source_and_null_edges(spark):
+    """A single-source corpus has zero pairs (not a crash, not a
+    self-pair); null text/source rows are excluded like the exact lane."""
+    from kafkastreamingetl_spark.operators.dedup import source_overlap_minhash
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta", "web"),
+            (2, None, "web"),
+            (3, "alpha beta gamma delta", None),
+        ],
+        "doc_id long, text string, source string",
+    )
+    assert source_overlap_minhash(docs).count() == 0
+
+
+def test_source_overlap_minhash_identical_sources_estimate_one(spark):
+    """Two sources with identical shingle sets agree on every signature
+    component: jaccard_est == 1.0 exactly (min over equal sets is equal)."""
+    from kafkastreamingetl_spark.operators.dedup import source_overlap_minhash
+
+    text = "one two three four five six seven"
+    docs = spark.createDataFrame(
+        [(1, text, "a"), (2, text, "b")],
+        "doc_id long, text string, source string",
+    )
+    rows = source_overlap_minhash(docs).collect()
+    assert len(rows) == 1
+    assert rows[0].jaccard_est == 1.0 and rows[0].n_agree == 64

@@ -127,3 +127,35 @@ def test_fallback_order_without_records_still_leads_with_never_greens():
     latest, _ = _independent_latest_green()
     real = rotation_order(reg_names, latest=latest)
     assert real[: len(e._FALLBACK_HEAD)] == e._FALLBACK_HEAD
+
+
+def test_rotation_policy_properties_hold_for_any_evidence():
+    """Property test over random latest-green evidence: the policy always
+    emits a permutation, never-green names always precede every green
+    name, and green names are ordered by ascending latest-green round
+    with registration order breaking ties."""
+    from hypothesis import given, settings, strategies as st
+
+    reg_names = list(queries.__globals__["QUERIES"])
+    reg = {n: i for i, n in enumerate(reg_names)}
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        st.dictionaries(
+            st.sampled_from(reg_names),
+            st.integers(min_value=1, max_value=30),
+            max_size=len(reg_names),
+        )
+    )
+    def prop(latest):
+        order = rotation_order(reg_names, latest=latest) if latest else None
+        if order is None:
+            return  # empty evidence exercises the fallback path, tested above
+        assert sorted(order) == sorted(reg_names)
+        keys = [(latest.get(n, -1), reg[n]) for n in order]
+        assert keys == sorted(keys)
+        greens = [i for i, n in enumerate(order) if n in latest]
+        nevers = [i for i, n in enumerate(order) if n not in latest]
+        assert not nevers or not greens or max(nevers) < min(greens)
+
+    prop()
