@@ -92,6 +92,13 @@ def entry(spark: SparkSession) -> DataFrame:
     return daily_segment_metrics(events, customer)
 
 
+#: one evidence snapshot per process — ``queries()`` and ``oracle_sql()``
+#: both derive their order from it, so a CORRECTNESS file written between
+#: the two calls cannot make them disagree (the driver zips them
+#: positionally; ADVICE r11).
+_LATEST_GREEN_CACHE: dict[str, int] | None = None
+
+
 def latest_green_rounds() -> dict[str, int]:
     """query name → round of its latest green driver CORRECTNESS row.
 
@@ -100,7 +107,13 @@ def latest_green_rounds() -> dict[str, int]:
     or missing files degrade to "no evidence" — a fresh checkout with no
     CORRECTNESS records falls back to pure registration order, which is
     the correct cold-start behavior (everything is never-green).
+
+    The file scan runs once per process; later calls return a copy of the
+    cached snapshot so every accessor sees the same evidence.
     """
+    global _LATEST_GREEN_CACHE
+    if _LATEST_GREEN_CACHE is not None:
+        return dict(_LATEST_GREEN_CACHE)
     here = os.path.dirname(os.path.abspath(__file__))
     latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
@@ -118,30 +131,36 @@ def latest_green_rounds() -> dict[str, int]:
         for name, row in data.items():
             if isinstance(row, dict) and row.get("hash_match"):
                 latest[name] = max(latest.get(name, 0), rnd)
-    return latest
+    _LATEST_GREEN_CACHE = latest
+    return dict(latest)
 
 
 # Insurance for a standalone copy of this file (no CORRECTNESS records
-# adjacent): the round-11 window head as computed from the r1-r10 records —
-# 7 never-greens, then the 6 age-4 r6 stragglers. With the records present
-# (the normal case) this list is ignored; without them it reproduces the
-# committed round-11 plan instead of degrading to registration order
-# (which would strand the never-greens at positions 154-160).
+# adjacent): the must-verify set — never-green queries plus greens at the
+# staleness boundary — as computed from the records committed through
+# ``_FALLBACK_FROZEN_AT``, in policy order. With the records present (the
+# normal case) this list is ignored; without them it reproduces the
+# current round's window head instead of degrading to registration order
+# (which would strand late-registered queries at the back).
+#
+# AUTOGENERATED by ``tools/round_start.py`` — do not hand-edit. The test
+# suite pins it against the records <= _FALLBACK_FROZEN_AT only, so a new
+# driver record never invalidates it mid-round (VERDICT r11 item 1).
+# --- fallback-head:begin ---
+_FALLBACK_FROZEN_AT = 11
 _FALLBACK_HEAD = [
-    "ann_recall_report",
-    "lsh_band_load_profile",
-    "incremental_neardup_documents",
-    "neardup_pagerank",
-    "user_interarrival_stats",
-    "doc_char_entropy",
-    "bigram_pmi_collocations",
-    "props_variant_extract",
-    "user_running_totals",
-    "rolling_hour_value",
-    "doc_pack_bins",
-    "embedding_quantize_int8",
-    "corpus_shuffle_shards",
+    "orders_pending_backlog",
+    "semantic_eval_contamination",
+    "recursive_daily_series",
+    "daily_autocorr",
+    "events_key_skew_profile",
+    "blameless_suppliers",
+    "token_posting_lists",
+    "source_overlap_matrix",
+    "user_rfm_segments",
+    "lateral_top_orders",
 ]
+# --- fallback-head:end ---
 
 
 def rotation_order(

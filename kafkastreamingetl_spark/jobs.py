@@ -174,15 +174,25 @@ def cmd_neardup_ingest(args: argparse.Namespace) -> dict:
         survivors = incremental_neardup_from_index(
             spark, args.index, batch, min_jaccard=mj
         )
-    survivors = survivors.persist()
+    # Eager localCheckpoint, not persist: the index append below writes to
+    # the very path the survivors' lineage reads, and Spark's post-write
+    # refreshByPath drops any cache whose plan touches that path — a
+    # persisted survivors would silently recompute against the UPDATED
+    # index (colliding with its own signatures → empty corpus append).
+    # Truncating the lineage pins the survivor set once, batch-sized.
+    survivors = survivors.localCheckpoint(eager=True)
     n_out = survivors.count()
-    if args.out:
-        survivors.write.mode("append").parquet(args.out)
+    # Index FIRST, corpus second (ADVICE r11): if the corpus append fails
+    # after the index write, the corpus is merely missing one day's rows —
+    # visible (row counts disagree with the index) and repairable. The
+    # reverse order corrupts silently and permanently: corpus rows the
+    # index cannot see mean later batches' near-dups survive forever.
     if bootstrap:
         build_neardup_index(survivors, args.index)
     else:
         append_neardup_index(survivors, args.index)
-    survivors.unpersist()
+    if args.out:
+        survivors.write.mode("append").parquet(args.out)
     return {
         "job": "neardup-ingest",
         "batch_rows": n_in,

@@ -1368,6 +1368,10 @@ def source_overlap_minhash(
             ).alias("sig")
         )
     )
+    # persist: sigs is only k×|sources| bigints, but it feeds BOTH sides of
+    # the pair join — unpersisted, Catalyst re-inlines the explode+aggregate
+    # pipeline per side and scans the corpus twice (ADVICE r11)
+    sigs = sigs.persist()
     a = sigs.select(F.col("src").alias("source_a"), F.col("sig").alias("_sa"))
     b = sigs.select(F.col("src").alias("source_b"), F.col("sig").alias("_sb"))
     agree = F.aggregate(

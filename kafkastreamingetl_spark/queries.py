@@ -3389,11 +3389,7 @@ def a_user_rfm_segments_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def bucket(col: str, edges: str):
-        c = (
-            F.col(col).cast("double")
-            if col == "ltv"
-            else F.col(col).cast("double")
-        )
+        c = F.col(col).cast("double")
         return (
             F.lit(1)
             + sum(

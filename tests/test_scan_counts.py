@@ -91,6 +91,28 @@ def test_registry_wide_scan_ceiling(spark, sf_dir):
     )
 
 
+def test_approx_variant_scan_ceiling(spark, sf_dir):
+    """The production sketch lanes live in APPROX_VARIANTS, outside
+    QUERIES, so the registry-wide ceiling above never saw them (ADVICE
+    r11: source_overlap_minhash fed an unpersisted sigs table into both
+    sides of its self-join and scanned documents twice). Same ceiling: no
+    approx lane may scan any single file more than twice."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+
+    over: dict[str, dict[str, int]] = {}
+    for name, fn in APPROX_VARIANTS.items():
+        try:
+            counts = _scan_counts(fn(spark, sf_dir))
+        finally:
+            spark.catalog.clearCache()
+        bad = {f: c for f, c in counts.items() if c > 2}
+        if bad:
+            over[name] = bad
+    assert not over, (
+        f"approx lanes scanning a file more than twice: {over}"
+    )
+
+
 @pytest.mark.parametrize("name", sorted(SCAN_BUDGET))
 def test_scan_count_stays_within_audit_budget(spark, sf_dir, name):
     try:
