@@ -149,6 +149,10 @@ def latest_green_rounds() -> dict[str, int]:
 # --- fallback-head:begin ---
 _FALLBACK_FROZEN_AT = 11
 _FALLBACK_HEAD = [
+    "takedown_sweep",
+    "doc_length_buckets",
+    "source_audit_report",
+    "neardup_quality_survivors",
     "orders_pending_backlog",
     "semantic_eval_contamination",
     "recursive_daily_series",

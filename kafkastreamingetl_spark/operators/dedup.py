@@ -2302,3 +2302,97 @@ def incremental_neardup_from_index(
     return _incremental_neardup_against(
         increment, base_sigs, base_feats, text_col, id_col, min_jaccard
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-argmax survivor selection per near-dup cluster
+# ---------------------------------------------------------------------------
+
+
+def quality_survivor_clusters(
+    documents: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> DataFrame:
+    """Per near-dup cluster, the KEEP-BEST survivor instead of keep-first:
+    ``(cluster_id, survivor_doc_id, survivor_distinct_tokens, n_members)``
+    where the survivor maximizes lexical richness (distinct-token count,
+    integer-exact cross-engine; ties break to the lowest doc id).
+
+    Production dedup rarely wants min-id-wins (:func:`neardup_dedup`):
+    among N near-copies of a page, the canonical pick is the best-quality
+    member — the version without truncation or boilerplate injection.
+    Scoring is any deterministic per-doc scalar; distinct-token count is
+    the integer-safe default.
+
+    Scale shape: reuses the memoized cluster labels (the CC closure runs
+    once per corpus, not per consumer), the richness score is a pure
+    projection fused into the corpus scan, and the argmax is ONE
+    map-side-combined ``max(struct(score, −id))`` aggregate on the
+    cluster key — no window over an unpartitioned frame, no second
+    shuffle. Output is cluster-count-sized (duplicate clusters only).
+    """
+    labels = neardup_clusters(
+        documents, text_col, id_col, min_jaccard=min_jaccard
+    )
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    richness = documents.select(
+        F.col(id_col),
+        F.size(F.array_distinct(F.split(text, " ")))
+        .cast("bigint")
+        .alias("_ndt"),
+    )
+    scored = labels.join(richness, id_col)
+    best = scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max(
+            F.struct(
+                F.col("_ndt").alias("ndt"),
+                (-F.col(id_col)).alias("nid"),
+            )
+        ).alias("_best"),
+    )
+    return best.select(
+        "cluster_id",
+        (-F.col("_best.nid")).cast("bigint").alias("survivor_doc_id"),
+        F.col("_best.ndt").alias("survivor_distinct_tokens"),
+        "n_members",
+    )
+
+
+def sql_quality_survivor_clusters(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    min_jaccard: float = NEARDUP_MIN_JACCARD,
+) -> str:
+    """Oracle twin over the recursive-CTE transitive closure; the argmax
+    via a ROW_NUMBER window — different algorithm, same answer."""
+    return f"""
+    WITH RECURSIVE {_sql_components_ctes(table, text_col, min_jaccard)},
+    rich AS (
+        SELECT doc_id,
+               len(list_distinct(string_split(COALESCE({text_col}, ''), ' ')))::BIGINT
+                   AS ndt
+        FROM {table}
+    ),
+    scored AS (
+        SELECT c.cluster_id, c.node AS doc_id, r.ndt
+        FROM clusters c JOIN rich r ON c.node = r.doc_id
+    ),
+    sel AS (
+        SELECT cluster_id, doc_id, ndt,
+               ROW_NUMBER() OVER (
+                   PARTITION BY cluster_id ORDER BY ndt DESC, doc_id ASC
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS nm
+        FROM scored
+    )
+    SELECT cluster_id,
+           doc_id AS survivor_doc_id,
+           CAST(ndt AS BIGINT) AS survivor_distinct_tokens,
+           CAST(nm AS BIGINT) AS n_members
+    FROM sel WHERE rn = 1
+    """

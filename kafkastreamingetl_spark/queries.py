@@ -3751,3 +3751,77 @@ def q_bigram_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject — never a global sort
     (operators/corpus.py bigram_pmi)."""
     return corpus_ops.bigram_pmi(_t(spark, sf_dir, "documents"))
+
+
+# ===========================================================================
+# Round-12 additions: governance sweep, batching report, dataset cards,
+# quality-argmax dedup survivors
+# ===========================================================================
+
+from .operators import governance as gov_ops  # noqa: E402
+
+_TAKEDOWN_TABLES = {"events": "user_id", "orders": "o_custkey", "customer": "c_custkey"}
+_TAKEDOWN_OPTOUT_SQL = "SELECT c_custkey FROM customer WHERE c_custkey % 100 = 7"
+
+
+@query(
+    "takedown_sweep",
+    oracle=gov_ops.sql_takedown_impact(_TAKEDOWN_TABLES, _TAKEDOWN_OPTOUT_SQL),
+)
+def q_takedown_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-obligation blast radius: per fact table, total rows and
+    rows owned by an opted-out user key (here: every 100th customer) —
+    the read-only audit that runs before (and after) a GDPR/takedown
+    erasure. One scan per table with a broadcast conditional count;
+    fact tables never shuffle (operators/governance.py takedown_impact).
+    The destructive leg stays with the retention machinery's
+    dry-run→--delete discipline (operators/maintenance.py)."""
+    customer = _t(spark, sf_dir, "customer")
+    optout = customer.filter(F.col("c_custkey") % 100 == 7).select("c_custkey")
+    tables = {
+        "events": (_t(spark, sf_dir, "events"), "user_id"),
+        "orders": (_t(spark, sf_dir, "orders"), "o_custkey"),
+        "customer": (customer, "c_custkey"),
+    }
+    return gov_ops.takedown_impact(tables, optout)
+
+
+@query(
+    "doc_length_buckets",
+    oracle=corpus_ops.sql_length_bucket_stats(),
+)
+def q_doc_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two sequence-length buckets with integer-exact padding
+    waste — the report behind length-bucketed batch assembly (pad to the
+    bucket's next power of two) and the packing-vs-padding decision next
+    to doc_pack_bins. floor(log2) via length(bin(n)) on both engines: no
+    float log at the bucket edges. One scan, one map-side-combined
+    aggregate (operators/corpus.py length_bucket_stats)."""
+    return corpus_ops.length_bucket_stats(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "source_audit_report",
+    oracle=corpus_ops.sql_source_audit_report(),
+)
+def q_source_audit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card in ONE corpus scan: docs, chars, language
+    spread, exact duplicate fraction — the summary a curator reads before
+    setting mixture weights, beside dedup_rate_by_source (dedup dimension
+    only) and source_overlap_matrix (cross-source dimension)
+    (operators/corpus.py source_audit_report)."""
+    return corpus_ops.source_audit_report(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "neardup_quality_survivors",
+    oracle=dedup_ops.sql_quality_survivor_clusters(),
+)
+def q_neardup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-BEST dedup survivor selection: per near-dup cluster, the
+    member with the highest distinct-token count (ties to lowest id)
+    instead of min-id-wins — the production policy when near-copies
+    differ in truncation/boilerplate. Reuses the memoized cluster labels;
+    the argmax is one max(struct) aggregate on the cluster key, no second
+    shuffle (operators/dedup.py quality_survivor_clusters)."""
+    return dedup_ops.quality_survivor_clusters(_t(spark, sf_dir, "documents"))

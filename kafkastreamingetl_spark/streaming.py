@@ -565,6 +565,133 @@ def neardup_flag_sink(
     )
 
 
+def neardup_ingest_sink(
+    df: DataFrame,
+    corpus_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    min_jaccard: float | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """Streaming twin of the daily near-dup ingest loop (the batch
+    ``neardup-ingest`` CLI, jobs.py): each micro-batch is deduped against
+    the persisted signature index with exact-Jaccard verification, the
+    SURVIVORS' signatures/features are appended back to the index, and
+    the survivors land in the corpus — so batch N+1 dedups against
+    everything batch N accepted, continuously. Unlike
+    :func:`neardup_flag_sink` (candidates-only flagging for a downstream
+    verifier), this sink makes the DROP decision in-stream, running the
+    identical candidates→verify functions the batch loop runs
+    (``incremental_neardup_from_index`` semantics per micro-batch; the
+    first-ever batch bootstraps with ``neardup_dedup`` exactly like the
+    CLI) — streaming==batch by construction, checked by differential test.
+
+    Replay discipline (the reference's T6 checkpoint-restart contract,
+    ``spark/app.py:189-209``, applied to the LLM dedup lane): every write
+    — corpus, sigs, feats — is partitioned by ``batch_id`` and dynamically
+    OVERWRITTEN, so a batch retried after a mid-batch crash replaces its
+    own partitions instead of double-appending; the index probe excludes
+    ``batch_id >= current`` so a replayed batch never collides with its
+    own previous half-written signatures (the batch CLI's index-first
+    ordering makes a crash *visible*; partition-scoped overwrite makes it
+    *self-healing*). Executor state is zero — the whole loop's state lives
+    in the parquet index, horizon = life of the corpus, daily cost tracks
+    the increment (the base is never re-shingled).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .operators.dedup import (
+        NEARDUP_MIN_JACCARD,
+        _incremental_neardup_against,
+        minhash_signatures,
+        neardup_dedup,
+        shingle_features,
+    )
+    from .session import ensure_runtime_confs
+
+    mj = NEARDUP_MIN_JACCARD if min_jaccard is None else min_jaccard
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ensure_runtime_confs(spark)  # dynamic partition overwrite
+        import os
+
+        sigs_path = os.path.join(index_path, "sigs")
+        feats_path = os.path.join(index_path, "feats")
+        base_sigs = base_feats = None
+        try:
+            base_sigs = (
+                spark.read.parquet(sigs_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+            base_feats = (
+                spark.read.parquet(feats_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .drop("batch_id")
+            )
+            # a replayed FIRST batch sees only its own (excluded) rows —
+            # rows-below-current, not path existence, decides bootstrap,
+            # so the replay re-runs the same bootstrap code path
+            if base_sigs.limit(1).isEmpty():
+                base_sigs = None
+        except AnalysisException:
+            base_sigs = None
+        if base_sigs is None:
+            survivors = neardup_dedup(
+                batch, content_col, id_col, min_jaccard=mj
+            )
+        else:
+            survivors = _incremental_neardup_against(
+                batch, base_sigs, base_feats, content_col, id_col, mj
+            )
+        # eager lineage cut: the index writes below touch the very paths
+        # the survivor plan reads; a merely-persisted survivors would be
+        # invalidated by Spark's post-write refreshByPath and silently
+        # recompute against its own appended signatures (same trap the
+        # batch CLI documents)
+        survivors = survivors.localCheckpoint(eager=True)
+        feats = shingle_features(survivors, content_col, id_col)
+        sigs = minhash_signatures(survivors, content_col, id_col, feats=feats)
+        # index first, corpus second — same crash-ordering rationale as
+        # the batch CLI (a corpus missing one batch is visible and
+        # repairable; an index missing corpus rows corrupts silently)
+        (
+            sigs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(sigs_path)
+        )
+        (
+            feats.select(F.col(id_col), F.col("_hs"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(feats_path)
+        )
+        (
+            survivors.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(corpus_path)
+        )
+
+    return foreach_batch_sink(
+        df,
+        ingest_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
+
+
 def kafka_round_trip_smoke(
     spark, bootstrap: str, *, n_events: int = 200
 ) -> dict:

@@ -740,3 +740,50 @@ def test_bigram_pmi_min_pair_floor(spark):
     pairs = {(r.w1, r.w2) for r in rows}
     assert ("qux", "zap") not in pairs
     assert ("a", "b") in pairs
+
+
+def test_length_bucket_stats_hand_computed(spark):
+    """Exact power-of-two edges land in the right bucket and the waste
+    arithmetic is integer-exact: n=4 ('a b c d') is bucket 2 (cap 8),
+    n=1 bucket 0 (cap 2), n=3 bucket 1 (cap 4)."""
+    from kafkastreamingetl_spark.operators.corpus import length_bucket_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a"),  # n=1 -> bucket 0, cap 2, waste 1
+            (2, "a b c"),  # n=3 -> bucket 1, cap 4, waste 1
+            (3, "a b c d"),  # n=4 -> bucket 2, cap 8, waste 4
+            (4, "a b c d e f g"),  # n=7 -> bucket 2, cap 8, waste 1
+            (5, None),  # empty doc: excluded (n=0 has no bucket)
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket: r for r in length_bucket_stats(docs).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert (rows[0].n_docs, rows[0].sum_tokens, rows[0].pad_waste_tokens) == (1, 1, 1)
+    assert (rows[1].n_docs, rows[1].sum_tokens, rows[1].pad_waste_tokens) == (1, 3, 1)
+    assert (rows[2].n_docs, rows[2].sum_tokens, rows[2].pad_waste_tokens) == (2, 11, 5)
+    assert float(rows[2].pad_waste_frac) == round(5 / 16, 4)
+
+
+def test_source_audit_report_planted_duplicates(spark):
+    """dup_frac counts exact content repeats per source; language spread
+    and char totals ride the same single aggregate."""
+    from kafkastreamingetl_spark.operators.corpus import source_audit_report
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "web"),
+            (2, "same text", "en", "web"),
+            (3, "other text", "de", "web"),
+            (4, "unique here", "en", "books"),
+        ],
+        "doc_id long, text string, lang string, source string",
+    )
+    rows = {r.source: r for r in source_audit_report(docs).collect()}
+    web, books = rows["web"], rows["books"]
+    assert (web.n_docs, web.n_langs, web.n_distinct_texts) == (3, 2, 2)
+    assert float(web.dup_frac) == round(1 - 2 / 3, 4)
+    assert (books.n_docs, books.n_distinct_texts) == (1, 1)
+    assert float(books.dup_frac) == 0.0
+    assert web.n_chars_total == len("same text") * 2 + len("other text")

@@ -1,0 +1,51 @@
+"""Takedown / opt-out blast-radius audit: per-table totals and affected
+counts from a broadcast key set, one scan per table, read-only."""
+
+from __future__ import annotations
+
+from kafkastreamingetl_spark.operators.governance import takedown_impact
+
+
+def test_multi_table_counts_hand_computed(spark):
+    events = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 20), (4, 30), (5, None)],
+        "event_id long, user_id long",
+    )
+    orders = spark.createDataFrame(
+        [(100, 10), (101, 40)], "o_orderkey long, o_custkey long"
+    )
+    users = spark.createDataFrame([(10,), (20,), (30,), (40,)], "uid long")
+    optout = spark.createDataFrame([(10,), (40,), (99,)], "k long")
+
+    out = takedown_impact(
+        {
+            "events": (events, "user_id"),
+            "orders": (orders, "o_custkey"),
+            "users": (users, "uid"),
+        },
+        optout,
+    )
+    rows = {r.table_name: (r.rows_total, r.rows_affected) for r in out.collect()}
+    assert rows == {
+        "events": (5, 2),  # users 10,10 affected; NULL owner never matches
+        "orders": (2, 2),  # custkeys 10 and 40
+        "users": (4, 2),  # 10 and 40 exist; 99 matches nothing
+    }
+
+
+def test_duplicate_optout_keys_do_not_double_count(spark):
+    events = spark.createDataFrame([(1, 10), (2, 20)], "event_id long, user_id long")
+    optout = spark.createDataFrame([(10,), (10,), (10,)], "k long")
+    out = takedown_impact({"events": (events, "user_id")}, optout).collect()[0]
+    assert (out.rows_total, out.rows_affected) == (2, 1)
+
+
+def test_audit_is_broadcast_and_single_scan(spark, sf_dir):
+    """Plan shape: the opt-out side is broadcast (no fact shuffle for the
+    join) and each fact table appears exactly once in the scan list."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    df = QUERIES["takedown_sweep"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

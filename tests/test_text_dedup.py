@@ -785,3 +785,45 @@ def test_neardup_index_append_back_two_day_loop(spark, tmp_path):
     # 21 still dups the ORIGINAL base (append must not clobber it),
     # 22 is genuinely fresh.
     assert {r.doc_id for r in s2.collect()} == {22}
+
+
+def test_quality_survivor_clusters_argmax_and_ties(spark):
+    """Keep-BEST survivor: the richest member wins regardless of id; a
+    richness tie falls back to the lowest id; member counting covers the
+    transitive closure."""
+    from kafkastreamingetl_spark.operators.dedup import quality_survivor_clusters
+
+    # base: 13 tokens, 11 distinct ('the' x3). doc 1 repeats 'the' once
+    # more (10 distinct, one edit off base); doc 3 swaps quick->swift
+    # (11 distinct, one edit off base). 1 and 3 are two edits apart —
+    # closure via doc 2 must still collapse all three.
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    df = spark.createDataFrame(
+        [
+            (1, base.replace("today", "the")),  # 10 distinct
+            (2, base),  # 11 distinct
+            (3, base.replace("quick", "swift")),  # 11 distinct
+            (4, "completely different words about spark partitions here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.cluster_id: r for r in quality_survivor_clusters(df).collect()}
+    assert set(rows) == {1}  # cluster label = min member id
+    row = rows[1]
+    assert row.n_members == 3  # transitive closure, doc 4 untouched
+    # argmax beats the min-id default (doc 1 has only 10 distinct);
+    # the 11-distinct tie between 2 and 3 breaks to the LOWER id 2
+    assert row.survivor_doc_id == 2
+    assert row.survivor_distinct_tokens == 11
+
+
+def test_quality_survivor_prefers_richer_member_over_lower_id(spark):
+    from kafkastreamingetl_spark.operators.dedup import quality_survivor_clusters
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+    richer = base + " nu"  # 13 distinct vs 12, higher id; shingle J = 10/11
+    df = spark.createDataFrame([(1, base), (2, richer)], ["doc_id", "text"])
+    row = quality_survivor_clusters(df).collect()[0]
+    assert row.survivor_doc_id == 2
+    assert row.survivor_distinct_tokens == 13
+    assert row.n_members == 2

@@ -114,7 +114,21 @@ HEAVY_QUERIES = [
     "tfidf_top_terms",
     "doc_lm_score",
     "temperature_mix_sample",
+    # round-12 dedup-lane addition: marginal work on top of the prewarmed
+    # closure must stay one cluster-keyed aggregate (cluster-count-sized
+    # output) as the corpus grows xK
+    "neardup_quality_survivors",
 ]
+
+# Round-11 sketch lanes (VERDICT r11 item 6): their whole reason to exist
+# is scale, so each is timed NEXT TO its exact twin at every stress point —
+# the claim under test is that the sketch's advantage WIDENS as the corpus
+# grows (the inverse of the honest value_percentiles_tdigest note, where
+# the exact lane wins on a bounded domain). sketch name -> exact twin.
+SKETCH_LANES = {
+    "source_overlap_minhash": "source_overlap_matrix",
+    "user_rfm_segments_approx": "user_rfm_segments",
+}
 
 _SHUFFLE_TEXT = (
     "array_join(transform(array_sort(transform(split(text, ' '), "
@@ -254,6 +268,30 @@ def _time_queries(spark, qs, sf_dir: str, n_planes: int) -> tuple[dict, dict]:
     return walls, fit
 
 
+def _time_sketch_lanes(spark, qs, sf_dir: str) -> dict:
+    """Sketch lane vs exact twin, both cache-cold, at one stress point.
+    Exact twins reuse the main-lane wall when the twin is in
+    HEAVY_QUERIES; otherwise the twin is timed here the same way."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+
+    out: dict[str, dict] = {}
+    for sketch, exact in SKETCH_LANES.items():
+        lanes = {}
+        for label, fn in (
+            ("sketch_sec", APPROX_VARIANTS[sketch]),
+            ("exact_sec", qs[exact]),
+        ):
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            lanes[label] = round(time.perf_counter() - t0, 3)
+        lanes["speedup"] = round(
+            lanes["exact_sec"] / max(lanes["sketch_sec"], 1e-3), 2
+        )
+        out[sketch] = {"exact_twin": exact, **lanes}
+    return out
+
+
 def _planes_at(k: int) -> int:
     import math
 
@@ -284,6 +322,7 @@ def main() -> None:
         "wall_sec": base_walls,
         "fit_sec": base_fit,
         "blocking_planes": _planes_at(1),
+        "sketch_lanes": _time_sketch_lanes(spark, qs, BASE_DIR),
     }
     print(f"x1: {sum(base_walls.values()):.1f}s serving", file=sys.stderr)
 
@@ -311,6 +350,7 @@ def main() -> None:
             "build_sec": build_s,
             "blocking_planes": _planes_at(k),
             "sublinear": {n: ratios[n] < k for n in HEAVY_QUERIES},
+            "sketch_lanes": _time_sketch_lanes(spark, qs, sdir),
         }
         violations += [f"x{k}:{n}" for n in HEAVY_QUERIES if ratios[n] >= k]
         violations += [f"x{k}:{n}" for n, r in fit_ratios.items() if r >= k]
