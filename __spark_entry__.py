@@ -38,22 +38,18 @@ policy is now DERIVED, not transcribed:
   oldest-first round-robin re-greens every query at most every ceil(N / W)
   rounds. Any 4 consecutive rounds offer 4·W = 200 slots, so the ≤4-round
   staleness bound is satisfiable indefinitely iff N ≤ 200 — enforced as
-  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At the current
-  N = 160 the steady state is: each round greens the ≤10 queries that have
-  just reached age 4 plus 40 age-3 queries; nothing ever exceeds age 4.
-  Registry growth is frozen this round (VERDICT r10 item 2 option (a))
-  until the r8 cohort has re-greened; future additions spend the
-  200 − N remaining headroom.
+  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At N = 165
+  (round 12: the 160-query r11 freeze plus 5 new operators spending the
+  headroom VERDICT r11 noted) the steady state still closes: each round
+  greens every query reaching age 4 plus the oldest age-3 cohort; nothing
+  ever exceeds age 4. 35 slots of sustainable capacity remain.
 
-Round-11 window under this policy (= the plan VERDICT r10 committed):
-the 7 round-10 never-greens (ann_recall_report, lsh_band_load_profile,
-incremental_neardup_documents, neardup_pagerank, user_interarrival_stats,
-doc_char_entropy, bigram_pmi_collocations), then the 6 age-4 r6 stragglers
-(rolling_hour_value, doc_pack_bins, user_running_totals,
-corpus_shuffle_shards, embedding_quantize_int8, props_variant_extract),
-then the first 37 of the 47-query r8 cohort in registration order. The 10
-r8 queries that do not fit reach age 4 at round 12 and — by this same
-ordering rule — automatically head the round-12 window.
+Round-12 window under this policy (self-derived — nothing transcribed):
+the 5 round-12 never-greens (takedown_sweep, doc_length_buckets,
+source_audit_report, neardup_quality_survivors,
+eval_ngram_contamination), then the 10 r8-green queries that aged out of
+the round-11 window (orders_pending_backlog ... lateral_top_orders), then
+the oldest r9 cohort fills the remaining 35 slots in registration order.
 """
 
 from __future__ import annotations
@@ -153,6 +149,7 @@ _FALLBACK_HEAD = [
     "doc_length_buckets",
     "source_audit_report",
     "neardup_quality_survivors",
+    "eval_ngram_contamination",
     "orders_pending_backlog",
     "semantic_eval_contamination",
     "recursive_daily_series",

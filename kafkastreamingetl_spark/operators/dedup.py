@@ -2396,3 +2396,105 @@ def sql_quality_survivor_clusters(
            CAST(nm AS BIGINT) AS n_members
     FROM sel WHERE rn = 1
     """
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram eval contamination (GPT-3-style 13-gram collision check)
+# ---------------------------------------------------------------------------
+
+#: the published benchmark-decontamination gram width (GPT-3 appendix C
+#: used 13-gram collisions; later reports use 10-13)
+NGRAM_CONTAM_N = 13
+
+
+def eval_ngram_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    n: int = NGRAM_CONTAM_N,
+) -> DataFrame:
+    """(train_doc, n_grams, n_collisions, collision_frac): training docs
+    sharing at least one EXACT word ``n``-gram with the evaluation set —
+    the published decontamination standard (13-gram collision check),
+    complementing :func:`eval_contamination`'s MinHash lane: the sketch
+    lane finds whole-document near-copies, this one catches a verbatim
+    eval passage pasted inside an otherwise-unrelated document, with zero
+    false positives by construction.
+
+    Scale shape: the eval set is benchmark-sized, so its distinct gram
+    hashes BROADCAST; the train corpus is scanned ONCE (gram hashes +
+    per-doc totals ride the same explode — no second pass, no persist)
+    and never shuffles its rows. The post-join aggregate shuffles only
+    COLLIDING (doc, gram) pairs — contamination-sized. Gram identity via
+    the shared 60-bit hash; grams are per-doc distinct, so ``count(*)``
+    counts distinct colliding grams.
+    """
+    from .text import shingle_hashes
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    tg = train.select(
+        F.col(id_col).alias("train_doc"),
+        shingle_hashes(text, n).alias("_g"),
+    )
+    ex = tg.select(
+        "train_doc",
+        F.size("_g").cast("bigint").alias("n_grams"),
+        F.explode("_g").alias("g"),
+    )
+    eg = F.broadcast(
+        eval_df.select(F.explode(shingle_hashes(text, n)).alias("g")).distinct()
+    )
+    return (
+        ex.join(eg, "g")
+        .groupBy("train_doc")
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.count(F.lit(1)).alias("n_collisions"),
+        )
+        .select(
+            "train_doc",
+            "n_grams",
+            "n_collisions",
+            (F.col("n_collisions").cast("double") / F.col("n_grams"))
+            .alias("collision_frac"),
+        )
+    )
+
+
+def sql_eval_ngram_contamination(
+    train_pred: str,
+    eval_pred: str,
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    n: int = NGRAM_CONTAM_N,
+) -> str:
+    """DuckDB twin over predicate-split slices of one table."""
+    from .text import sql_shingle_hashes_over_w
+
+    grams = sql_shingle_hashes_over_w(n)
+    return f"""
+    WITH tr AS (
+        SELECT doc_id, string_split(COALESCE({text_col}, ''), ' ') AS w
+        FROM {table} WHERE doc_id {train_pred}
+    ),
+    ev AS (
+        SELECT doc_id, string_split(COALESCE({text_col}, ''), ' ') AS w
+        FROM {table} WHERE doc_id {eval_pred}
+    ),
+    tg AS (
+        SELECT doc_id AS train_doc,
+               len({grams})::BIGINT AS n_grams,
+               unnest({grams}) AS g
+        FROM tr
+    ),
+    eg AS (SELECT DISTINCT unnest({grams}) AS g FROM ev)
+    SELECT tg.train_doc,
+           MAX(tg.n_grams) AS n_grams,
+           CAST(COUNT(*) AS BIGINT) AS n_collisions,
+           CAST(COUNT(*) AS DOUBLE) / MAX(tg.n_grams) AS collision_frac
+    FROM tg JOIN eg ON tg.g = eg.g
+    GROUP BY 1
+    """

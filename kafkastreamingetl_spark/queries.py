@@ -3825,3 +3825,24 @@ def q_neardup_quality_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the argmax is one max(struct) aggregate on the cluster key, no second
     shuffle (operators/dedup.py quality_survivor_clusters)."""
     return dedup_ops.quality_survivor_clusters(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "eval_ngram_contamination",
+    oracle=dedup_ops.sql_eval_ngram_contamination(
+        train_pred="% 10 != 0", eval_pred="% 10 = 0"
+    ),
+)
+def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 13-gram eval contamination (the published GPT-3-style
+    collision check): training docs sharing a verbatim 13-gram with the
+    eval slice — zero false positives, catches pasted eval passages the
+    MinHash lane's whole-doc similarity misses. Eval gram hashes
+    broadcast; ONE train scan, only colliding (doc, gram) pairs shuffle
+    (operators/dedup.py eval_ngram_contamination). Same deterministic
+    10% id split as eval_contamination."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_ops.eval_ngram_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+    )

@@ -1,61 +1,84 @@
-"""bench.py's two regression gates, unit-level (no Spark session):
-
-* the per-round floor refresh (`_regression_report`) proves no regression
-  vs LAST round;
-* the frozen round-10 headline floor (`_frozen_floor_report`,
-  BENCH_FLOOR_r10.json — never regenerated) catches the multi-round creep
-  the per-round gate is structurally blind to (VERDICT r10 item 4).
-"""
+"""The bench's frozen-floor anti-creep gate: multi-epoch floor files
+(BENCH_FLOOR_r*.json), approx-lane coverage, and the flag rule. Pure
+function tests — no Spark session."""
 
 from __future__ import annotations
 
+import importlib.util
 import json
 import os
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-sys.path.insert(0, REPO)
-
-import bench  # noqa: E402
 
 
-def _floors() -> dict[str, float]:
-    with open(os.path.join(REPO, "BENCH_FLOOR_r10.json")) as f:
-        return json.load(f)["queries"]
+def _bench_module():
+    spec = importlib.util.spec_from_file_location(
+        "bench_under_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.path.insert(0, REPO)
+    spec.loader.exec_module(mod)
+    return mod
 
 
-def test_frozen_floor_file_is_the_committed_r10_headline_set():
-    with open(os.path.join(REPO, "BENCH_FLOOR_r10.json")) as f:
-        frozen = json.load(f)
-    assert frozen["frozen_at_round"] == 10 and frozen["sf"] == 0.1
-    heads = {
-        l.split("## ")[1].strip()
-        for l in open(os.path.join(REPO, "PLANS.md"))
-        if l.startswith("## ")
-    }
-    # every PLANS.md headline is gated; a new headline chapter without a
-    # floor entry fails here so the gate can't silently shrink
-    assert heads <= set(frozen["queries"]), heads - set(frozen["queries"])
+def _write_floor(tmp_path, rnd, queries=None, approx=None, sf=0.1):
+    payload = {"frozen_at_round": rnd, "sf": sf, "queries": queries or {}}
+    if approx is not None:
+        payload["approx"] = approx
+    with open(tmp_path / f"BENCH_FLOOR_r{rnd}.json", "w") as f:
+        json.dump(payload, f)
 
 
-def test_frozen_floor_flags_creep_and_reports_ratio():
-    floors = _floors()
-    timings = dict(floors)
-    timings["hot_ngrams"] = floors["hot_ngrams"] * 3  # > 2x and > 0.5 s
-    rep = bench._frozen_floor_report(timings, 0.1)
+def test_multi_epoch_floors_merge_and_headline_pins_oldest(tmp_path, monkeypatch):
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    _write_floor(tmp_path, 10, queries={"q_old": 1.0, "q_shared": 2.0})
+    _write_floor(tmp_path, 11, queries={"q_new": 1.0}, approx={"a_sketch": 0.5})
+    timings = {"q_old": 1.1, "q_shared": 1.9, "q_new": 3.0}  # q_new: >2x, >0.5s
+    approx = {"a_sketch": 2.0}  # >2x and >0.5s over its 0.5 floor
+    rep = bench._frozen_floor_report(timings, 0.1, approx)
+    assert rep["frozen_floor_rounds"] == [10, 11]
+    # headline ratio pins to the OLDEST epoch (longest lever): r10 only
     assert rep["frozen_floor_round"] == 10
-    assert list(rep["frozen_regressions"]) == ["hot_ngrams"]
-    assert rep["frozen_headline_ratio"] > 1.0
+    assert rep["frozen_headline_ratio"] == round((1.1 + 1.9) / 3.0, 4)
+    # flags from BOTH epochs and BOTH lanes
+    assert set(rep["frozen_regressions"]) == {"q_new", "a_sketch"}
 
 
-def test_frozen_floor_quiet_at_floor_and_ignores_other_sf():
-    floors = _floors()
-    rep = bench._frozen_floor_report(dict(floors), 0.1)
+def test_flag_rule_requires_ratio_and_absolute_slip(tmp_path, monkeypatch):
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    _write_floor(tmp_path, 10, queries={"fast": 0.1, "slow": 5.0})
+    # fast: 3x ratio but only 0.2s absolute -> noise, not flagged;
+    # slow: +4s absolute but <2x ratio -> not flagged
+    rep = bench._frozen_floor_report({"fast": 0.3, "slow": 9.0}, 0.1, {})
     assert rep["frozen_regressions"] == {}
-    assert abs(rep["frozen_headline_ratio"] - 1.0) < 1e-9
-    # a sub-second 2x that moves < 0.5 s absolute is timer noise, not creep
-    timings = dict(floors)
-    timings["campaign_attribution_scd2"] = floors["campaign_attribution_scd2"] + 0.4
-    assert bench._frozen_floor_report(timings, 0.1)["frozen_regressions"] == {}
-    # floors are sf0.1 walls; any other sf must not compare against them
-    assert bench._frozen_floor_report(dict(floors), 0.01) == {}
+
+
+def test_sf_mismatch_and_missing_files_degrade_to_empty(tmp_path, monkeypatch):
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    assert bench._frozen_floor_report({"q": 1.0}, 0.1, {}) == {}
+    _write_floor(tmp_path, 10, queries={"q": 1.0}, sf=0.01)
+    assert bench._frozen_floor_report({"q": 9.0}, 0.1, {}) == {}
+    assert bench._frozen_floor_report({"q": 9.0}, None, {}) == {}
+
+
+def test_committed_r11_floor_file_is_valid_and_covers_the_sketch_lanes():
+    with open(os.path.join(REPO, "BENCH_FLOOR_r11.json")) as f:
+        floor = json.load(f)
+    assert floor["frozen_at_round"] == 11 and floor["sf"] == 0.1
+    assert set(floor["approx"]) == {
+        "source_overlap_minhash",
+        "user_rfm_segments_approx",
+    }
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+
+    assert set(floor["approx"]) <= set(APPROX_VARIANTS)

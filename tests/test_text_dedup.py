@@ -827,3 +827,46 @@ def test_quality_survivor_prefers_richer_member_over_lower_id(spark):
     assert row.survivor_doc_id == 2
     assert row.survivor_distinct_tokens == 13
     assert row.n_members == 2
+
+
+def test_eval_ngram_contamination_catches_pasted_passage(spark):
+    """A verbatim 13-token eval passage pasted inside an otherwise
+    unrelated train doc is caught (exactly 1 colliding gram for an
+    exactly-13-token paste); whole-doc-dissimilar text with no shared
+    13-gram is not flagged."""
+    from kafkastreamingetl_spark.operators.dedup import eval_ngram_contamination
+
+    passage = "one two three four five six seven eight nine ten eleven twelve thirteen"
+    assert len(passage.split()) == 13
+    train = spark.createDataFrame(
+        [
+            (1, "intro words here " + passage + " closing words after"),
+            (2, "completely unrelated document about spark shuffle behavior "
+                "and adaptive query execution plans at scale today"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "eval context " + passage + " eval suffix")],
+        "doc_id long, text string",
+    )
+    rows = {r.train_doc: r for r in eval_ngram_contamination(train, ev).collect()}
+    assert set(rows) == {1}
+    assert rows[1].n_collisions == 1  # only the pasted 13-gram collides
+    # train doc 1 has 3 + 13 + 3 = 19 tokens -> 7 distinct 13-grams
+    assert rows[1].n_grams == 7
+    assert abs(rows[1].collision_frac - 1 / 7) < 1e-12
+
+
+def test_eval_ngram_contamination_short_docs_yield_no_grams(spark):
+    from kafkastreamingetl_spark.operators.dedup import eval_ngram_contamination
+
+    train = spark.createDataFrame(
+        [(1, "short doc under thirteen tokens total here")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "short doc under thirteen tokens total here")],
+        "doc_id long, text string",
+    )
+    assert eval_ngram_contamination(train, ev).count() == 0
