@@ -2498,3 +2498,77 @@ def sql_eval_ngram_contamination(
     FROM tg JOIN eg ON tg.g = eg.g
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# hot-band-capped LSH candidates (worst-case join fan-out bound)
+# ---------------------------------------------------------------------------
+
+#: default posting-list cap: buckets larger than this are treated as
+#: degenerate blocking keys (boilerplate bands) and skipped — the
+#: production default for a web-scale corpus, far above any honest
+#: near-dup cluster
+LSH_MAX_BUCKET = 64
+
+
+def lsh_capped_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    max_bucket: int = LSH_MAX_BUCKET,
+    feats: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`lsh_candidate_pairs` with a hard cap on bucket size: bands
+    whose (band, sig) bucket holds more than ``max_bucket`` documents are
+    EXCLUDED from candidate generation — the standard production bound on
+    LSH's worst case (cap the posting list). A degenerate blocking key
+    (an empty-string band, a boilerplate template shared by 10^6 pages)
+    otherwise turns the self-join into s² pairs for that bucket;
+    :func:`lsh_band_load_profile` prices that volume BEFORE the join,
+    this operator acts on it. The trade is explicit and bounded: a pair
+    is lost only if hot buckets were its ONLY collisions, and anything
+    popular enough to blow the cap is template/boilerplate material for
+    the hot-gram lane (strip_boilerplate), not pairwise dedup.
+
+    Scale shape: bucket sizes are one map-side-combined count on the
+    (band, sig) key; the kept-bucket semi-join and the candidate
+    self-join reuse the SAME key partitioning, so the cap adds no extra
+    fact shuffle — and guarantees every join task is ≤ max_bucket²
+    pair-work regardless of input skew.
+    """
+    sigs = minhash_signatures(df, text_col, id_col, feats=feats)
+    ok = (
+        sigs.groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("_s"))
+        .filter(F.col("_s") <= max_bucket)
+        .select("band", "sig")
+    )
+    kept = sigs.join(ok, ["band", "sig"])
+    a = kept.select(F.col(id_col).alias("doc_a"), "band", "sig")
+    b = kept.select(F.col(id_col).alias("doc_b"), "band", "sig")
+    return (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .dropDuplicates()
+    )
+
+
+def sql_lsh_capped_candidate_pairs(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    max_bucket: int = LSH_MAX_BUCKET,
+) -> str:
+    return f"""
+    WITH {_sql_sigs_cte(table, text_col)},
+    ok AS (
+        SELECT band, sig FROM sigs
+        GROUP BY 1, 2 HAVING COUNT(*) <= {max_bucket}
+    ),
+    kept AS (SELECT s.* FROM sigs s JOIN ok USING (band, sig))
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
+    WHERE a.doc_id < b.doc_id
+    """

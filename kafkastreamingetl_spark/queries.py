@@ -3846,3 +3846,19 @@ def q_eval_ngram_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
     )
+
+
+@query(
+    "neardup_candidates_capped",
+    oracle=dedup_ops.sql_lsh_capped_candidate_pairs(max_bucket=2),
+)
+def q_neardup_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates under a hot-bucket cap (posting-list bound): bands
+    whose bucket exceeds the cap are excluded, guaranteeing <= cap² pair
+    work per join task regardless of input skew — the action arm of
+    lsh_band_load_profile's skew report. Cap 2 here so the drop path is
+    exercised against the oracle at every sf; production default is
+    LSH_MAX_BUCKET (operators/dedup.py lsh_capped_candidate_pairs)."""
+    return dedup_ops.lsh_capped_candidate_pairs(
+        _t(spark, sf_dir, "documents"), max_bucket=2
+    )

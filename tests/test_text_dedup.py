@@ -870,3 +870,38 @@ def test_eval_ngram_contamination_short_docs_yield_no_grams(spark):
         "doc_id long, text string",
     )
     assert eval_ngram_contamination(train, ev).count() == 0
+
+
+def test_lsh_capped_candidates_drop_hot_bucket_pairs_only(spark):
+    """With a cap of 1 every bucket is hot, so no candidates survive;
+    with a generous cap the result equals the uncapped operator; and a
+    planted hot template (many copies) is excluded at a small cap while
+    an honest near-dup pair outside it survives."""
+    from kafkastreamingetl_spark.operators.dedup import (
+        lsh_capped_candidate_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the riverbank today"
+    near = base.replace("today", "tonight")
+    template = "identical boilerplate navigation header repeated across mirror pages verbatim"
+    rows = [(1, base), (2, near)] + [(i, template) for i in range(10, 16)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_capped_candidate_pairs(df, max_bucket=10_000).collect()
+    }
+    assert uncapped == {
+        (r.doc_a, r.doc_b) for r in lsh_candidate_pairs(df).collect()
+    }
+    assert (1, 2) in uncapped
+    assert (10, 11) in uncapped  # template clique present uncapped
+
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_capped_candidate_pairs(df, max_bucket=3).collect()
+    }
+    assert (1, 2) in capped  # honest pair survives (bucket size 2)
+    assert not any(a >= 10 and b >= 10 for a, b in capped)  # clique gone
+
+    assert lsh_capped_candidate_pairs(df, max_bucket=1).count() == 0
