@@ -297,3 +297,62 @@ def test_frequent_tokens_stream_50_batches_flat_latency_bounded_state(
             "state_kb": round(state_bytes / 1024, 1),
         },
     )
+
+
+def test_neardup_ingest_sink_50_batches_flat_latency_bounded_checkpoint(
+    spark, tmp_path
+):
+    """The DROP-deciding ingest loop under the same 50-batch gate: the
+    persisted index accretes every batch's survivor signatures, but the
+    per-batch cost tracks the BATCH (probe = (band, sig) equi-join against
+    the 3-column index, survivors localCheckpoint-pinned, partition-scoped
+    writes) — and the survivor arithmetic stays exact across the run."""
+    import random
+
+    from kafkastreamingetl_spark.streaming import neardup_ingest_sink
+
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+
+    rng = random.Random(11)
+    vocab = [f"w{k}" for k in range(200)]
+
+    def fresh_text() -> str:
+        return " ".join(rng.choice(vocab) for _ in range(40))
+
+    batch0 = [(j, fresh_text()) for j in range(10)]
+    dup_sources = [batch0[0][1], batch0[1][1]]
+    all_batches = [batch0]
+    for i in range(1, N_BATCHES):
+        rows = [(i * 10 + j, fresh_text()) for j in range(8)]
+        rows += [
+            (i * 10 + 8, dup_sources[0]),
+            (i * 10 + 9, dup_sources[1]),
+        ]
+        all_batches.append(rows)
+    for rows in all_batches:
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = neardup_ingest_sink(stream, corpus, index, ckpt, available_now=True)
+    run_available_now([q], timeout_sec=900)
+    stats = _assert_flat_and_stateless(q, ckpt, "neardup_ingest_sink")
+
+    # exact survivor arithmetic: batch 0 keeps all 10; every later batch
+    # keeps its 8 fresh docs and drops the 2 exact copies of batch-0
+    # survivors via the accreted index
+    live = spark.read.parquet(corpus)
+    assert live.count() == 10 + (N_BATCHES - 1) * 8
+    dropped = {r.doc_id for r in live.select("doc_id").collect()}
+    for i in range(1, N_BATCHES):
+        assert i * 10 + 8 not in dropped and i * 10 + 9 not in dropped
+    print("SCALE.md numbers:", stats)
