@@ -787,3 +787,44 @@ def test_source_audit_report_planted_duplicates(spark):
     assert (books.n_docs, books.n_distinct_texts) == (1, 1)
     assert float(books.dup_frac) == 0.0
     assert web.n_chars_total == len("same text") * 2 + len("other text")
+
+
+def test_length_bucket_stats_matches_brute_force_seeded(spark):
+    """Randomized cross-check against a driver-side reference: bucket
+    membership (floor(log2)), per-bucket doc/token sums, and the exact
+    power-of-two capacity arithmetic, on a corpus with blank/NULL docs."""
+    import math
+    import random
+
+    from kafkastreamingetl_spark.operators.corpus import length_bucket_stats
+
+    rng = random.Random(23)
+    rows = []
+    for i in range(200):
+        kind = rng.random()
+        if kind < 0.05:
+            rows.append((i, None))
+        elif kind < 0.1:
+            rows.append((i, "   "))
+        else:
+            rows.append((i, " ".join("w" for _ in range(rng.randint(1, 600)))))
+    # driver-side reference (split(' ') semantics: blanks excluded by trim)
+    expected: dict[int, list[int]] = {}
+    for _i, text in rows:
+        if text is None or not text.strip():
+            continue
+        n = len(text.split(" "))
+        b = int(math.floor(math.log2(n)))
+        expected.setdefault(b, []).append(n)
+
+    got = {r.bucket: r for r in length_bucket_stats(
+        spark.createDataFrame(rows, "doc_id long, text string")
+    ).collect()}
+    assert set(got) == set(expected)
+    for b, ns in expected.items():
+        cap = 2 ** (b + 1)
+        r = got[b]
+        assert r.n_docs == len(ns)
+        assert r.sum_tokens == sum(ns)
+        assert r.pad_waste_tokens == sum(cap - n for n in ns)
+        assert all(2**b <= n < cap for n in ns)  # reference self-check

@@ -49,3 +49,19 @@ def test_audit_is_broadcast_and_single_scan(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_takedown_counts_match_brute_force_seeded(spark):
+    import random
+
+    rng = random.Random(31)
+    rows = [
+        (i, rng.choice([None] + list(range(40)))) for i in range(500)
+    ]
+    keys = [rng.randrange(60) for _ in range(25)]  # dupes + misses likely
+    expected = sum(1 for _i, u in rows if u is not None and u in set(keys))
+
+    events = spark.createDataFrame(rows, "event_id long, user_id long")
+    optout = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = takedown_impact({"events": (events, "user_id")}, optout).collect()[0]
+    assert (out.rows_total, out.rows_affected) == (500, expected)
