@@ -124,3 +124,42 @@ def test_neardup_ingest_job_cli_two_days(capsys, spark, tmp_path):
 
     corpus_ids = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert corpus_ids == {1, 3, 11}
+
+
+def test_neardup_ingest_index_is_written_before_corpus(
+    capsys, spark, tmp_path
+):
+    """Crash-ordering contract (ADVICE r11): if the corpus append fails
+    AFTER the index write, the failure is VISIBLE (index holds the day's
+    signatures, corpus does not hold the rows — counts disagree) instead
+    of the silent reverse corruption (corpus rows invisible to the index,
+    making their future near-dups survive forever). Forced by pointing
+    --out at a plain file so the parquet append raises."""
+    import os
+
+    schema = "doc_id long, text string"
+    day1 = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota")], schema
+    )
+    b1 = str(tmp_path / "day1")
+    day1.write.parquet(b1)
+    index = str(tmp_path / "nd_index")
+    bad_out = str(tmp_path / "corpus_blocker")
+    with open(bad_out, "w") as f:
+        f.write("not a directory")
+
+    rc = main(["neardup-ingest", "--index", index, "--batch", b1,
+               "--out", bad_out])
+    assert rc != 0  # the CLI reports failure (caught, nonzero exit)
+    capsys.readouterr()
+    # the index write preceded the corpus failure: signatures are there
+    assert os.path.isdir(os.path.join(index, "sigs"))
+    assert spark.read.parquet(os.path.join(index, "sigs")).count() > 0
+    # and the repair is a plain re-append of the day's survivors — which
+    # the index can name (it holds their ids); no scan of the base needed
+    ids = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(index, "sigs"))
+        .select("doc_id").distinct().collect()
+    }
+    assert ids == {1}
