@@ -2446,3 +2446,163 @@ def sql_embedding_label_drift(
              - (CASE WHEN n_first > 0 THEN s_first / n_first END) AS shift
     FROM agg
     """
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss sign-projection serving lane (dimension reduction)
+# ---------------------------------------------------------------------------
+
+#: reduced dimensionality (64 -> 16: 4x narrower vectors in every
+#: downstream shuffle/cache) and the fixed-point quantum that keeps the
+#: projection integer-exact across engines
+RP_D_OUT = 16
+RP_QUANT = 1000
+
+
+def _rp_signs(d_in: int = 64, d_out: int = RP_D_OUT) -> list[list[int]]:
+    """The ±1 projection matrix, derived from md5 so BOTH engines (and the
+    oracle SQL text) share the identical matrix without any RNG."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"rp:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+            else -1
+            for i in range(d_in)
+        ]
+        for j in range(d_out)
+    ]
+
+
+def rp_project(vec: Column, d_in: int = 64) -> Column:
+    """array<bigint>[RP_D_OUT]: the sign random projection of a float
+    vector, computed EXACTLY — each input coordinate is fixed-point
+    quantized (round(x·1000), the proven int8-quantize arithmetic) and
+    each output coordinate is a ±1-weighted bigint sum, so the projection
+    is bit-identical across engines and order-independent by construction
+    (integer addition commutes). Pure per-row expression: no shuffle, no
+    model, nothing to fit or broadcast."""
+    signs = _rp_signs(d_in)
+    qv = F.transform(
+        vec, lambda x: F.round(x.cast("double") * RP_QUANT).cast("bigint")
+    )
+    return bind(
+        qv,
+        lambda q: F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(
+                        q,
+                        F.array(*[F.lit(s).cast("bigint") for s in row]),
+                        lambda a, b: a * b,
+                    ),
+                    F.lit(0).cast("bigint"),
+                    lambda acc, v: acc + v,
+                )
+                for row in signs
+            ]
+        ),
+    )
+
+
+def _rp_cos(a: Column, b: Column) -> Column:
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    n = lambda v: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(v, lambda x: x * x),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+    return dot.cast("double") / (n(a) * n(b))
+
+
+def rp_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+) -> DataFrame:
+    """Cosine top-k served in the JL-projected space: the classical
+    dimension-reduction lane next to IVF/PQ/int8 — 64 floats shrink to 16
+    exact bigints, so the scored rows a 100 TB serving scan materializes
+    and shuffles are 4× narrower, and each distance is 16 multiplies
+    instead of 64. Same shape as :func:`cosine_topk`: broadcast queries,
+    ONE corpus scan, two-stage rank — no global sort.
+
+    Honest recall note (measured, tests/test_similarity.py): JL distorts
+    pairwise angles by O(1/√d'), so this is a SHORTLIST stage — use
+    ``k = m·k_final`` and re-rank the m-fold shortlist exactly. On the
+    testdata's near-isotropic random vectors — JL's worst case, where the
+    exact top-10's cosine margins are smaller than the projection noise —
+    the measured shortlist recall of the exact top-10 is 0.45 at
+    m·k = 50/500 and 0.61 at 100/500 (d'=16; 0.61/0.74 at d'=32). Real
+    embedding corpora are clustered, not isotropic, and sit far above
+    this floor; a planted near-duplicate (the structure dedup cares
+    about) survives projection at rank 1 deterministically.
+    """
+    q = F.broadcast(
+        queries.select("query_id", rp_project(F.col("query_vec")).alias("_qp"))
+    )
+    scored = (
+        ensure_parallelism(embeddings)
+        .select("vec_id", rp_project(F.col("embedding")).alias("_p"))
+        .crossJoin(q)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            _rp_cos(F.col("_p"), F.col("_qp")).alias("cos"),
+        )
+    )
+    return _topk_two_stage(scored, k)
+
+
+def sql_rp_topk(
+    table: str = "embeddings", k: int = 10, n_queries: int = 8
+) -> str:
+    """DuckDB twin: the identical md5-derived sign matrix is inlined as
+    ±1 literals; integer sums make term order irrelevant."""
+    signs = _rp_signs()
+    qv = (
+        f"[CAST(round(CAST(x AS DOUBLE) * {RP_QUANT}) AS BIGINT) "
+        "for x in embedding]"
+    )
+    proj_terms = ", ".join(
+        " + ".join(
+            f"{'' if s == 1 else '-'}qv[{i + 1}]" for i, s in enumerate(row)
+        )
+        for row in signs
+    )
+    dot = " + ".join(f"e.p[{j + 1}] * q.p[{j + 1}]" for j in range(RP_D_OUT))
+    norm = lambda a: (  # noqa: E731
+        "sqrt(CAST("
+        + " + ".join(f"{a}.p[{j + 1}] * {a}.p[{j + 1}]" for j in range(RP_D_OUT))
+        + " AS DOUBLE))"
+    )
+    return f"""
+    WITH base AS (
+        SELECT vec_id, {qv} AS qv FROM {table}
+    ),
+    proj AS (
+        SELECT vec_id, [{proj_terms}] AS p FROM base
+    ),
+    q AS (SELECT vec_id AS query_id, p FROM proj WHERE vec_id < {n_queries}),
+    scored AS (
+        SELECT q.query_id, e.vec_id,
+               CAST({dot} AS DOUBLE) / ({norm('e')} * {norm('q')}) AS cos
+        FROM proj e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY cos DESC NULLS LAST, vec_id ASC NULLS FIRST
+           ) AS INT) AS rank
+    FROM scored
+    QUALIFY rank <= {k}
+    """

@@ -3862,3 +3862,19 @@ def q_neardup_candidates_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.lsh_capped_candidate_pairs(
         _t(spark, sf_dir, "documents"), max_bucket=2
     )
+
+
+@query(
+    "embedding_rp_topk",
+    oracle=sim_ops.sql_rp_topk(),
+)
+def q_embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine top-k in Johnson-Lindenstrauss sign-projected space: 64
+    floats -> 16 exact bigints (md5-derived ±1 matrix, fixed-point
+    quantized inputs), so serving scans/shuffles carry 4x narrower
+    vectors and each distance is 16 multiplies — the dimension-reduction
+    member of the ANN family next to IVF/PQ/int8. Broadcast queries, one
+    corpus scan, two-stage rank
+    (operators/similarity.py rp_project/rp_topk)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim_ops.rp_topk(emb, sim_ops.self_queries(emb))

@@ -375,3 +375,88 @@ def test_ann_recall_report_invariants_real_data(spark, sf_dir):
         assert 0 <= r.n_hit <= min(r.n_exact, r.n_approx)
         assert r.n_approx <= 10
         assert r.recall == r.n_hit / r.n_exact
+
+
+def test_rp_projection_matches_numpy_twin(spark):
+    """The sign projection is exact arithmetic: quantize + ±1 bigint sums
+    reproduce bit-identically in NumPy from the same md5-derived matrix."""
+    import numpy as np
+
+    from kafkastreamingetl_spark.operators.similarity import (
+        RP_QUANT,
+        _rp_signs,
+        rp_project,
+    )
+    from pyspark.sql import functions as F
+
+    rng = np.random.default_rng(3)
+    vecs = rng.uniform(-0.5, 0.5, size=(20, 64)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(20)],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: list(r.p)
+        for r in df.select(
+            "vec_id", rp_project(F.col("embedding")).alias("p")
+        ).collect()
+    }
+    S = np.array(_rp_signs(64))
+    qv = np.round(vecs.astype(np.float64) * RP_QUANT).astype(np.int64)
+    expected = qv @ S.T
+    for i in range(20):
+        assert got[i] == [int(x) for x in expected[i]]
+
+
+def test_rp_topk_planted_neardup_survives_projection(spark):
+    """The structure dedup/similarity serving actually cares about — a
+    near-duplicate vector — survives the 64->16 projection at rank 1:
+    JL noise is O(1/sqrt(d')) of the angle, and a near-dup's margin is
+    ~1.0 vs ~0.0 for isotropic noise vectors."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kafkastreamingetl_spark.operators.similarity import rp_topk
+
+    rng = np.random.default_rng(7)
+    anchor = rng.uniform(-0.5, 0.5, 64)
+    near = anchor + rng.uniform(-0.01, 0.01, 64)
+    rows = [(0, [float(x) for x in anchor]), (1, [float(x) for x in near])]
+    rows += [
+        (i, [float(x) for x in rng.uniform(-0.5, 0.5, 64)])
+        for i in range(2, 40)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    top = rp_topk(emb, q, k=3).orderBy("rank").collect()
+    assert top[0].vec_id == 1  # the planted near-dup, despite 4x reduction
+    assert top[0].cos > 0.9
+
+
+def test_rp_shortlist_recall_band_on_isotropic_worst_case(spark, sf_dir):
+    """Pin the measured worst-case shortlist recall (documented in the
+    rp_topk docstring): near-isotropic random vectors, exact-top-10
+    margins below the projection noise. A band, not a point — the value
+    is deterministic for fixed data but sf_dir varies across harnesses."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.similarity import (
+        cosine_topk,
+        rp_topk,
+        self_queries,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = self_queries(emb)
+    exact: dict[int, set[int]] = {}
+    for r in cosine_topk(emb, q).collect():
+        exact.setdefault(r.query_id, set()).add(r.vec_id)
+    short: dict[int, set[int]] = {}
+    for r in rp_topk(emb, q, k=50).collect():
+        short.setdefault(r.query_id, set()).add(r.vec_id)
+    hits = sum(len(exact[qi] & short.get(qi, set())) for qi in exact)
+    recall = hits / (len(exact) * 10)
+    assert 0.25 <= recall <= 0.85, recall  # worst-case band, see docstring
