@@ -2250,3 +2250,284 @@ def sql_source_audit_report(
                     / COUNT(*)::DOUBLE AS DECIMAL(18,4)) AS DOUBLE) AS dup_frac
     FROM {table} GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval (Okapi BM25, Lucene idf variant)
+# ---------------------------------------------------------------------------
+
+# k1 = 6/5 = 1.2 and b = 3/4 = 0.75 (the standard defaults) kept as exact
+# rationals so the saturation term can be cleared to an integer-ratio form
+# shared bit-for-bit by both engines (see bm25_topk).
+BM25_K1_NUM, BM25_K1_DEN = 6, 5
+BM25_B_NUM, BM25_B_DEN = 3, 4
+BM25_QUERY_DOCS = 8  # self-retrieval query set: doc_id < 8
+BM25_TOP_K = 5
+
+
+def bm25_topk(
+    documents: DataFrame,
+    *,
+    k: int = BM25_TOP_K,
+    n_query_docs: int = BM25_QUERY_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-query BM25 top-``k`` documents — the lexical-retrieval twin of
+    the embedding ANN tier (``similarity.cosine_topk``). The query set is
+    the first ``n_query_docs`` documents' distinct tokens (self-retrieval:
+    each query should rank itself #1, which the tests pin), the same
+    dimension-sized-broadcast posture as ``similarity.self_queries``.
+    Hard-negative mining, contamination triage, and RAG retrieval at
+    100 TB all start from exactly this shape: tiny query set, one pass
+    over the corpus statistics.
+
+    Determinism across engines — every float op is either (a) an exact
+    integer cleared form or (b) an IEEE op on identical doubles in
+    identical order:
+
+    - idf is the Lucene non-negative variant
+      ``ln((N - df + 0.5)/(df + 0.5) + 1)``, micro-quantized to bigint
+      (the ``tfidf_top_terms`` discipline) so downstream arithmetic is
+      exact;
+    - the saturation term ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` with
+      ``avgdl = L/N`` is cleared of divisions by multiplying through by
+      ``k1_den·b_den·L``: numerator ``44·tf·L``, denominator
+      ``20·L·tf + 6·L + 18·dl·N`` — integer-valued doubles multiplied in
+      a fixed association, so both engines produce bit-identical values;
+    - each (query, doc, term) contribution is micro-quantized to bigint
+      and SUMMED EXACTLY (integer sum — order-independent, unlike a
+      double sum whose hash-agg combine order differs between engines).
+
+    Plan shape: per-document (term, tf) pairs come from a SORT +
+    RUN-LENGTH array expression (array_sort, run starts, run length =
+    next start − start; O(len·log len) per document, all JVM-side) — the
+    corpus NEVER shuffles for its own term statistics, unlike the naive
+    explode→groupBy(doc, term) which moves every token occurrence through
+    an exchange. The per-doc frame (doc_id, dl, pairs) is persisted and
+    is the single corpus scan; document frequencies, corpus scalars
+    (N, L), and the query-term dictionary all derive from it. The scoring
+    join streams exploded tf rows against the BROADCAST query-term
+    dictionary (query-terms × vocab hits only — a corpus row whose term
+    no query contains never shuffles), with doc length already riding the
+    row. Top-k is the two-stage rank (local heap per (query, partition),
+    then the k·n_partitions survivors) — no single-reducer-per-query skew
+    however few queries there are.
+
+    No analogue in the reference (its pipeline has no retrieval); this is
+    the SURVEY §7.1 step-6 extension surface, same family as
+    token_posting_lists/tfidf_top_terms.
+    """
+    from ..functions import bind
+    from .text import tokens
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+
+    def run_length_pairs(st: Column, n: Column) -> Column:
+        # st is sorted, so equal terms are adjacent: a run starts where
+        # the previous element differs. element_at(st, pos) is 1-based =
+        # the 0-based predecessor of index pos; F.get is 0-based and
+        # null-safe past the end (the final run's length closes on n).
+        starts = F.filter(
+            F.transform(
+                st, lambda x, i: F.struct(i.alias("pos"), x.alias("term"))
+            ),
+            lambda s: (s["pos"] == 0)
+            | (F.element_at(st, s["pos"]) != s["term"]),
+        )
+        return bind(
+            starts,
+            lambda sts: F.transform(
+                sts,
+                lambda s, j: F.struct(
+                    s["term"].alias("term"),
+                    (F.coalesce(F.get(sts, j + 1)["pos"], n) - s["pos"])
+                    .cast("bigint")
+                    .alias("tf"),
+                ),
+            ),
+        )
+
+    base = (
+        documents.select(
+            F.col(id_col).alias("doc_id"),
+            bind(
+                F.array_sort(F.filter(tokens(c), lambda x: x != "")),
+                lambda st: bind(
+                    F.size(st),
+                    lambda n: F.struct(
+                        n.cast("bigint").alias("dl"),
+                        run_length_pairs(st, n).alias("pairs"),
+                    ),
+                ),
+            ).alias("_s"),
+        )
+        .select("doc_id", F.col("_s.dl").alias("dl"), F.col("_s.pairs").alias("pairs"))
+        .persist()
+    )
+    # N counts ALL documents (empty docs keep a base row with dl = 0 and
+    # count toward avgdl's denominator); one agg over the cached frame.
+    scal = F.broadcast(
+        base.agg(
+            F.sum("dl").alias("total_len"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+    tf = base.select("doc_id", "dl", F.explode("pairs").alias("_p")).select(
+        "doc_id",
+        "dl",
+        F.col("_p.term").alias("term"),
+        F.col("_p.tf").alias("tf"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qterms = tf.filter(F.col("doc_id") < n_query_docs).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    # (query_id, term, idf_micro): query-term-sized — df rows survive the
+    # broadcast semi-join with the query dictionary before the expensive
+    # corpus-side join ever sees them.
+    idf = (
+        dfreq.join(F.broadcast(qterms), "term")
+        .crossJoin(scal)
+        .select(
+            "query_id",
+            "term",
+            # the corpus scalars ride the (tiny) broadcast rows, so the
+            # corpus-sized side never needs its own scalar crossJoin.
+            "total_len",
+            "n_docs",
+            F.round(
+                F.log(
+                    (
+                        F.col("n_docs").cast("double")
+                        - F.col("df")
+                        + F.lit(0.5)
+                    )
+                    / (F.col("df") + F.lit(0.5))
+                    + F.lit(1.0)
+                )
+                * F.lit(1_000_000.0)
+            )
+            .cast("bigint")
+            .alias("idf_micro"),
+        )
+    )
+    k1p1_num = BM25_K1_NUM + BM25_K1_DEN  # k1+1 = 11/5
+    # cleared saturation: multiply num and den by k1_den·b_den·L = 20·L
+    #   num = (k1+1)·k1_den·b_den·tf·L            = 44·tf·L
+    #   den = 20·L·tf + k1_num·(b_den−b_num)·L + k1_num·b_num·dl·N
+    #       = 20·L·tf + 6·L + 18·dl·N
+    num_d = (
+        F.lit(float(k1p1_num * BM25_B_DEN)) * F.col("tf")
+    ) * F.col("total_len")
+    den_d = (
+        (F.lit(float(BM25_K1_DEN * BM25_B_DEN)) * F.col("total_len"))
+        * F.col("tf")
+        + F.lit(float(BM25_K1_NUM * (BM25_B_DEN - BM25_B_NUM)))
+        * F.col("total_len")
+        + (F.lit(float(BM25_K1_NUM * BM25_B_NUM)) * F.col("dl"))
+        * F.col("n_docs")
+    )
+    # dl already rides every tf row (run-length form), so the scoring
+    # pipeline is scan → broadcast-join → project → partial agg with NO
+    # corpus-sized exchange before the (query, doc)-keyed combine.
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .select(
+            "query_id",
+            F.col("doc_id").alias("vec_id"),
+            F.round(
+                (F.col("idf_micro").cast("double") * num_d) / den_d
+            )
+            .cast("bigint")
+            .alias("term_micro"),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("term_micro").alias("cos"))
+    )
+    from .similarity import _topk_two_stage
+
+    out = _topk_two_stage(scored, k)
+    return out.select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("cos").alias("score_micro"),
+        "rank",
+    )
+
+
+def sql_bm25_topk(
+    table: str = "documents",
+    *,
+    k: int = BM25_TOP_K,
+    n_query_docs: int = BM25_QUERY_DOCS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    k1p1_b_den = float((BM25_K1_NUM + BM25_K1_DEN) * BM25_B_DEN)  # 44
+    k1d_bd = float(BM25_K1_DEN * BM25_B_DEN)  # 20
+    k1n_bgap = float(BM25_K1_NUM * (BM25_B_DEN - BM25_B_NUM))  # 6
+    k1n_bn = float(BM25_K1_NUM * BM25_B_NUM)  # 18
+    return f"""
+    WITH tok AS (
+        SELECT {id_col} AS doc_id, t.term
+        FROM {table},
+             unnest({sql_tokens(f"COALESCE({text_col}, '')")}) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tok GROUP BY 1, 2
+    ),
+    dl AS (
+        SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ),
+    scal AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM {table}) AS n_docs,
+               (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS total_len
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ),
+    qterms AS (
+        SELECT DISTINCT doc_id AS query_id, term
+        FROM tf WHERE doc_id < {n_query_docs}
+    ),
+    idf AS (
+        SELECT q.query_id, q.term,
+               CAST(round(ln((CAST(s.n_docs AS DOUBLE) - d.df + 0.5)
+                             / (d.df + 0.5) + 1.0) * 1000000.0) AS BIGINT)
+                   AS idf_micro
+        FROM qterms q
+        JOIN dfreq d USING (term)
+        CROSS JOIN scal s
+    ),
+    scored AS (
+        SELECT i.query_id, t.doc_id,
+               CAST(SUM(CAST(round(
+                   (CAST(i.idf_micro AS DOUBLE)
+                    * (({k1p1_b_den} * t.tf) * s.total_len))
+                   / (({k1d_bd} * s.total_len) * t.tf
+                      + {k1n_bgap} * s.total_len
+                      + ({k1n_bn} * d.dl) * s.n_docs)
+               ) AS BIGINT)) AS BIGINT) AS score_micro
+        FROM tf t
+        JOIN idf i USING (term)
+        JOIN dl d ON t.doc_id = d.doc_id
+        CROSS JOIN scal s
+        GROUP BY 1, 2
+    )
+    SELECT query_id, doc_id, score_micro, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, doc_id, score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY score_micro DESC NULLS LAST,
+                            doc_id ASC NULLS FIRST
+               ) AS rank
+        FROM scored
+    )
+    WHERE rank <= {k}
+    """

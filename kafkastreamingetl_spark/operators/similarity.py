@@ -2606,3 +2606,125 @@ def sql_rp_topk(
     FROM scored
     QUALIFY rank <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Embedding corpus QC report (batch-health gate before any ANN/fit consumes)
+# ---------------------------------------------------------------------------
+
+#: fixed-point quantum for squared norms in the QC report — micro-units,
+#: the idf/entropy discipline: quantize once, aggregate exact bigints.
+QC_NORM_MICRO = 1_000_000.0
+
+
+def embedding_qc_report(
+    embeddings: DataFrame,
+    *,
+    dim: int = ANN_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One-row embedding-corpus health report: vector count, NULL vectors,
+    wrong-dimension vectors, non-finite vectors (any NaN/±Inf element),
+    zero vectors, and min/max/avg squared norm — the gate a pipeline runs
+    on every new embedding batch before ANN indexing or k-means trusts it
+    (a model-server bug that emits zeros or NaNs poisons every consumer
+    downstream; catching it is one scan, losing it is a re-embed).
+
+    Scale shape: ONE corpus scan, ONE map-side-combined aggregate to a
+    single row — no shuffle wider than 32 partial rows regardless of
+    corpus size. The squared norm is the sequential JVM-side fold
+    (functions.norm's discipline, sans sqrt), micro-quantized to bigint
+    BEFORE aggregation so min/max/sum are exact integers — the double
+    fold itself is bit-identical to the DuckDB list_reduce twin, and no
+    float ever meets a cross-engine aggregation order. Norm stats are
+    over healthy vectors only (non-null, right dimension, finite):
+    damaged rows are COUNTED, never averaged in. avg is an exact-int
+    ratio (sum/count) divided once into double.
+    """
+    vec = F.col(vec_col)
+    is_null = vec.isNull()
+    wrong_dim = ~is_null & (F.size(vec) != dim)
+    nonfinite = (
+        ~is_null
+        & ~wrong_dim
+        & F.exists(
+            vec,
+            lambda x: F.isnan(x.cast("double"))
+            | (x.cast("double") == F.lit(float("inf")))
+            | (x.cast("double") == F.lit(float("-inf"))),
+        )
+    )
+    healthy = ~is_null & ~wrong_dim & ~nonfinite
+    sumsq = F.aggregate(
+        F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm2_micro = F.when(
+        healthy, F.round(sumsq * F.lit(QC_NORM_MICRO)).cast("bigint")
+    )
+    zero = healthy & (norm2_micro == 0)
+    n_healthy = F.sum(healthy.cast("bigint")).alias("n_healthy")
+    return embeddings.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.sum(is_null.cast("bigint")).alias("n_null_vec"),
+        F.sum(wrong_dim.cast("bigint")).alias("n_wrong_dim"),
+        F.sum(nonfinite.cast("bigint")).alias("n_nonfinite"),
+        F.sum(zero.cast("bigint")).alias("n_zero_vec"),
+        n_healthy,
+        F.min(norm2_micro).alias("min_norm2_micro"),
+        F.max(norm2_micro).alias("max_norm2_micro"),
+        (
+            F.sum(norm2_micro).cast("double")
+            / F.greatest(F.sum(healthy.cast("bigint")), F.lit(1).cast("bigint"))
+        ).alias("avg_norm2_micro"),
+    )
+
+
+def sql_embedding_qc_report(
+    table: str = "embeddings",
+    *,
+    dim: int = ANN_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    sumsq = "list_reduce([x::DOUBLE * x::DOUBLE for x in v], (p, q) -> p + q)"
+    return f"""
+    WITH flags AS (
+        SELECT {vec_col} AS v,
+               ({vec_col} IS NULL) AS is_null,
+               ({vec_col} IS NOT NULL AND len({vec_col}) != {dim})
+                   AS wrong_dim,
+               ({vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+                AND len(list_filter({vec_col},
+                        x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0)
+                   AS nonfinite
+        FROM {table}
+    ),
+    m AS (
+        SELECT is_null, wrong_dim, nonfinite,
+               (NOT is_null AND NOT wrong_dim AND NOT nonfinite) AS healthy,
+               CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+                    THEN CAST(round(({sumsq}) * {QC_NORM_MICRO}) AS BIGINT)
+               END AS norm2_micro
+        FROM flags
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(CASE WHEN is_null THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_vec,
+           CAST(SUM(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_wrong_dim,
+           CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_nonfinite,
+           CAST(SUM(CASE WHEN healthy AND norm2_micro = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_zero_vec,
+           CAST(SUM(CASE WHEN healthy THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_healthy,
+           MIN(norm2_micro) AS min_norm2_micro,
+           MAX(norm2_micro) AS max_norm2_micro,
+           CAST(SUM(norm2_micro) AS DOUBLE)
+               / GREATEST(SUM(CASE WHEN healthy THEN 1 ELSE 0 END), 1)
+               AS avg_norm2_micro
+    FROM m
+    """

@@ -850,3 +850,253 @@ def sql_doc_char_entropy(
     FROM counts JOIN lens ON counts.doc_id = lens.doc_id
     GROUP BY 1
     """
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, published repetition/format filters)
+# ---------------------------------------------------------------------------
+
+# The published Gopher rule thresholds (Rae et al. 2021, table A1). Module
+# constants so the Spark expressions, the DuckDB twin, and the tests all
+# read one definition.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+GOPHER_MIN_STOP_HITS = 2
+
+# Gopher's stop-word containment rule uses this fixed 8-word list (distinct
+# from EN_STOPWORDS, which feeds the lang-guess heuristic).
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Exact occurrence count of a literal substring via replace-diff —
+    built-in-only (no regex), identical semantics in both engines."""
+    return (
+        (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit(""))))
+        / F.lit(len(needle))
+    ).cast("bigint")
+
+
+def _sql_count_occurrences(expr: str, needle_sql: str, needle_len: int) -> str:
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, {needle_sql}, '')))"
+        f" / {needle_len} AS BIGINT)"
+    )
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Gopher rule metrics + the keep/drop verdict.
+
+    The published format filters (word-count bounds, mean-word-length
+    bounds, symbol-to-word ratio, bullet-line and ellipsis-line fractions,
+    stop-word containment) as one pure projection — no shuffle, fused with
+    the parquet scan, same posture as :func:`doc_quality` (which reports
+    generic stats; this lane applies a SPECIFIC published rule set and
+    emits the decision a pipeline would filter on).
+
+    Every ratio is a double division of exact integer counts in the same
+    association on both engines. Substring counts are replace-diffs (no
+    regex dialect risk); line metrics split on ``\\n``; the stop-word hit
+    count is distinct-containment (``array_intersect`` size), order-free.
+    NULL text scores as the empty document (P5 posture) and fails the
+    word-count rule, so ``keep`` is FALSE — never silently passes.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(tokens(text), lambda x: x != "")
+    n_words = F.size(words).cast("bigint")
+    n_words1 = F.greatest(n_words, F.lit(1).cast("bigint"))
+    word_chars = F.aggregate(
+        F.transform(words, lambda x: F.length(x).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    mean_word_len = word_chars.cast("double") / n_words1
+    n_hash = _count_occurrences(text, "#")
+    n_ellipsis = _count_occurrences(text, "...") + _count_occurrences(text, "…")
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words1
+    lines = F.split(text, "\n")
+    n_lines1 = F.greatest(F.size(lines), F.lit(1)).cast("bigint")
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: l.startswith("- ")
+            | l.startswith("* ")
+            | l.startswith("•"),
+        )
+    ).cast("bigint")
+    ellipsis_lines = F.size(
+        F.filter(lines, lambda l: l.endswith("...") | l.endswith("…"))
+    ).cast("bigint")
+    bullet_frac = bullet_lines.cast("double") / n_lines1
+    ellipsis_frac = ellipsis_lines.cast("double") / n_lines1
+    stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("bigint")
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_word_len >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_word_len <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+        & (ellipsis_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    return df.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        stop_hits.alias("n_stop_hits"),
+        keep.alias("keep"),
+    )
+
+
+def sql_gopher_quality_flags(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    stops = ", ".join(f"'{s}'" for s in GOPHER_STOPWORDS)
+    t = f"COALESCE({text_col}, '')"
+    n_hash = _sql_count_occurrences("text", "'#'", 1)
+    n_dots = _sql_count_occurrences("text", "'...'", 3)
+    n_uell = _sql_count_occurrences("text", "chr(8230)", 1)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {t} AS text,
+               list_filter({sql_tokens(t)}, x -> x <> '') AS w,
+               string_split({t}, chr(10)) AS lines
+        FROM {table}
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               GREATEST(CAST(len(w) AS BIGINT), 1) AS n_words1,
+               CAST(COALESCE(list_sum(list_transform(w, x -> length(x))), 0)
+                    AS BIGINT) AS word_chars,
+               {n_hash} + {n_dots} + {n_uell} AS n_symbols,
+               GREATEST(CAST(len(lines) AS BIGINT), 1) AS n_lines1,
+               CAST(len(list_filter(lines,
+                    l -> starts_with(l, '- ') OR starts_with(l, '* ')
+                         OR starts_with(l, chr(8226)))) AS BIGINT)
+                   AS bullet_lines,
+               CAST(len(list_filter(lines,
+                    l -> ends_with(l, '...') OR ends_with(l, chr(8230))))
+                    AS BIGINT) AS ellipsis_lines,
+               CAST(len(list_intersect(list_distinct(w), [{stops}]))
+                    AS BIGINT) AS n_stop_hits
+        FROM base
+    )
+    SELECT doc_id,
+           n_words,
+           CAST(word_chars AS DOUBLE) / n_words1 AS mean_word_len,
+           CAST(n_symbols AS DOUBLE) / n_words1 AS symbol_ratio,
+           CAST(bullet_lines AS DOUBLE) / n_lines1 AS bullet_line_frac,
+           CAST(ellipsis_lines AS DOUBLE) / n_lines1 AS ellipsis_line_frac,
+           n_stop_hits,
+           (n_words >= {GOPHER_MIN_WORDS}
+            AND n_words <= {GOPHER_MAX_WORDS}
+            AND CAST(word_chars AS DOUBLE) / n_words1
+                    >= {GOPHER_MIN_MEAN_WORD_LEN}
+            AND CAST(word_chars AS DOUBLE) / n_words1
+                    <= {GOPHER_MAX_MEAN_WORD_LEN}
+            AND CAST(n_symbols AS DOUBLE) / n_words1
+                    <= {GOPHER_MAX_SYMBOL_RATIO}
+            AND CAST(bullet_lines AS DOUBLE) / n_lines1
+                    <= {GOPHER_MAX_BULLET_FRAC}
+            AND CAST(ellipsis_lines AS DOUBLE) / n_lines1
+                    <= {GOPHER_MAX_ELLIPSIS_FRAC}
+            AND n_stop_hits >= {GOPHER_MIN_STOP_HITS}) AS keep
+    FROM m
+    """
+
+
+# ---------------------------------------------------------------------------
+# Encoding-anomaly detection (mojibake / replacement chars / control bytes)
+# ---------------------------------------------------------------------------
+
+# Suspect when anomalies exceed 1 per 1000 chars, or ANY replacement char
+# is present (U+FFFD is unambiguous decode damage).
+ENCODING_ANOMALY_RATIO = 0.001
+
+
+def doc_encoding_anomalies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document encoding-damage report: replacement characters
+    (U+FFFD), classic UTF-8-decoded-as-Latin-1 mojibake markers
+    (``Ã``, ``â€``), C0 control characters (other than tab/newline/CR),
+    and the non-printable ratio — the decode-QC gate a web-scale corpus
+    runs before any text operator trusts the bytes.
+
+    Pure projection, one scan. Marker counts are replace-diffs
+    (dialect-free); the control-char count is a regexp_replace length
+    diff over a character class RE2 and the JVM regex engine parse
+    identically. Counting is over code points on both engines for BMP
+    characters, which all markers are. NULL text scores as the empty
+    document (zero anomalies, not-suspect): absent text is a
+    completeness problem, not decode damage.
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    n_chars = F.length(text).cast("bigint")
+    n_repl = _count_occurrences(text, "�")
+    n_moji = _count_occurrences(text, "Ã") + _count_occurrences(
+        text, "â€"
+    )
+    ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+    n_ctl = (
+        F.length(text) - F.length(F.regexp_replace(text, ctl, ""))
+    ).cast("bigint")
+    n_anom = n_repl + n_moji + n_ctl
+    ratio = n_anom.cast("double") / F.greatest(n_chars, F.lit(1).cast("bigint"))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_repl.alias("n_replacement"),
+        n_moji.alias("n_mojibake"),
+        n_ctl.alias("n_control"),
+        ratio.alias("anomaly_ratio"),
+        ((n_repl > 0) | (ratio > ENCODING_ANOMALY_RATIO)).alias("suspect"),
+    )
+
+
+def sql_doc_encoding_anomalies(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    t = f"COALESCE({text_col}, '')"
+    n_repl = _sql_count_occurrences("text", "chr(65533)", 1)
+    n_moji = (
+        _sql_count_occurrences("text", "chr(195)", 1)
+        + " + "
+        + _sql_count_occurrences("text", "(chr(226) || chr(8364))", 2)
+    )
+    ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
+    return f"""
+    WITH base AS (
+        SELECT doc_id, {t} AS text FROM {table}
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {n_repl} AS n_replacement,
+               {n_moji} AS n_mojibake,
+               CAST(length(text)
+                    - length(regexp_replace(text, '{ctl}', '', 'g'))
+                    AS BIGINT) AS n_control
+        FROM base
+    )
+    SELECT doc_id, n_chars, n_replacement, n_mojibake, n_control,
+           CAST(n_replacement + n_mojibake + n_control AS DOUBLE)
+               / GREATEST(n_chars, 1) AS anomaly_ratio,
+           (n_replacement > 0
+            OR CAST(n_replacement + n_mojibake + n_control AS DOUBLE)
+               / GREATEST(n_chars, 1) > {ENCODING_ANOMALY_RATIO}) AS suspect
+    FROM m
+    """

@@ -3878,3 +3878,45 @@ def q_embedding_rp_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/similarity.py rp_project/rp_topk)."""
     emb = _t(spark, sf_dir, "embeddings")
     return sim_ops.rp_topk(emb, sim_ops.self_queries(emb))
+
+
+@query("bm25_topk", oracle=corpus_ops.sql_bm25_topk())
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: per-query top-5 documents for the first-8-
+    docs self-retrieval query set — the keyword twin of embedding_topk
+    (hard-negative mining / RAG / contamination triage). idf micro-
+    quantized, saturation term cleared to an integer ratio, per-term
+    contributions summed as exact bigints; one tokenize collapsed to a
+    persisted (doc, term, tf) table, broadcast query-term dictionary,
+    two-stage rank (operators/corpus.py bm25_topk)."""
+    return corpus_ops.bm25_topk(_t(spark, sf_dir, "documents"))
+
+
+@query("gopher_quality_flags", oracle=text_ops.sql_gopher_quality_flags())
+def q_gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Published Gopher rule-set filter (Rae et al. 2021): word-count and
+    mean-word-length bounds, symbol ratio, bullet/ellipsis line fractions,
+    stop-word containment, and the keep verdict — one pure projection
+    fused with the scan, every ratio a double division of exact integer
+    counts (operators/text.py gopher_quality_flags)."""
+    return text_ops.gopher_quality_flags(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_encoding_anomalies", oracle=text_ops.sql_doc_encoding_anomalies())
+def q_doc_encoding_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-damage QC: U+FFFD replacement chars, UTF-8-as-Latin-1
+    mojibake markers, C0 control chars, non-printable ratio, and the
+    suspect verdict — replace-diff counts (no regex dialect risk except
+    one RE2/JVM-identical class), one scan, zero shuffles
+    (operators/text.py doc_encoding_anomalies)."""
+    return text_ops.doc_encoding_anomalies(_t(spark, sf_dir, "documents"))
+
+
+@query("embedding_qc_report", oracle=sim_ops.sql_embedding_qc_report())
+def q_embedding_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding batch-health gate: NULL / wrong-dim / non-finite / zero
+    vector counts plus exact min/max/avg squared norm (micro-quantized
+    bigints) in ONE map-side-combined aggregate over ONE scan — the QC
+    every ANN index or k-means fit should gate on
+    (operators/similarity.py embedding_qc_report)."""
+    return sim_ops.embedding_qc_report(_t(spark, sf_dir, "embeddings"))

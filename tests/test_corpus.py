@@ -828,3 +828,114 @@ def test_length_bucket_stats_matches_brute_force_seeded(spark):
         assert r.sum_tokens == sum(ns)
         assert r.pad_waste_tokens == sum(cap - n for n in ns)
         assert all(2**b <= n < cap for n in ns)  # reference self-check
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 12)
+# ---------------------------------------------------------------------------
+
+
+def _bm25_reference(docs, n_query_docs, k):
+    """Pure-Python twin of bm25_topk's exact arithmetic (half-up rounding,
+    the cleared integer-ratio saturation, micro-quantized idf). Returns
+    {(query_id, doc_id): score_micro} for the top-k rows."""
+    import math
+
+    def half_up(x):
+        return math.floor(x + 0.5)
+
+    toks = {d: [w for w in (t or "").split(" ") if w] for d, t in docs}
+    tf = {}
+    for d, ws in toks.items():
+        for w in ws:
+            tf[(d, w)] = tf.get((d, w), 0) + 1
+    dl = {d: len(ws) for d, ws in toks.items() if ws}
+    n_docs = len(docs)
+    total_len = sum(dl.values())
+    df = {}
+    for (_, w) in tf:
+        df[w] = df.get(w, 0) + 1
+    idf = {
+        w: half_up(
+            math.log((float(n_docs) - c + 0.5) / (c + 0.5) + 1.0) * 1_000_000.0
+        )
+        for w, c in df.items()
+    }
+    scores = {}
+    for qid, ws in toks.items():
+        if qid >= n_query_docs:
+            continue
+        for w in set(ws):
+            for (d, w2), f in tf.items():
+                if w2 != w:
+                    continue
+                num = (44.0 * f) * total_len
+                den = (
+                    (20.0 * total_len) * f
+                    + 6.0 * total_len
+                    + (18.0 * dl[d]) * n_docs
+                )
+                scores[(qid, d)] = scores.get((qid, d), 0) + half_up(
+                    (float(idf[w]) * num) / den
+                )
+    out = {}
+    for qid in {q for q, _ in scores}:
+        rows = sorted(
+            ((d, s) for (q, d), s in scores.items() if q == qid),
+            key=lambda x: (-x[1], x[0]),
+        )[:k]
+        for d, s in rows:
+            out[(qid, d)] = s
+    return out
+
+
+def test_bm25_matches_python_reference_and_ranks_self_first(spark):
+    from kafkastreamingetl_spark.operators.corpus import bm25_topk
+
+    docs = [
+        (0, "spark shuffle join broadcast join"),
+        (1, "kafka stream offset replay checkpoint"),
+        (2, "spark shuffle join broadcast join extra words here now"),
+        (3, "kafka stream offset"),
+        (4, "completely unrelated tokens about cats and dogs"),
+        (5, "broadcast join spark"),
+        (6, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, k=3, n_query_docs=2).collect()
+    ref = _bm25_reference(docs, n_query_docs=2, k=3)
+    assert {(r.query_id, r.doc_id): r.score_micro for r in got} == ref
+    rank1 = {r.query_id: r.doc_id for r in got if r.rank == 1}
+    assert rank1 == {0: 0, 1: 1}  # self-retrieval tops each list
+    # per-query result is k-capped and ranks are dense from 1
+    for q in (0, 1):
+        ranks = sorted(r.rank for r in got if r.query_id == q)
+        assert ranks == list(range(1, len(ranks) + 1)) and len(ranks) <= 3
+
+
+def test_bm25_idf_penalizes_common_terms(spark):
+    from kafkastreamingetl_spark.operators.corpus import bm25_topk
+
+    # 'the' is in every doc (idf ~ ln(1 + 1/(N-0.5+...)) -> tiny); 'rare'
+    # only in docs 0 and 3 — doc 3 must outrank docs that match only 'the'.
+    docs = [
+        (0, "rare the"),
+        (1, "the filler words the"),
+        (2, "the other filler the"),
+        (3, "rare document the"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = bm25_topk(df, k=3, n_query_docs=1).collect()
+    by_rank = {r.rank: r.doc_id for r in got}
+    assert by_rank[1] == 0 and by_rank[2] == 3
+
+
+def test_bm25_empty_and_null_docs_never_score(spark):
+    from kafkastreamingetl_spark.operators.corpus import bm25_topk
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta"), (1, None), (2, ""), (3, "alpha")],
+        "doc_id long, text string",
+    )
+    got = bm25_topk(df, k=5, n_query_docs=1).collect()
+    assert {r.doc_id for r in got} == {0, 3}

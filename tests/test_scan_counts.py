@@ -35,6 +35,13 @@ SCAN_BUDGET = {
     "daily_dense_series": {"events.parquet": 1},
     "tfidf_top_terms": {"documents.parquet": 2},
     "doc_lm_score": {"documents.parquet": 3},
+    # round 12: tokenize pass (collapsed to the persisted tf table) + the
+    # footer-only n_docs count; the 1-row scalar table is persisted so its
+    # two consumers share one count scan.
+    "bm25_topk": {"documents.parquet": 2},
+    "gopher_quality_flags": {"documents.parquet": 1},
+    "doc_encoding_anomalies": {"documents.parquet": 1},
+    "embedding_qc_report": {"embeddings.parquet": 1},
 }
 
 

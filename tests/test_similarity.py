@@ -460,3 +460,51 @@ def test_rp_shortlist_recall_band_on_isotropic_worst_case(spark, sf_dir):
     hits = sum(len(exact[qi] & short.get(qi, set())) for qi in exact)
     recall = hits / (len(exact) * 10)
     assert 0.25 <= recall <= 0.85, recall  # worst-case band, see docstring
+
+
+# ---------------------------------------------------------------------------
+# Embedding QC report (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_embedding_qc_counts_every_damage_class(spark):
+    from kafkastreamingetl_spark.operators.similarity import embedding_qc_report
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),          # healthy, norm2 = 1
+        (1, [0.0, 0.0, 0.0, 0.0]),          # zero vector
+        (2, [float("nan"), 0.0, 0.0, 0.0]),  # non-finite
+        (3, [float("inf"), 0.0, 0.0, 0.0]),  # non-finite
+        (4, [1.0, 0.0]),                     # wrong dimension
+        (5, None),                           # NULL vector
+        (6, [0.5, 0.5, 0.5, 0.5]),           # healthy, norm2 = 1
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    r = embedding_qc_report(df, dim=4).collect()[0]
+    assert r.n_vectors == 7
+    assert r.n_null_vec == 1
+    assert r.n_wrong_dim == 1
+    assert r.n_nonfinite == 2
+    assert r.n_zero_vec == 1
+    assert r.n_healthy == 3
+    assert r.min_norm2_micro == 0
+    assert r.max_norm2_micro == 1_000_000
+    assert abs(r.avg_norm2_micro - 2_000_000 / 3) < 1e-9
+
+
+def test_embedding_qc_all_healthy_corpus(spark):
+    from kafkastreamingetl_spark.operators.similarity import embedding_qc_report
+
+    df = spark.createDataFrame(
+        [(i, [0.0] * 63 + [2.0]) for i in range(5)],
+        "vec_id long, embedding array<float>",
+    )
+    r = embedding_qc_report(df).collect()[0]
+    assert (r.n_null_vec, r.n_wrong_dim, r.n_nonfinite, r.n_zero_vec) == (
+        0,
+        0,
+        0,
+        0,
+    )
+    assert r.n_healthy == 5
+    assert r.min_norm2_micro == r.max_norm2_micro == 4_000_000

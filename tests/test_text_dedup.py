@@ -905,3 +905,99 @@ def test_lsh_capped_candidates_drop_hot_bucket_pairs_only(spark):
     assert not any(a >= 10 and b >= 10 for a, b in capped)  # clique gone
 
     assert lsh_capped_candidate_pairs(df, max_bucket=1).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality flags (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_flags_clean_doc_keeps(spark):
+    from kafkastreamingetl_spark.operators.text import gopher_quality_flags
+
+    words = (["the", "of"] + ["spark"] * 58)  # 60 words, 2 stop hits
+    df = spark.createDataFrame([(1, " ".join(words))], ["doc_id", "text"])
+    r = gopher_quality_flags(df).collect()[0]
+    assert r.n_words == 60
+    assert r.n_stop_hits == 2
+    assert abs(r.mean_word_len - (3 + 2 + 58 * 5) / 60) < 1e-12
+    assert r.symbol_ratio == 0.0
+    assert r.bullet_line_frac == 0.0 and r.ellipsis_line_frac == 0.0
+    assert r.keep is True
+
+
+def test_gopher_flags_each_rule_fires(spark):
+    from kafkastreamingetl_spark.operators.text import gopher_quality_flags
+
+    base = ["the", "of"] + ["spark"] * 58
+    short = "the of spark"  # < 50 words
+    shortwords = " ".join(["the", "of"] + ["xx"] * 58)  # mean len < 3
+    symbols = " ".join(base[:53] + ["#"] * 7)  # 7 '#' / 60 words > 0.1
+    bullets = "\n".join(f"- {w}" for w in base)  # every line bulleted
+    ellipses = "\n".join(f"{w}..." for w in base)  # every line ends ...
+    nostops = " ".join(["spark"] * 60)  # 0 stop hits
+    df = spark.createDataFrame(
+        [
+            (1, short),
+            (2, shortwords),
+            (3, symbols),
+            (4, bullets),
+            (5, ellipses),
+            (6, nostops),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in gopher_quality_flags(df).collect()}
+    assert not any(got[i].keep for i in range(1, 8))
+    assert got[1].n_words == 3
+    assert got[2].mean_word_len < 3.0
+    assert got[3].symbol_ratio > 0.1
+    assert got[4].bullet_line_frac > 0.9
+    assert got[5].ellipsis_line_frac > 0.3
+    assert got[6].n_stop_hits == 0
+    assert got[7].n_words == 0 and got[7].keep is False
+
+
+def test_gopher_unicode_ellipsis_and_bullets_count(spark):
+    from kafkastreamingetl_spark.operators.text import gopher_quality_flags
+
+    text = "• first line…\n* second line\nplain line"
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    r = gopher_quality_flags(df).collect()[0]
+    assert abs(r.bullet_line_frac - 2 / 3) < 1e-12
+    assert abs(r.ellipsis_line_frac - 1 / 3) < 1e-12
+    # the unicode ellipsis also counts toward the symbol ratio
+    assert r.symbol_ratio > 0.0
+
+
+# ---------------------------------------------------------------------------
+# Encoding anomalies (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_encoding_anomalies_planted_markers(spark):
+    from kafkastreamingetl_spark.operators.text import doc_encoding_anomalies
+
+    moji = "cafÃ© dÃ©jÃ "  # 3x 'A-tilde' marker
+    smart = "itâ€™s fine"  # one 'a-circumflex + euro' marker
+    df = spark.createDataFrame(
+        [
+            (1, "clean ascii text only"),
+            (2, moji),
+            (3, smart),
+            (4, "bad � byte � here"),
+            (5, "bell\x07 and esc\x1b"),
+            (6, "tabs\tand\nnewlines\rok"),
+            (7, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in doc_encoding_anomalies(df).collect()}
+    assert got[1].suspect is False and got[1].anomaly_ratio == 0.0
+    assert got[2].n_mojibake == 3 and got[2].suspect is True
+    assert got[3].n_mojibake == 1
+    assert got[4].n_replacement == 2 and got[4].suspect is True
+    assert got[5].n_control == 2 and got[5].suspect is True
+    assert got[6].n_control == 0 and got[6].suspect is False
+    assert got[7].n_chars == 0 and got[7].suspect is False
