@@ -1244,6 +1244,7 @@ def doc_lm_score(
     *,
     text_col: str = "text",
     id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(doc_id, n_bigrams, avg_nll_micro): each document scored under a
     bigram language model TRAINED ON THE CORPUS ITSELF — the
@@ -1276,8 +1277,12 @@ def doc_lm_score(
         .persist()
     )
     vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    # carry_cols ride the scoring explode (doc-constant attributes like
+    # lang), so composers (lm_score_bucket_mix) don't pay a fourth corpus
+    # scan just to re-join them.
     big = df.select(
         F.col(id_col).alias("doc_id"),
+        *[F.col(cc) for cc in carry_cols],
         F.explode(gram_strings(F.col(text_col), 2)).alias("g"),
     )
     bigc = big.groupBy("g").agg(F.count(F.lit(1)).alias("c2"))
@@ -1293,9 +1298,9 @@ def doc_lm_score(
         .withColumn("w1", F.split_part(F.col("g"), F.lit(TOKEN_SEP), F.lit(1)))
         .join(uni, F.col("w1") == F.col("w"))
         .crossJoin(F.broadcast(vocab))
-        .select("doc_id", nll_micro.alias("_nll"))
+        .select("doc_id", *carry_cols, nll_micro.alias("_nll"))
     )
-    return scored.groupBy("doc_id").agg(
+    return scored.groupBy("doc_id", *carry_cols).agg(
         F.count(F.lit(1)).alias("n_bigrams"),
         (F.sum("_nll").cast("double") / F.count(F.lit(1))).alias(
             "avg_nll_micro"
@@ -2530,4 +2535,219 @@ def sql_bm25_topk(
         FROM scored
     )
     WHERE rank <= {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style perplexity bucket mix (head / middle / tail per language)
+# ---------------------------------------------------------------------------
+
+
+def lm_score_bucket_mix(
+    documents: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2020): score every
+    document under the corpus bigram LM (:func:`doc_lm_score`), then cut
+    each LANGUAGE into exact head/middle/tail tertiles by score — head =
+    most-fluent third, the slice CCNet keeps by default; tail = the
+    gibberish end. Output (doc_id, lang, avg_nll_micro, bucket).
+
+    Tertiles are RANK-based, not value-based: rank within language by
+    (score, doc_id) — a total order, so both engines agree on every
+    boundary doc even when scores tie — and ``bucket = 3·(rank−1) / n``
+    in integer arithmetic. No float percentile appears anywhere.
+
+    Scale: the LM scoring is doc_lm_score's plan (micro-nat integer sums)
+    with ``lang`` riding the scoring explode as a carry column — no
+    fourth corpus scan to re-join a doc-constant attribute; the cut adds
+    ONE rank window partitioned by language. Per-language rank is a
+    per-language sort at 100 TB — the honest exact form; the
+    production-at-scale variant swaps the window for one
+    approx_percentile pass + broadcast threshold cuts, exactly the
+    ``user_rfm_segments_approx`` sketch pattern (same tie caveats).
+    Documents with < 2 tokens have no LM score and no row, matching
+    doc_lm_score.
+    """
+    scores = doc_lm_score(
+        documents, text_col=text_col, id_col=id_col, carry_cols=(lang_col,)
+    )
+    if lang_col != "lang":
+        scores = scores.withColumnRenamed(lang_col, "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_nll_micro").asc_nulls_first(), F.col("doc_id").asc_nulls_first()
+    )
+    wn = Window.partitionBy("lang")
+    ranked = scores.withColumn("_r", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wn)
+    )
+    tercile = (F.lit(3) * (F.col("_r") - F.lit(1))) / F.col("_n")
+    bucket = (
+        F.when(tercile < 1, F.lit("head"))
+        .when(tercile < 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return ranked.select(
+        "doc_id", "lang", "avg_nll_micro", bucket.alias("bucket")
+    )
+
+
+def sql_lm_score_bucket_mix(
+    table: str = "documents",
+    *,
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> str:
+    lm = sql_doc_lm_score(table, text_col=text_col)
+    return f"""
+    WITH lm AS ({lm}),
+    ranked AS (
+        SELECT lm.doc_id, d.{lang_col} AS lang, lm.avg_nll_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.{lang_col}
+                   ORDER BY lm.avg_nll_micro ASC NULLS FIRST,
+                            lm.doc_id ASC NULLS FIRST
+               ) AS _r,
+               COUNT(*) OVER (PARTITION BY d.{lang_col}) AS _n
+        FROM lm JOIN {table} d ON lm.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, avg_nll_micro,
+           CASE WHEN 3.0 * (_r - 1) / _n < 1 THEN 'head'
+                WHEN 3.0 * (_r - 1) / _n < 2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+    """
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency slope (corpus-health regression)
+# ---------------------------------------------------------------------------
+
+#: Zipf fit region: the classic head of the rank-frequency curve. Bounded
+#: so the OLS state is a fixed small set of exact sums however large the
+#: vocabulary grows.
+ZIPF_TOP_RANKS = 1000
+
+
+def vocab_zipf_slope(
+    documents: DataFrame,
+    *,
+    top_ranks: int = ZIPF_TOP_RANKS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One-row corpus-health report: the OLS slope of ln(frequency) on
+    ln(rank) over the top-``top_ranks`` tokens — natural language sits
+    near the Zipf line (slope ≈ −1); template/boilerplate-dominated or
+    synthetic corpora bend it, and a drifting slope between snapshots is
+    an early corruption signal no per-document filter sees.
+
+    Exactness: ln(rank) and ln(count) are micro-quantized to bigints (the
+    idf discipline), the five OLS sums (n, Σx, Σy, Σxy, Σx²) accumulate
+    as exact integers — Σxy/Σx² through DECIMAL(38,0), whose products
+    exceed bigint at web-scale counts — and the closed form
+    ``(nΣxy − ΣxΣy) / (nΣx² − Σx²)`` computes numerator and denominator
+    as exact decimals cast once to double for the final division, so both
+    engines emit the identical double. Rank ties break by token text.
+
+    Scale: one tokenize → one map-side-combined count agg → top-k by
+    (count, token) via sort+LIMIT (TakeOrderedAndProject, the
+    token_posting_lists discipline) → ranks by the k×k broadcast
+    count-ahead join (the ``vocab_top_tokens`` pattern — the registry has
+    banned unpartitioned windows since round 7) → one 5-sum aggregate
+    over ≤ ``top_ranks`` rows. The regression state is O(1).
+    """
+    from .text import tokens
+
+    c = F.coalesce(F.col(text_col), F.lit(""))
+    counts = (
+        documents.select(F.explode(tokens(c)).alias("token"))
+        .where(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token").asc())
+        .limit(top_ranks)
+    )
+    ahead = counts.select(
+        F.col("token").alias("_t2"), F.col("cnt").alias("_c2")
+    )
+    strictly_ahead = (F.col("_c2") > F.col("cnt")) | (
+        (F.col("_c2") == F.col("cnt")) & (F.col("_t2") < F.col("token"))
+    )
+    ranked = (
+        counts.join(F.broadcast(ahead), strictly_ahead, "left")
+        .groupBy("token", "cnt")
+        .agg((F.count("_t2") + 1).cast("bigint").alias("rank"))
+    )
+    xy = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("cnt").cast("double")) * F.lit(1e6))
+        .cast("bigint")
+        .alias("y"),
+    )
+    d38 = "decimal(38,0)"
+    sums = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x").cast(d38) * F.col("y").cast(d38))).alias("sxy"),
+        F.sum((F.col("x").cast(d38) * F.col("x").cast(d38))).alias("sxx"),
+    )
+    n = F.col("n").cast(d38)
+    num = n * F.col("sxy") - F.col("sx").cast(d38) * F.col("sy").cast(d38)
+    den = n * F.col("sxx") - F.col("sx").cast(d38) * F.col("sx").cast(d38)
+    return sums.select(
+        F.col("n").alias("n_ranks"),
+        (num.cast("double") / den.cast("double")).alias("zipf_slope"),
+    )
+
+
+def sql_vocab_zipf_slope(
+    table: str = "documents",
+    *,
+    top_ranks: int = ZIPF_TOP_RANKS,
+    text_col: str = "text",
+) -> str:
+    from .text import sql_tokens
+
+    return f"""
+    WITH counts AS (
+        SELECT t.token, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM {table},
+             unnest({sql_tokens(f"COALESCE({text_col}, '')")}) AS t(token)
+        WHERE t.token <> ''
+        GROUP BY 1
+        ORDER BY cnt DESC, token ASC
+        LIMIT {top_ranks}
+    ),
+    xy AS (
+        SELECT CAST(round(ln(CAST(ROW_NUMBER() OVER (
+                   ORDER BY cnt DESC, token ASC) AS DOUBLE)) * 1000000.0)
+                   AS BIGINT) AS x,
+               CAST(round(ln(CAST(cnt AS DOUBLE)) * 1000000.0) AS BIGINT)
+                   AS y
+        FROM counts
+    ),
+    sums AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0)))
+                   AS sxy,
+               SUM(CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0)))
+                   AS sxx
+        FROM xy
+    )
+    SELECT n AS n_ranks,
+           CAST(CAST(n AS DECIMAL(38,0)) * sxy
+                - CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0))
+                AS DOUBLE)
+           / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+                  - CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0))
+                  AS DOUBLE) AS zipf_slope
+    FROM sums
     """

@@ -1100,3 +1100,72 @@ def sql_doc_encoding_anomalies(
                / GREATEST(n_chars, 1) > {ENCODING_ANOMALY_RATIO}) AS suspect
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# within-document line dedup (CCNet-style repeated-line scrub)
+# ---------------------------------------------------------------------------
+
+
+def doc_dedup_lines(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(doc_id, n_lines, n_removed, text_clean): each document with every
+    repeated line dropped, keeping the FIRST occurrence in order — the
+    within-document half of CCNet's line-level dedup (nav menus, footers,
+    and share buttons repeat inside a page long before they repeat across
+    pages; scrubbing them needs no corpus state at all).
+
+    Pure projection: the kept filter tests each line against the prefix
+    before it (``slice`` + membership), O(lines²) per document in line
+    COUNT (not characters) — lines per document are bounded small, and
+    the whole operator stays inside one codegen stage with zero shuffles
+    at any corpus size. The lines array is let-bound (functions.bind)
+    so the split runs once, not once per element. NULL text is the empty
+    document (P5): one empty line, nothing removed.
+    """
+    from ..functions import bind
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    out = bind(
+        F.split(text, "\n"),
+        lambda lines: bind(
+            F.filter(
+                lines,
+                lambda l, i: F.size(
+                    F.filter(F.slice(lines, 1, i), lambda p: p == l)
+                )
+                == 0,
+            ),
+            lambda kept: F.struct(
+                F.size(lines).cast("bigint").alias("n_lines"),
+                (F.size(lines) - F.size(kept)).cast("bigint").alias("n_removed"),
+                F.array_join(kept, "\n").alias("text_clean"),
+            ),
+        ),
+    )
+    return df.select(
+        "doc_id",
+        out["n_lines"].alias("n_lines"),
+        out["n_removed"].alias("n_removed"),
+        out["text_clean"].alias("text_clean"),
+    )
+
+
+def sql_doc_dedup_lines(table: str = "documents", text_col: str = "text") -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               string_split(COALESCE({text_col}, ''), chr(10)) AS lines
+        FROM {table}
+    ),
+    kept AS (
+        SELECT doc_id, lines,
+               list_filter(lines, (l, i) ->
+                   len(list_filter(lines[1:i-1], p -> p = l)) = 0) AS k
+        FROM base
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(lines) - len(k) AS BIGINT) AS n_removed,
+           array_to_string(k, chr(10)) AS text_clean
+    FROM kept
+    """

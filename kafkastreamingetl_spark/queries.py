@@ -3920,3 +3920,34 @@ def q_embedding_qc_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ANN index or k-means fit should gate on
     (operators/similarity.py embedding_qc_report)."""
     return sim_ops.embedding_qc_report(_t(spark, sf_dir, "embeddings"))
+
+
+@query("lm_score_bucket_mix", oracle=corpus_ops.sql_lm_score_bucket_mix())
+def q_lm_score_bucket_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing: corpus-bigram-LM score per doc, then
+    exact rank-based head/middle/tail tertiles per language (integer
+    boundary arithmetic, total tie order). The at-scale variant swaps the
+    rank window for approx_percentile threshold cuts — the
+    user_rfm_segments_approx pattern (operators/corpus.py
+    lm_score_bucket_mix)."""
+    return corpus_ops.lm_score_bucket_mix(_t(spark, sf_dir, "documents"))
+
+
+@query("vocab_zipf_slope", oracle=corpus_ops.sql_vocab_zipf_slope())
+def q_vocab_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency OLS slope over the top-1000 tokens — corpus
+    health in one number (natural language ~ -1). Micro-quantized logs,
+    exact decimal(38) OLS sums, one double division at the end; top-k via
+    sort+LIMIT, the window is k-bounded (operators/corpus.py
+    vocab_zipf_slope)."""
+    return corpus_ops.vocab_zipf_slope(_t(spark, sf_dir, "documents"))
+
+
+@query("doc_dedup_lines", oracle=text_ops.sql_doc_dedup_lines())
+def q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repeated-line scrub (CCNet line dedup, the
+    corpus-stateless half): keep each line's first occurrence, report
+    removal counts — pure projection, zero shuffles, lines array
+    let-bound so the split runs once (operators/text.py
+    doc_dedup_lines)."""
+    return text_ops.doc_dedup_lines(_t(spark, sf_dir, "documents"))

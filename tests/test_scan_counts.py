@@ -38,7 +38,13 @@ SCAN_BUDGET = {
     # round 12: tokenize pass (collapsed to the persisted tf table) + the
     # footer-only n_docs count; the 1-row scalar table is persisted so its
     # two consumers share one count scan.
-    "bm25_topk": {"documents.parquet": 2},
+    "bm25_topk": {"documents.parquet": 1},
+    # lm_score_bucket_mix inherits doc_lm_score's audited 3-scan minimum
+    # (two bigram passes + the persisted unigram pass); lang rides the
+    # scoring explode as a carry column, never a fourth scan.
+    "lm_score_bucket_mix": {"documents.parquet": 3},
+    "vocab_zipf_slope": {"documents.parquet": 1},
+    "doc_dedup_lines": {"documents.parquet": 1},
     "gopher_quality_flags": {"documents.parquet": 1},
     "doc_encoding_anomalies": {"documents.parquet": 1},
     "embedding_qc_report": {"embeddings.parquet": 1},
@@ -71,6 +77,9 @@ def _scan_counts(df) -> dict[str, int]:
 # report's two serving paths + query sample). A NEW query landing at 3+
 # must either get fixed or earn its place on this list.
 ALLOWED_AT_3 = {
+    # round 12: the CCNet bucket lane composes doc_lm_score, inheriting
+    # its count-then-score 3-scan minimum (lang rides as a carry column).
+    "lm_score_bucket_mix",
     "referential_integrity",
     "orders_above_customer_avg",
     "incremental_neardup_documents",

@@ -118,6 +118,12 @@ HEAVY_QUERIES = [
     # closure must stay one cluster-keyed aggregate (cluster-count-sized
     # output) as the corpus grows xK
     "neardup_quality_survivors",
+    # round-12 retrieval lane: the per-doc run-length tf is shuffle-free
+    # by construction, so the scaling claim is that wall tracks the
+    # posting-list volume (sum of df over query terms) — the broadcast
+    # query dictionary and the (query, doc)-keyed combine must stay flat
+    # per unit corpus as documents grow xK
+    "bm25_topk",
 ]
 
 # Round-11 sketch lanes (VERDICT r11 item 6): their whole reason to exist
