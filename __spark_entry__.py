@@ -153,6 +153,14 @@ _FALLBACK_HEAD = [
     "eval_ngram_contamination",
     "neardup_candidates_capped",
     "embedding_rp_topk",
+    "bm25_topk",
+    "gopher_quality_flags",
+    "doc_encoding_anomalies",
+    "embedding_qc_report",
+    "lm_score_bucket_mix",
+    "vocab_zipf_slope",
+    "doc_dedup_lines",
+    "lsh_param_planner",
     "orders_pending_backlog",
     "semantic_eval_contamination",
     "recursive_daily_series",

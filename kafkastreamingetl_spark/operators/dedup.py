@@ -2572,3 +2572,84 @@ def sql_lsh_capped_candidate_pairs(
     FROM kept a JOIN kept b ON a.band = b.band AND a.sig = b.sig
     WHERE a.doc_id < b.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planner (the published b/r S-curve tuning table)
+# ---------------------------------------------------------------------------
+
+#: Jaccard grid resolution for the S-curve table (s = 1..100 in centi units).
+LSH_PLAN_GRID = 100
+
+
+def lsh_param_planner(
+    spark,
+    *,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    grid: int = LSH_PLAN_GRID,
+) -> DataFrame:
+    """The MinHash-LSH tuning table for the configured banding (b, r): for
+    each Jaccard similarity s on a 1/``grid`` lattice, the candidate
+    probability ``P(candidate | s) = 1 − (1 − s^r)^b`` — the published
+    S-curve every LSH deployment reads before picking b and r (Leskovec
+    et al., MMDS ch. 3). Output also flags the half-power threshold
+    region: ``s* = (1/b)^(1/r)`` sits where is_above_half flips, the
+    number to compare against the verify threshold
+    (:data:`NEARDUP_JACCARD`): grid rows below the verify threshold with
+    high P are the wasted-verify mass (FP cost), rows above it with low
+    P are the recall leak (FN cost).
+
+    This is a zero-scan, O(grid)-row computation — a generated lattice,
+    no table reads at all; it exists so the banding choice is an artifact
+    the pipeline can assert on (tests pin the curve against a pure-Python
+    reference and the monotone/endpoint invariants), not a comment.
+    Powers are computed by EXPLICIT multiplication chains (r and b are
+    small module constants), not ``pow()`` — every value is a product of
+    exact-lattice doubles in fixed association, so both engines emit
+    identical doubles before the micro-quantization.
+    """
+    s = F.col("s_centi").cast("double") / F.lit(float(grid))
+
+    def int_pow(base: Column, n: int) -> Column:
+        acc = base
+        for _ in range(n - 1):
+            acc = acc * base
+        return acc
+
+    p_band = int_pow(s, rows)  # one band all-equal
+    p_cand = F.lit(1.0) - int_pow(F.lit(1.0) - p_band, bands)
+    p_micro = F.round(p_cand * F.lit(1_000_000.0)).cast("bigint")
+    return (
+        spark.range(1, grid + 1)
+        .select(F.col("id").cast("int").alias("s_centi"))
+        .select(
+            "s_centi",
+            F.lit(bands).cast("int").alias("bands"),
+            F.lit(rows).cast("int").alias("rows"),
+            p_micro.alias("p_candidate_micro"),
+            (p_micro > 500_000).alias("is_above_half"),
+        )
+    )
+
+
+def sql_lsh_param_planner(
+    *,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    grid: int = LSH_PLAN_GRID,
+) -> str:
+    s = f"(CAST(g.s AS DOUBLE) / {float(grid)})"
+    p_band = " * ".join([s] * rows)
+    one_minus = f"(1.0 - ({p_band}))"
+    p_not = " * ".join([one_minus] * bands)
+    return f"""
+    SELECT CAST(g.s AS INT) AS s_centi,
+           CAST({bands} AS INT) AS bands,
+           CAST({rows} AS INT) AS rows,
+           CAST(round((1.0 - ({p_not})) * 1000000.0) AS BIGINT)
+               AS p_candidate_micro,
+           CAST(round((1.0 - ({p_not})) * 1000000.0) AS BIGINT) > 500000
+               AS is_above_half
+    FROM generate_series(1, {grid}) AS g(s)
+    """

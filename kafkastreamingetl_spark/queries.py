@@ -3951,3 +3951,52 @@ def q_doc_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     let-bound so the split runs once (operators/text.py
     doc_dedup_lines)."""
     return text_ops.doc_dedup_lines(_t(spark, sf_dir, "documents"))
+
+
+@approx_variant("lm_bucket_mix_approx", twin="lm_score_bucket_mix")
+def a_lm_bucket_mix_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-cut production lane of the CCNet bucket mix: per-language
+    tertile EDGES come from one approx_percentile aggregation (language-
+    count-sized state), then every doc buckets by broadcast threshold
+    compare — no per-language rank window, no per-language sort, the
+    exact analogue of user_rfm_segments_approx. Semantics differ from the
+    exact lane exactly where a sketch must: threshold cuts put tie mass
+    on one side instead of splitting it by doc_id (priced in
+    tests/test_approx.py)."""
+    # scores feed BOTH the cuts aggregate and the bucket join; persisted so
+    # the 3-scan LM pipeline isn't re-inlined per consumer (the round-11
+    # persist discipline — unpersisted this lane scanned documents 5x).
+    scores = corpus_ops.doc_lm_score(
+        _t(spark, sf_dir, "documents"), carry_cols=("lang",)
+    ).persist()
+    cuts = scores.groupBy("lang").agg(
+        F.approx_percentile(
+            "avg_nll_micro",
+            F.array(F.lit(1.0 / 3.0), F.lit(2.0 / 3.0)),
+            F.lit(10000),
+        ).alias("_edges")
+    )
+    bucket = (
+        F.when(
+            F.col("avg_nll_micro") <= F.element_at(F.col("_edges"), 1),
+            F.lit("head"),
+        )
+        .when(
+            F.col("avg_nll_micro") <= F.element_at(F.col("_edges"), 2),
+            F.lit("middle"),
+        )
+        .otherwise(F.lit("tail"))
+    )
+    return scores.join(F.broadcast(cuts), "lang").select(
+        "doc_id", "lang", "avg_nll_micro", bucket.alias("bucket")
+    )
+
+
+@query("lsh_param_planner", oracle=dedup_ops.sql_lsh_param_planner())
+def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH S-curve tuning table for the configured (bands, rows):
+    P(candidate | jaccard s) on a centi-lattice with the half-power flag
+    — zero scans, O(grid) rows, explicit multiplication chains so both
+    engines emit identical doubles before micro-quantization
+    (operators/dedup.py lsh_param_planner)."""
+    return dedup_ops.lsh_param_planner(spark)

@@ -289,3 +289,37 @@ def test_source_overlap_minhash_identical_sources_estimate_one(spark):
     rows = source_overlap_minhash(docs).collect()
     assert len(rows) == 1
     assert rows[0].jaccard_est == 1.0 and rows[0].n_agree == 64
+
+
+def test_lm_bucket_mix_approx_near_exact(spark, sf_dir):
+    """The sketch-cut CCNet bucket lane: same doc population as the exact
+    rank-tertile lane, buckets from the label set, and per-doc agreement
+    >= 80% (the LM scores are near-unique doubles so the sketch's only
+    error source is edge placement; the testdata's one dominant language
+    makes each tertile large enough that edge error stays local)."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    exact = {
+        r.doc_id: r for r in QUERIES["lm_score_bucket_mix"](spark, sf_dir).collect()
+    }
+    approx = {
+        r.doc_id: r
+        for r in APPROX_VARIANTS["lm_bucket_mix_approx"](spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx) and exact
+    assert {r.bucket for r in approx.values()} <= {"head", "middle", "tail"}
+    # scores are identical (same LM); only the cut can differ
+    for d in exact:
+        assert exact[d].avg_nll_micro == approx[d].avg_nll_micro
+    agree = sum(1 for d in exact if exact[d].bucket == approx[d].bucket)
+    assert agree / len(exact) >= 0.80, f"{agree}/{len(exact)}"
+    # each language's head share stays near a third
+    import collections
+
+    by_lang = collections.defaultdict(lambda: collections.Counter())
+    for r in approx.values():
+        by_lang[r.lang][r.bucket] += 1
+    for lang, c in by_lang.items():
+        n = sum(c.values())
+        if n >= 30:
+            assert 0.2 <= c["head"] / n <= 0.5, (lang, dict(c))

@@ -112,16 +112,22 @@ def test_approx_variant_scan_ceiling(spark, sf_dir):
     QUERIES, so the registry-wide ceiling above never saw them (ADVICE
     r11: source_overlap_minhash fed an unpersisted sigs table into both
     sides of its self-join and scanned documents twice). Same ceiling: no
-    approx lane may scan any single file more than twice."""
+    approx lane may scan any single file more than twice — except
+    lm_bucket_mix_approx at the bigram LM's audited count-then-score
+    3-scan minimum (it persists the scores table; the 3 scans are the
+    cached pipeline's, shared by both consumers, same carve-out as
+    doc_lm_score in ALLOWED_AT_3)."""
     from kafkastreamingetl_spark.queries import APPROX_VARIANTS
 
+    approx_allowed_at_3 = {"lm_bucket_mix_approx"}
     over: dict[str, dict[str, int]] = {}
     for name, fn in APPROX_VARIANTS.items():
         try:
             counts = _scan_counts(fn(spark, sf_dir))
         finally:
             spark.catalog.clearCache()
-        bad = {f: c for f, c in counts.items() if c > 2}
+        cap = 3 if name in approx_allowed_at_3 else 2
+        bad = {f: c for f, c in counts.items() if c > cap}
         if bad:
             over[name] = bad
     assert not over, (

@@ -1001,3 +1001,54 @@ def test_encoding_anomalies_planted_markers(spark):
     assert got[5].n_control == 2 and got[5].suspect is True
     assert got[6].n_control == 0 and got[6].suspect is False
     assert got[7].n_chars == 0 and got[7].suspect is False
+
+
+# ---------------------------------------------------------------------------
+# LSH parameter planner (round 12)
+# ---------------------------------------------------------------------------
+
+
+def test_lsh_param_planner_matches_python_reference(spark):
+    import math
+
+    from kafkastreamingetl_spark.operators.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        lsh_param_planner,
+    )
+
+    got = {r.s_centi: r for r in lsh_param_planner(spark).collect()}
+    assert len(got) == 100
+    assert all(r.bands == LSH_BANDS and r.rows == LSH_ROWS for r in got.values())
+
+    def half_up(x):
+        return math.floor(x + 0.5)
+
+    for s_centi, r in got.items():
+        s = s_centi / 100.0
+        # rebuild exactly: s*s*...*s left-assoc, then (1-p)^b left-assoc
+        pb = s
+        for _ in range(LSH_ROWS - 1):
+            pb = pb * s
+        pn = 1.0 - pb
+        acc = pn
+        for _ in range(LSH_BANDS - 1):
+            acc = acc * pn
+        expected = half_up((1.0 - acc) * 1_000_000.0)
+        assert r.p_candidate_micro == expected, (s_centi, r.p_candidate_micro, expected)
+        assert r.is_above_half == (expected > 500_000)
+
+    # curve invariants: monotone nondecreasing, pinned endpoints, and the
+    # analytic half-power threshold s* = (1/b)^(1/r) sits where the flag flips
+    ps = [got[i].p_candidate_micro for i in range(1, 101)]
+    assert all(a <= b for a, b in zip(ps, ps[1:]))
+    assert got[100].p_candidate_micro == 1_000_000
+    assert got[1].p_candidate_micro < 1_000
+    # (1/b)^(1/r) is the TEXTBOOK approximation of the crossover, not the
+    # exact half-power point — at small b they differ visibly (b=4, r=3:
+    # exact 0.55 vs approx 0.63), which is itself worth pinning: anyone
+    # tuning from the approximation alone overshoots the threshold.
+    s_star = (1.0 / LSH_BANDS) ** (1.0 / LSH_ROWS)
+    flip = min(i for i in range(1, 101) if got[i].is_above_half)
+    assert 1 < flip < 100
+    assert abs(flip / 100.0 - s_star) <= 0.10

@@ -134,6 +134,9 @@ HEAVY_QUERIES = [
 SKETCH_LANES = {
     "source_overlap_minhash": "source_overlap_matrix",
     "user_rfm_segments_approx": "user_rfm_segments",
+    # round 12: approx_percentile threshold cuts vs the exact per-language
+    # rank window — the sketch's advantage is the removed per-language sort
+    "lm_bucket_mix_approx": "lm_score_bucket_mix",
 }
 
 _SHUFFLE_TEXT = (
