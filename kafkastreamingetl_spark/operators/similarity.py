@@ -2484,25 +2484,27 @@ def rp_project(vec: Column, d_in: int = 64) -> Column:
     (integer addition commutes). Pure per-row expression: no shuffle, no
     model, nothing to fit or broadcast."""
     signs = _rp_signs(d_in)
+    # transpose to columns-of-the-matrix so the WHOLE projection is ONE
+    # fold over the input coordinates with a d_out-wide array accumulator
+    # (the original 16-independent-folds form traversed the vector 16
+    # times and produced an expression tree large enough to knock the
+    # stage out of whole-stage codegen — measured 8 s for 5k rows at
+    # sf0.1; this form is ~16x smaller and one pass).
+    cols = [
+        [int(signs[j][i]) for j in range(len(signs))]
+        for i in range(d_in)
+    ]
+    # ONE array<array<bigint>> literal (not per-row CreateArray of 1024
+    # lit nodes — that alone was ~4 s/5k rows interpreted)
+    sign_cols = F.lit(cols).cast("array<array<bigint>>")
     qv = F.transform(
         vec, lambda x: F.round(x.cast("double") * RP_QUANT).cast("bigint")
     )
-    return bind(
-        qv,
-        lambda q: F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(
-                        q,
-                        F.array(*[F.lit(s).cast("bigint") for s in row]),
-                        lambda a, b: a * b,
-                    ),
-                    F.lit(0).cast("bigint"),
-                    lambda acc, v: acc + v,
-                )
-                for row in signs
-            ]
-        ),
+    zeros = F.lit([0] * len(signs)).cast("array<bigint>")
+    return F.aggregate(
+        F.zip_with(qv, sign_cols, lambda q, srow: F.transform(srow, lambda s: s * q)),
+        zeros,
+        lambda acc, contrib: F.zip_with(acc, contrib, lambda a, c: a + c),
     )
 
 
