@@ -2663,6 +2663,10 @@ def vocab_zipf_slope(
     from .text import tokens
 
     c = F.coalesce(F.col(text_col), F.lit(""))
+    # the ≤ top_ranks-row result feeds BOTH sides of the count-ahead rank
+    # join; persisted so the tokenize+agg pipeline isn't re-inlined per
+    # side (the round-11 persist discipline — unpersisted this scanned
+    # documents twice).
     counts = (
         documents.select(F.explode(tokens(c)).alias("token"))
         .where(F.col("token") != "")
@@ -2670,6 +2674,7 @@ def vocab_zipf_slope(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("token").asc())
         .limit(top_ranks)
+        .persist()
     )
     ahead = counts.select(
         F.col("token").alias("_t2"), F.col("cnt").alias("_c2")
