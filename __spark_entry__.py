@@ -38,19 +38,20 @@ policy is now DERIVED, not transcribed:
   oldest-first round-robin re-greens every query at most every ceil(N / W)
   rounds. Any 4 consecutive rounds offer 4·W = 200 slots, so the ≤4-round
   staleness bound is satisfiable indefinitely iff N ≤ 200 — enforced as
-  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At N = 175
-  (round 12: the 160-query r11 freeze plus 15 new operators spending the
+  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At N = 176
+  (round 12: the 160-query r11 freeze plus 16 new operators spending the
   headroom VERDICT r11 noted) the steady state still closes: each round
   greens every query reaching age 4 plus the oldest age-3 cohort; nothing
-  ever exceeds age 4. 25 slots of sustainable capacity remain.
+  ever exceeds age 4. 24 slots of sustainable capacity remain.
 
 Round-12 window under this policy (self-derived — nothing transcribed):
-the 15 round-12 never-greens (takedown_sweep ... embedding_rp_topk from
+the 16 round-12 never-greens (takedown_sweep ... embedding_rp_topk from
 the first batch; bm25_topk, gopher_quality_flags, doc_encoding_anomalies,
 embedding_qc_report, lm_score_bucket_mix, vocab_zipf_slope,
-doc_dedup_lines, lsh_param_planner from the second), then the 10 r8-green
+doc_dedup_lines, lsh_param_planner, kanon_risk_report from the second),
+then the 10 r8-green
 queries that aged out of the round-11 window (orders_pending_backlog ...
-lateral_top_orders), then the oldest r9 cohort fills the remaining 25
+lateral_top_orders), then the oldest r9 cohort fills the remaining 24
 slots in registration order.
 """
 
@@ -162,6 +163,7 @@ _FALLBACK_HEAD = [
     "vocab_zipf_slope",
     "doc_dedup_lines",
     "lsh_param_planner",
+    "kanon_risk_report",
     "orders_pending_backlog",
     "semantic_eval_contamination",
     "recursive_daily_series",

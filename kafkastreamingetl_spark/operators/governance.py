@@ -81,3 +81,70 @@ def sql_takedown_impact(
     FROM {name}"""
         )
     return " UNION ALL ".join(branches)
+
+
+# ---------------------------------------------------------------------------
+# Quasi-identifier k-anonymity risk report
+# ---------------------------------------------------------------------------
+
+#: a quasi-identifier cell with fewer members than this is re-identifying
+KANON_K = 5
+
+
+def kanon_risk_report(
+    documents: "DataFrame",
+    *,
+    k: int = KANON_K,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-cell k-anonymity census over the corpus's quasi-identifier
+    tuple (lang, source, power-of-two length bucket): cells with fewer
+    than ``k`` documents are re-identification risks — a released corpus
+    slice whose metadata isolates a handful of documents leaks authorship
+    even after :func:`~..operators.corpus.redact_pii` scrubs the text.
+    The report is the pre-release gate's input: suppress or generalize
+    the at-risk cells (the standard k-anonymity playbook), then release.
+
+    One scan, one map-side-combined aggregate to cell-count-sized output;
+    the length bucket is the integer-exact ``length(bin(n)) − 1`` (the
+    ``length_bucket_stats`` rule — no float log at power-of-two edges).
+    NULL lang/source group as their own cells (NULL is itself a
+    quasi-identifier value and can be the rarest one).
+    """
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    bucket = (
+        F.length(F.bin(F.length(text).cast("bigint"))) - F.lit(1)
+    ).cast("int")
+    return (
+        documents.select(
+            F.col("lang"),
+            F.col("source"),
+            bucket.alias("len_bucket"),
+        )
+        .groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "lang",
+            "source",
+            "len_bucket",
+            "n_docs",
+            (F.col("n_docs") < k).alias("at_risk"),
+        )
+    )
+
+
+def sql_kanon_risk_report(
+    table: str = "documents", *, k: int = KANON_K, text_col: str = "text"
+) -> str:
+    return f"""
+    SELECT lang, source, len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           COUNT(*) < {k} AS at_risk
+    FROM (
+        SELECT lang, source,
+               CAST(length(bin((length(COALESCE({text_col}, '')))::BIGINT))
+                    - 1 AS INT) AS len_bucket
+        FROM {table}
+    )
+    GROUP BY 1, 2, 3
+    """

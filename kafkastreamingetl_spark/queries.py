@@ -4000,3 +4000,14 @@ def q_lsh_param_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines emit identical doubles before micro-quantization
     (operators/dedup.py lsh_param_planner)."""
     return dedup_ops.lsh_param_planner(spark)
+
+
+@query("kanon_risk_report", oracle=gov_ops.sql_kanon_risk_report())
+def q_kanon_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity census over the (lang, source, power-of-two length
+    bucket) quasi-identifier tuple: cells with < 5 docs are
+    re-identification risks the pre-release gate must suppress or
+    generalize — one scan, one map-side-combined aggregate,
+    cell-count-sized output, integer-exact buckets
+    (operators/governance.py kanon_risk_report)."""
+    return gov_ops.kanon_risk_report(_t(spark, sf_dir, "documents"))

@@ -65,3 +65,49 @@ def test_takedown_counts_match_brute_force_seeded(spark):
     optout = spark.createDataFrame([(k,) for k in keys], "k long")
     out = takedown_impact({"events": (events, "user_id")}, optout).collect()[0]
     assert (out.rows_total, out.rows_affected) == (500, expected)
+
+
+def test_kanon_risk_report_flags_small_cells(spark):
+    from kafkastreamingetl_spark.operators.governance import kanon_risk_report
+
+    # 6 docs share (en, srcA, bucket of length 7 = bucket 2); one doc is
+    # alone in (de, srcB); one NULL-lang doc is its own cell.
+    rows = [(i, "seven77", "en", "srcA") for i in range(6)]
+    rows.append((6, "achtacht", "de", "srcB"))
+    rows.append((7, "x", None, "srcB"))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    got = {(r.lang, r.source, r.len_bucket): r for r in kanon_risk_report(df).collect()}
+    big = got[("en", "srcA", 2)]
+    assert big.n_docs == 6 and big.at_risk is False
+    lone = got[("de", "srcB", 3)]
+    assert lone.n_docs == 1 and lone.at_risk is True
+    nullcell = got[(None, "srcB", 0)]
+    assert nullcell.n_docs == 1 and nullcell.at_risk is True
+    # custom k: with k=7 even the big cell is at risk
+    got7 = {
+        (r.lang, r.source, r.len_bucket): r
+        for r in kanon_risk_report(df, k=7).collect()
+    }
+    assert got7[("en", "srcA", 2)].at_risk is True
+
+
+def test_kanon_bucket_is_integer_exact_at_power_edges(spark):
+    from kafkastreamingetl_spark.operators.governance import kanon_risk_report
+
+    # lengths 7 (bucket 2), 8 (bucket 3), 15 (bucket 3), 16 (bucket 4):
+    # the bin-length rule can't flip at exact powers of two
+    rows = [
+        (0, "a" * 7, "en", "s"),
+        (1, "a" * 8, "en", "s"),
+        (2, "a" * 15, "en", "s"),
+        (3, "a" * 16, "en", "s"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    buckets = {
+        r.len_bucket: r.n_docs for r in kanon_risk_report(df).collect()
+    }
+    assert buckets == {2: 1, 3: 2, 4: 1}

@@ -45,6 +45,7 @@ SCAN_BUDGET = {
     "lm_score_bucket_mix": {"documents.parquet": 3},
     "vocab_zipf_slope": {"documents.parquet": 1},
     "doc_dedup_lines": {"documents.parquet": 1},
+    "kanon_risk_report": {"documents.parquet": 1},
     "gopher_quality_flags": {"documents.parquet": 1},
     "doc_encoding_anomalies": {"documents.parquet": 1},
     "embedding_qc_report": {"embeddings.parquet": 1},
