@@ -146,34 +146,34 @@ def latest_green_rounds() -> dict[str, int]:
 # suite pins it against the records <= _FALLBACK_FROZEN_AT only, so a new
 # driver record never invalidates it mid-round (VERDICT r11 item 1).
 # --- fallback-head:begin ---
-_FALLBACK_FROZEN_AT = 11
+_FALLBACK_FROZEN_AT = 12
 _FALLBACK_HEAD = [
-    "takedown_sweep",
-    "doc_length_buckets",
-    "source_audit_report",
-    "neardup_quality_survivors",
-    "eval_ngram_contamination",
-    "neardup_candidates_capped",
-    "embedding_rp_topk",
-    "bm25_topk",
-    "gopher_quality_flags",
-    "doc_encoding_anomalies",
-    "embedding_qc_report",
-    "lm_score_bucket_mix",
-    "vocab_zipf_slope",
-    "doc_dedup_lines",
-    "lsh_param_planner",
-    "kanon_risk_report",
-    "orders_pending_backlog",
-    "semantic_eval_contamination",
-    "recursive_daily_series",
-    "daily_autocorr",
-    "events_key_skew_profile",
-    "blameless_suppliers",
-    "token_posting_lists",
-    "source_overlap_matrix",
-    "user_rfm_segments",
-    "lateral_top_orders",
+    "value_percentiles",
+    "neardup_pairs_jaccard",
+    "neardup_pairs_containment",
+    "simhash_candidates",
+    "embedding_topk",
+    "embedding_ann_topk",
+    "embedding_ann_multiprobe",
+    "embedding_neardup_pairs",
+    "embedding_ivf_topk",
+    "training_set_sample",
+    "multimodal_features",
+    "purchase_attribution",
+    "events_last_purchase",
+    "multimodal_resize",
+    "multimodal_frame_sample",
+    "top_segments",
+    "literal_dim_enrich",
+    "embedding_pq_topk",
+    "embedding_int8_topk",
+    "embedding_pq_kmeans_topk",
+    "embedding_ivf_kmeans_topk",
+    "cohort_retention",
+    "embedding_label_centroids",
+    "daily_value_trend",
+    "time_weighted_value",
+    "events_value_drift",
 ]
 # --- fallback-head:end ---
 

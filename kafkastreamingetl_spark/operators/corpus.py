@@ -2558,8 +2558,11 @@ def lm_score_bucket_mix(
 
     Tertiles are RANK-based, not value-based: rank within language by
     (score, doc_id) — a total order, so both engines agree on every
-    boundary doc even when scores tie — and ``bucket = 3·(rank−1) / n``
-    in integer arithmetic. No float percentile appears anywhere.
+    boundary doc even when scores tie — and the boundary test is the
+    pure-integer comparison ``3·(rank−1) < n`` / ``< 2n`` in BOTH twins
+    (no division at all, so no float ever meets a boundary; ADVICE r12
+    retired the earlier double-division form whose exactness claim held
+    only up to 2^53). No float percentile appears anywhere.
 
     Scale: the LM scoring is doc_lm_score's plan (micro-nat integer sums)
     with ``lang`` riding the scoring explode as a carry column — no
@@ -2584,10 +2587,10 @@ def lm_score_bucket_mix(
     ranked = scores.withColumn("_r", F.row_number().over(w)).withColumn(
         "_n", F.count(F.lit(1)).over(wn)
     )
-    tercile = (F.lit(3) * (F.col("_r") - F.lit(1))) / F.col("_n")
+    three_rm1 = F.lit(3).cast("bigint") * (F.col("_r") - F.lit(1))
     bucket = (
-        F.when(tercile < 1, F.lit("head"))
-        .when(tercile < 2, F.lit("middle"))
+        F.when(three_rm1 < F.col("_n"), F.lit("head"))
+        .when(three_rm1 < F.lit(2).cast("bigint") * F.col("_n"), F.lit("middle"))
         .otherwise(F.lit("tail"))
     )
     return ranked.select(
@@ -2615,8 +2618,8 @@ def sql_lm_score_bucket_mix(
         FROM lm JOIN {table} d ON lm.doc_id = d.doc_id
     )
     SELECT doc_id, lang, avg_nll_micro,
-           CASE WHEN 3.0 * (_r - 1) / _n < 1 THEN 'head'
-                WHEN 3.0 * (_r - 1) / _n < 2 THEN 'middle'
+           CASE WHEN 3 * (_r - 1) < _n THEN 'head'
+                WHEN 3 * (_r - 1) < 2 * _n THEN 'middle'
                 ELSE 'tail' END AS bucket
     FROM ranked
     """

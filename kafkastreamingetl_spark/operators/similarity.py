@@ -2627,11 +2627,19 @@ def embedding_qc_report(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """One-row embedding-corpus health report: vector count, NULL vectors,
-    wrong-dimension vectors, non-finite vectors (any NaN/±Inf element),
-    zero vectors, and min/max/avg squared norm — the gate a pipeline runs
+    wrong-dimension vectors, NULL-element vectors (right length but some
+    element is NULL), non-finite vectors (any NaN/±Inf element), zero
+    vectors, and min/max/avg squared norm — the gate a pipeline runs
     on every new embedding batch before ANN indexing or k-means trusts it
     (a model-server bug that emits zeros or NaNs poisons every consumer
     downstream; catching it is one scan, losing it is a re-embed).
+
+    NULL elements are their own damage class, checked BEFORE the finite
+    check, because the two engines disagree about them otherwise: Spark's
+    ``F.exists`` returns NULL under three-valued logic (the row lands in
+    no class) while DuckDB's ``list_filter`` drops NULL predicate rows
+    (the row counts healthy with a NULL norm). Classifying them first
+    makes both twins deterministic and keeps the damage gate honest.
 
     Scale shape: ONE corpus scan, ONE map-side-combined aggregate to a
     single row — no shuffle wider than 32 partial rows regardless of
@@ -2647,9 +2655,11 @@ def embedding_qc_report(
     vec = F.col(vec_col)
     is_null = vec.isNull()
     wrong_dim = ~is_null & (F.size(vec) != dim)
+    null_elem = ~is_null & ~wrong_dim & F.exists(vec, lambda x: x.isNull())
     nonfinite = (
         ~is_null
         & ~wrong_dim
+        & ~null_elem
         & F.exists(
             vec,
             lambda x: F.isnan(x.cast("double"))
@@ -2657,7 +2667,7 @@ def embedding_qc_report(
             | (x.cast("double") == F.lit(float("-inf"))),
         )
     )
-    healthy = ~is_null & ~wrong_dim & ~nonfinite
+    healthy = ~is_null & ~wrong_dim & ~null_elem & ~nonfinite
     sumsq = F.aggregate(
         F.transform(vec, lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0),
@@ -2672,6 +2682,7 @@ def embedding_qc_report(
         F.count(F.lit(1)).alias("n_vectors"),
         F.sum(is_null.cast("bigint")).alias("n_null_vec"),
         F.sum(wrong_dim.cast("bigint")).alias("n_wrong_dim"),
+        F.sum(null_elem.cast("bigint")).alias("n_null_elem"),
         F.sum(nonfinite.cast("bigint")).alias("n_nonfinite"),
         F.sum(zero.cast("bigint")).alias("n_zero_vec"),
         n_healthy,
@@ -2699,15 +2710,21 @@ def sql_embedding_qc_report(
                ({vec_col} IS NOT NULL AND len({vec_col}) != {dim})
                    AS wrong_dim,
                ({vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+                AND len(list_filter({vec_col}, x -> x IS NULL)) > 0)
+                   AS null_elem,
+               ({vec_col} IS NOT NULL AND len({vec_col}) = {dim}
+                AND len(list_filter({vec_col}, x -> x IS NULL)) = 0
                 AND len(list_filter({vec_col},
                         x -> isnan(x::DOUBLE) OR isinf(x::DOUBLE))) > 0)
                    AS nonfinite
         FROM {table}
     ),
     m AS (
-        SELECT is_null, wrong_dim, nonfinite,
-               (NOT is_null AND NOT wrong_dim AND NOT nonfinite) AS healthy,
-               CASE WHEN NOT is_null AND NOT wrong_dim AND NOT nonfinite
+        SELECT is_null, wrong_dim, null_elem, nonfinite,
+               (NOT is_null AND NOT wrong_dim AND NOT null_elem
+                AND NOT nonfinite) AS healthy,
+               CASE WHEN NOT is_null AND NOT wrong_dim AND NOT null_elem
+                         AND NOT nonfinite
                     THEN CAST(round(({sumsq}) * {QC_NORM_MICRO}) AS BIGINT)
                END AS norm2_micro
         FROM flags
@@ -2717,6 +2734,8 @@ def sql_embedding_qc_report(
                AS n_null_vec,
            CAST(SUM(CASE WHEN wrong_dim THEN 1 ELSE 0 END) AS BIGINT)
                AS n_wrong_dim,
+           CAST(SUM(CASE WHEN null_elem THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_elem,
            CAST(SUM(CASE WHEN nonfinite THEN 1 ELSE 0 END) AS BIGINT)
                AS n_nonfinite,
            CAST(SUM(CASE WHEN healthy AND norm2_micro = 0 THEN 1 ELSE 0 END)

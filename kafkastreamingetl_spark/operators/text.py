@@ -1036,20 +1036,26 @@ def doc_encoding_anomalies(df: DataFrame, text_col: str = "text") -> DataFrame:
     and the non-printable ratio — the decode-QC gate a web-scale corpus
     runs before any text operator trusts the bytes.
 
-    Pure projection, one scan. Marker counts are replace-diffs
-    (dialect-free); the control-char count is a regexp_replace length
-    diff over a character class RE2 and the JVM regex engine parse
-    identically. Counting is over code points on both engines for BMP
-    characters, which all markers are. NULL text scores as the empty
-    document (zero anomalies, not-suspect): absent text is a
-    completeness problem, not decode damage.
+    Pure projection, one scan. The replacement-char count is a
+    replace-diff (dialect-free); the mojibake count is a non-overlapping
+    regexp count of the actual UTF-8-as-Latin-1 PAIR patterns — ``Ã``
+    followed by a continuation code point in U+0080–U+00BF (``Ã©``,
+    ``Ã¡``, ``Ã±`` …), plus the literal ``â€`` prefix of mangled smart
+    punctuation — so a bare ``Ã`` before an ASCII letter does NOT count:
+    legitimate Portuguese/French uppercase (``NÃO``, ``SÃO``, ``JOÃO``)
+    is never flagged (ADVICE r12). The control-char count is a
+    regexp_replace length diff over a character class RE2 and the JVM
+    regex engine parse identically. Counting is over code points on both
+    engines for BMP characters, which all markers are. NULL text scores
+    as the empty document (zero anomalies, not-suspect): absent text is
+    a completeness problem, not decode damage.
     """
     text = F.coalesce(F.col(text_col), F.lit(""))
     n_chars = F.length(text).cast("bigint")
     n_repl = _count_occurrences(text, "�")
-    n_moji = _count_occurrences(text, "Ã") + _count_occurrences(
-        text, "â€"
-    )
+    n_moji = F.regexp_count(
+        text, F.lit("Ã[\\x{80}-\\x{BF}]")
+    ).cast("bigint") + _count_occurrences(text, "â€")
     ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"
     n_ctl = (
         F.length(text) - F.length(F.regexp_replace(text, ctl, ""))
@@ -1073,8 +1079,9 @@ def sql_doc_encoding_anomalies(
     t = f"COALESCE({text_col}, '')"
     n_repl = _sql_count_occurrences("text", "chr(65533)", 1)
     n_moji = (
-        _sql_count_occurrences("text", "chr(195)", 1)
-        + " + "
+        r"CAST(len(regexp_extract_all(text,"
+        r" chr(195) || '[\x{80}-\x{BF}]')) AS BIGINT)"
+        " + "
         + _sql_count_occurrences("text", "(chr(226) || chr(8364))", 2)
     )
     ctl = r"[\x00-\x08\x0b\x0c\x0e-\x1f]"

@@ -478,18 +478,61 @@ def test_embedding_qc_counts_every_damage_class(spark):
         (4, [1.0, 0.0]),                     # wrong dimension
         (5, None),                           # NULL vector
         (6, [0.5, 0.5, 0.5, 0.5]),           # healthy, norm2 = 1
+        (7, [None, 1.0, 0.0, 0.0]),          # NULL element (own class)
+        (8, [None, float("nan"), 0.0, 0.0]),  # NULL elem wins over nonfinite
     ]
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     r = embedding_qc_report(df, dim=4).collect()[0]
-    assert r.n_vectors == 7
+    assert r.n_vectors == 9
     assert r.n_null_vec == 1
     assert r.n_wrong_dim == 1
+    assert r.n_null_elem == 2
     assert r.n_nonfinite == 2
     assert r.n_zero_vec == 1
     assert r.n_healthy == 3
     assert r.min_norm2_micro == 0
     assert r.max_norm2_micro == 1_000_000
     assert abs(r.avg_norm2_micro - 2_000_000 / 3) < 1e-9
+
+
+def test_embedding_qc_null_element_engine_parity(spark, tmp_path):
+    """ADVICE r12 (medium): Spark's F.exists is three-valued on NULL
+    elements while DuckDB's list_filter drops NULL predicate rows — the
+    [NULL,1,0,0] row used to land in no class on Spark and in `healthy`
+    on DuckDB. The explicit null_elem class must make both engines agree
+    on planted NULL-element rows the sf testdata never contains."""
+    import duckdb
+
+    from kafkastreamingetl_spark.operators.similarity import (
+        embedding_qc_report,
+        sql_embedding_qc_report,
+    )
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [None, 1.0, 0.0, 0.0]),       # the ADVICE repro row
+        (2, [None, float("inf"), 0.0, 0.0]),
+        (3, None),
+        (4, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got_spark = [tuple(r) for r in embedding_qc_report(df, dim=4).collect()]
+
+    pq = str(tmp_path / "emb.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    got_duck = [
+        tuple(r)
+        for r in con.execute(sql_embedding_qc_report(dim=4)).fetchall()
+    ]
+    assert got_spark == got_duck
+    r = got_spark[0]
+    # columns: n_vectors, n_null_vec, n_wrong_dim, n_null_elem,
+    #          n_nonfinite, n_zero_vec, n_healthy, min, max, avg
+    assert r[:7] == (5, 1, 0, 2, 0, 1, 2)
 
 
 def test_embedding_qc_all_healthy_corpus(spark):

@@ -979,7 +979,7 @@ def test_gopher_unicode_ellipsis_and_bullets_count(spark):
 def test_encoding_anomalies_planted_markers(spark):
     from kafkastreamingetl_spark.operators.text import doc_encoding_anomalies
 
-    moji = "cafÃ© dÃ©jÃ "  # 3x 'A-tilde' marker
+    moji = "cafÃ© dÃ©jÃ "  # 3x 'A-tilde + continuation' pair
     smart = "itâ€™s fine"  # one 'a-circumflex + euro' marker
     df = spark.createDataFrame(
         [
@@ -990,6 +990,7 @@ def test_encoding_anomalies_planted_markers(spark):
             (5, "bell\x07 and esc\x1b"),
             (6, "tabs\tand\nnewlines\rok"),
             (7, None),
+            (8, "NÃO SÃO JOÃO"),  # PT uppercase is NOT mojibake
         ],
         "doc_id long, text string",
     )
@@ -1001,6 +1002,45 @@ def test_encoding_anomalies_planted_markers(spark):
     assert got[5].n_control == 2 and got[5].suspect is True
     assert got[6].n_control == 0 and got[6].suspect is False
     assert got[7].n_chars == 0 and got[7].suspect is False
+    # ADVICE r12: bare A-tilde before an ASCII letter must not count --
+    # a short clean Portuguese doc is no longer flagged suspect.
+    assert got[8].n_mojibake == 0 and got[8].suspect is False
+
+
+def test_encoding_anomalies_pair_pattern_engine_parity(spark, tmp_path):
+    """Java regex vs RE2 on the mojibake PAIR pattern over planted text
+    covering both branches (real pairs, Portuguese false-positive bait,
+    mangled smart punctuation) -- the sf corpus is clean ASCII so the
+    oracle differential never exercises the marker (ADVICE r12)."""
+    import duckdb
+
+    from kafkastreamingetl_spark.operators.text import (
+        doc_encoding_anomalies,
+        sql_doc_encoding_anomalies,
+    )
+
+    rows = [
+        (1, "NÃO estÃ¡ lÃ¡"),  # 1 bait + 2 real pairs
+        (2, "Ã no-continuation Ã"),  # bare markers only: 0
+        (3, "â€œquotedâ€ then Ã©"),  # 2 smart + 1 pair
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got_spark = sorted(tuple(r) for r in doc_encoding_anomalies(df).collect())
+
+    pq = str(tmp_path / "docs.parquet")
+    df.write.parquet(pq)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')"
+    )
+    got_duck = sorted(
+        tuple(r)
+        for r in con.execute(sql_doc_encoding_anomalies()).fetchall()
+    )
+    assert got_spark == got_duck
+    by_id = {t[0]: t for t in got_spark}
+    assert by_id[1][3] == 2 and by_id[2][3] == 0 and by_id[3][3] == 3
 
 
 # ---------------------------------------------------------------------------
