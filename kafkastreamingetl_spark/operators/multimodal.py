@@ -5,12 +5,18 @@ Design for media at 100 TB: image/audio/video bytes ride as an opaque
 feature-extract, resize, frame-sample) runs as Arrow-batched Python over
 ``mapInPandas`` — the sanctioned Python path, since media codecs are not
 expressible as Catalyst expressions. The Spark-side contract (schema,
-batch iteration, column pruning before the Python stage) is real and tested;
-the codec itself is STUBBED: this container has no image/audio libraries, so
-``decode_image`` raises ``NotImplementedError`` and
-:func:`extract_features` derives deterministic fake dimensions from the
-payload's md5 (which also makes the operator oracle-checkable end-to-end —
-a rare property for a Python-UDF stage).
+batch iteration, column pruning before the Python stage) is real and tested.
+
+Codec status (round 13): REAL pure-stdlib decode for the uncompressed
+formats — binary PPM (P6) and 24-bit uncompressed BMP via
+:func:`decode_image`, PCM WAV via :func:`decode_audio` — running inside
+the same Arrow batch loop (:func:`decode_image_features` /
+:func:`decode_audio_features`). COMPRESSED formats (PNG/JPEG/MP3/…)
+remain out of scope in this container (no codec libraries) and raise
+``NotImplementedError`` explicitly. :func:`extract_features` keeps the
+deterministic md5-fake lane as the oracle twin (which makes that operator
+oracle-checkable end-to-end — a rare property for a Python-UDF stage);
+the real decoders are differential-tested on planted payloads.
 
 Scale notes:
 - the ``mapInPandas`` input is projected to exactly (id, payload) before the
@@ -41,12 +47,184 @@ FEATURE_SCHEMA = (
 )
 
 
-def decode_image(payload: bytes) -> "object":
-    """Decode an image payload into pixels. STUB — no codec libs here."""
-    raise NotImplementedError(
-        "image decoding requires an image library not present in this "
-        "container; extract_features uses a deterministic fake instead"
-    )
+def decode_image(payload: bytes) -> dict | None:
+    """Decode an uncompressed image payload with stdlib only.
+
+    Supported: binary PPM (``P6``, 8-bit maxval, comment-tolerant header)
+    and BMP (``BM``, BITMAPINFOHEADER, 24-bit, BI_RGB uncompressed,
+    bottom-up or top-down). Returns ``{format, width, height, mean_r,
+    mean_g, mean_b, px00}`` where ``px00`` is the (r, g, b) of the
+    TOP-LEFT pixel — orientation evidence a mean cannot give (BMP rows
+    are stored bottom-up unless height is negative). Returns ``None``
+    for payloads that are not a supported format or fail to parse
+    (truncated pixel data, wrong bit depth, compressed BMP).
+
+    Compressed formats are explicitly out of scope here::
+
+        PNG/JPEG require codec libraries this container does not have.
+    """
+    if payload is None:
+        return None
+    if payload[:2] == b"P6":
+        return _decode_ppm(payload)
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG decoding requires an image library not present in "
+            "this container; only uncompressed PPM/BMP decode here"
+        )
+    return None
+
+
+def _decode_ppm(payload: bytes) -> dict | None:
+    """Binary PPM (P6): ASCII header of 4 whitespace-separated tokens
+    (magic, width, height, maxval; ``#`` comments allowed), then
+    width*height*3 raw RGB bytes."""
+    import re as _re
+
+    # header: strip comments token-wise without touching pixel bytes —
+    # scan forward collecting the 4 header tokens, tracking the offset
+    pos, tokens = 0, []
+    while len(tokens) < 4 and pos < len(payload):
+        c = payload[pos : pos + 1]
+        if c.isspace():
+            pos += 1
+        elif c == b"#":
+            nl = payload.find(b"\n", pos)
+            if nl < 0:
+                return None
+            pos = nl + 1
+        else:
+            m = _re.match(rb"[^\s#]+", payload[pos:])
+            tokens.append(m.group(0))
+            pos += len(m.group(0))
+    if len(tokens) < 4 or tokens[0] != b"P6":
+        return None
+    try:
+        width, height, maxval = (int(t) for t in tokens[1:4])
+    except ValueError:
+        return None
+    if width <= 0 or height <= 0 or maxval != 255:
+        return None
+    pos += 1  # exactly ONE whitespace byte separates maxval from pixels
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) < width * height * 3:
+        return None
+    return _pixel_stats("ppm", width, height, pixels, row_stride=width * 3,
+                        bottom_up=False)
+
+
+def _decode_bmp(payload: bytes) -> dict | None:
+    """BMP: 14-byte file header + BITMAPINFOHEADER (40 bytes), 24-bit
+    BI_RGB only. Rows are 4-byte aligned; positive height = bottom-up
+    storage. Pixel order in the file is BGR."""
+    import struct
+
+    if len(payload) < 54:
+        return None
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size, width, raw_height = struct.unpack_from("<Iii", payload, 14)
+    planes, bits = struct.unpack_from("<HH", payload, 26)
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if header_size < 40 or planes != 1 or bits != 24 or compression != 0:
+        return None
+    bottom_up = raw_height > 0
+    height = abs(raw_height)
+    if width <= 0 or height == 0:
+        return None
+    row_stride = (width * 3 + 3) & ~3  # rows padded to 4 bytes
+    pixels = payload[data_offset : data_offset + row_stride * height]
+    if len(pixels) < row_stride * height:
+        return None
+    return _pixel_stats("bmp", width, height, pixels, row_stride=row_stride,
+                        bottom_up=bottom_up, bgr=True)
+
+
+def _pixel_stats(
+    fmt: str,
+    width: int,
+    height: int,
+    pixels: bytes,
+    *,
+    row_stride: int,
+    bottom_up: bool,
+    bgr: bool = False,
+) -> dict:
+    sums = [0, 0, 0]
+    for y in range(height):
+        row = pixels[y * row_stride : y * row_stride + width * 3]
+        sums[0] += sum(row[0::3])
+        sums[1] += sum(row[1::3])
+        sums[2] += sum(row[2::3])
+    if bgr:
+        sums = sums[::-1]
+    n = width * height
+    top_row = (height - 1) * row_stride if bottom_up else 0
+    px = pixels[top_row : top_row + 3]
+    px00 = (px[2], px[1], px[0]) if bgr else (px[0], px[1], px[2])
+    return {
+        "format": fmt,
+        "width": width,
+        "height": height,
+        "mean_r": sums[0] / n,
+        "mean_g": sums[1] / n,
+        "mean_b": sums[2] / n,
+        "px00": px00,
+    }
+
+
+def decode_audio(payload: bytes) -> dict | None:
+    """Decode a PCM WAV payload with stdlib only: RIFF/WAVE chunk walk,
+    ``fmt `` (audioFormat=1, 8/16-bit) + ``data``. Returns ``{format,
+    n_channels, sample_rate, bits, n_samples, duration_ms,
+    mean_abs_amplitude}`` (n_samples counts FRAMES — one per channel
+    set; mean_abs over all channel samples, 16-bit signed / 8-bit
+    unsigned-offset). ``None`` for non-WAV or unparseable payloads;
+    compressed encodings (MP3/AAC/…) are out of scope in this container.
+    """
+    import struct
+
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    pos, fmt_chunk, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid, size = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and len(body) >= 16:
+            fmt_chunk = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt_chunk is None or data is None:
+        return None
+    audio_format, n_channels, sample_rate, _, _, bits = fmt_chunk
+    if audio_format != 1 or bits not in (8, 16) or n_channels < 1:
+        return None
+    bytes_per = bits // 8
+    frame_bytes = n_channels * bytes_per
+    n_samples = len(data) // frame_bytes
+    usable = data[: n_samples * frame_bytes]
+    if bits == 16:
+        vals = struct.unpack(f"<{n_samples * n_channels}h", usable)
+        mean_abs = (
+            sum(abs(v) for v in vals) / len(vals) if vals else 0.0
+        )
+    else:
+        mean_abs = (
+            sum(abs(b - 128) for b in usable) / len(usable) if usable else 0.0
+        )
+    return {
+        "format": "wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate if sample_rate else 0,
+        "mean_abs_amplitude": mean_abs,
+    }
 
 
 def _fake_decode(digest_hex: str) -> tuple[int, int]:
@@ -292,6 +470,79 @@ def sql_sample_frames(
     FROM exploded
     WHERE frame_idx % {stride} = 0
     """
+
+
+IMAGE_SCHEMA = (
+    "doc_id bigint, format string, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, px00_rgb string"
+)
+
+AUDIO_SCHEMA = (
+    "doc_id bigint, format string, n_channels int, sample_rate int, "
+    "bits int, n_samples bigint, duration_ms bigint, mean_abs_amplitude double"
+)
+
+
+def decode_image_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL image decode over the Arrow batch loop: :func:`decode_image`
+    (stdlib PPM/BMP) per payload, nulls for undecodable/compressed/null
+    payloads — the row always survives (a corrupt file is a data-quality
+    FACT to aggregate, not a task failure). Same plan shape as
+    :func:`extract_features`: (id, payload) projection → one Python
+    stage, per-row independent, no shuffle at any width."""
+    slim = _slim(df, id_col, payload_col)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "format", "width", "height", "mean_r", "mean_g", "mean_b",
+                "px00_rgb",
+            )}
+            for p in pdf["payload"]:
+                raw = _opt_bytes(p)
+                try:
+                    d = None if raw is None else decode_image(raw)
+                except NotImplementedError:
+                    d = None  # compressed format: undecodable HERE, not bad
+                rows["format"].append(d["format"] if d else None)
+                rows["width"].append(d["width"] if d else None)
+                rows["height"].append(d["height"] if d else None)
+                rows["mean_r"].append(d["mean_r"] if d else None)
+                rows["mean_g"].append(d["mean_g"] if d else None)
+                rows["mean_b"].append(d["mean_b"] if d else None)
+                rows["px00_rgb"].append(
+                    "%02x%02x%02x" % d["px00"] if d else None
+                )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return slim.mapInPandas(decode, schema=IMAGE_SCHEMA)
+
+
+def decode_audio_features(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL audio decode over the Arrow batch loop: :func:`decode_audio`
+    (stdlib PCM WAV) per payload, nulls for undecodable payloads. Same
+    contract as :func:`decode_image_features`."""
+    slim = _slim(df, id_col, payload_col)
+    cols = (
+        "format", "n_channels", "sample_rate", "bits", "n_samples",
+        "duration_ms", "mean_abs_amplitude",
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in cols}
+            for p in pdf["payload"]:
+                raw = _opt_bytes(p)
+                d = None if raw is None else decode_audio(raw)
+                for k in cols:
+                    rows[k].append(d[k] if d else None)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], **rows})
+
+    return slim.mapInPandas(decode, schema=AUDIO_SCHEMA)
 
 
 def extract_features_arrow(

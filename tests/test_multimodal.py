@@ -1,5 +1,5 @@
 """Multimodal plumbing: binary payload column, Arrow-batched extraction,
-stubbed decode contract."""
+real stdlib codecs (PPM/BMP/WAV) + explicit compressed-format boundary."""
 
 from __future__ import annotations
 
@@ -17,9 +17,160 @@ from kafkastreamingetl_spark.operators.multimodal import (
 )
 
 
-def test_decode_is_explicitly_stubbed():
+def test_compressed_formats_are_explicitly_out_of_scope():
+    """PNG/JPEG need codec libs this container lacks — the boundary is an
+    explicit NotImplementedError, not a silent None."""
     with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG...")
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+
+
+# ---------------------------------------------------------------------------
+# Real stdlib codecs (round 13): PPM / BMP / WAV on planted payloads
+# ---------------------------------------------------------------------------
+
+
+def _ppm(width, height, pixels, comment=False):
+    head = b"P6\n"
+    if comment:
+        head += b"# planted comment\n"
+    head += b"%d %d\n255\n" % (width, height)
+    return head + bytes(pixels)
+
+
+def _bmp24(width, height, rows_top_down):
+    """24-bit BI_RGB BMP, BOTTOM-UP storage (positive height), from
+    top-down (r, g, b) row lists — the orientation trap decode must undo."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    body = b""
+    for row in reversed(rows_top_down):  # file stores bottom row first
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)  # BGR
+        body += line + b"\x00" * (stride - len(line))
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    return (
+        b"BM" + struct.pack("<IHHI", size, 0, 0, pixel_offset)
+        + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+        + body
+    )
+
+
+def _wav16(sample_rate, samples):
+    import struct
+
+    data = struct.pack("<%dh" % len(samples), *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_ppm_decode_known_pixels():
+    # 2x2: red, green / blue, white — with a header comment
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    d = decode_image(_ppm(2, 2, px, comment=True))
+    assert (d["format"], d["width"], d["height"]) == ("ppm", 2, 2)
+    assert d["px00"] == (255, 0, 0)
+    assert abs(d["mean_r"] - (255 + 255) / 4) < 1e-9
+    assert abs(d["mean_g"] - (255 + 255) / 4) < 1e-9
+    assert abs(d["mean_b"] - (255 + 255) / 4) < 1e-9
+
+
+def test_ppm_truncated_pixels_returns_none():
+    assert decode_image(_ppm(4, 4, [0] * 10)) is None
+    assert decode_image(b"P6\n0 2\n255\n") is None
+
+
+def test_bmp_decode_undoes_bottom_up_and_bgr():
+    # 3x2 top-down rows; stride padding exercised (3*3=9 -> 12 bytes/row)
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bottom = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    d = decode_image(_bmp24(3, 2, [top, bottom]))
+    assert (d["format"], d["width"], d["height"]) == ("bmp", 3, 2)
+    # px00 must be the TOP-LEFT pixel in RGB despite bottom-up BGR storage
+    assert d["px00"] == (255, 0, 0)
+    assert abs(d["mean_r"] - (255 + 10 + 40 + 70) / 6) < 1e-9
+    assert abs(d["mean_b"] - (255 + 30 + 60 + 90) / 6) < 1e-9
+
+
+def test_bmp_compressed_or_wrong_depth_returns_none():
+    import struct
+
+    raw = bytearray(_bmp24(2, 2, [[(0, 0, 0)] * 2] * 2))
+    struct.pack_into("<H", raw, 28, 8)  # biBitCount = 8
+    assert decode_image(bytes(raw)) is None
+    raw = bytearray(_bmp24(2, 2, [[(0, 0, 0)] * 2] * 2))
+    struct.pack_into("<I", raw, 30, 1)  # biCompression = BI_RLE8
+    assert decode_image(bytes(raw)) is None
+
+
+def test_wav_decode_known_samples():
+    from kafkastreamingetl_spark.operators.multimodal import decode_audio
+
+    d = decode_audio(_wav16(8000, [0, 1000, -1000, 500]))
+    assert (d["format"], d["n_channels"], d["sample_rate"], d["bits"]) == (
+        "wav", 1, 8000, 16,
+    )
+    assert d["n_samples"] == 4
+    assert d["duration_ms"] == (4 * 1000) // 8000
+    assert abs(d["mean_abs_amplitude"] - (0 + 1000 + 1000 + 500) / 4) < 1e-9
+
+
+def test_wav_garbage_returns_none():
+    from kafkastreamingetl_spark.operators.multimodal import decode_audio
+
+    assert decode_audio(b"RIFFxxxxNOPE") is None
+    assert decode_audio(b"not audio at all") is None
+    # float32 WAV (audioFormat=3) is a compressed-adjacent out-of-scope
+    import struct
+
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    assert decode_audio(bad) is None
+
+
+def test_decode_features_spark_lane_matches_local_decoder(spark):
+    """The mapInPandas lane must agree with the plain-Python decoder on
+    every planted payload class: decodable PPM, decodable BMP, garbage,
+    NULL — and never fail the task on the undecodable ones."""
+    from kafkastreamingetl_spark.operators.multimodal import (
+        decode_audio_features,
+        decode_image_features,
+    )
+
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    payloads = [
+        (1, _ppm(2, 2, px)),
+        (2, _bmp24(3, 2, [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+                          [(10, 20, 30), (40, 50, 60), (70, 80, 90)]])),
+        (3, b"not an image"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in decode_image_features(df).collect()}
+    ref1 = decode_image(payloads[0][1])
+    assert got[1].format == "ppm" and got[1].width == 2
+    assert abs(got[1].mean_r - ref1["mean_r"]) < 1e-9
+    assert got[1].px00_rgb == "ff0000"
+    assert got[2].format == "bmp" and got[2].px00_rgb == "ff0000"
+    assert got[3].format is None and got[3].width is None
+    assert got[4].format is None
+
+    wav_rows = [(1, _wav16(16000, [100, -200, 300])), (2, b"junk"), (3, None)]
+    adf = spark.createDataFrame(wav_rows, "doc_id long, payload binary")
+    agot = {r.doc_id: r for r in decode_audio_features(adf).collect()}
+    assert agot[1].sample_rate == 16000 and agot[1].n_samples == 3
+    assert abs(agot[1].mean_abs_amplitude - 200.0) < 1e-9
+    assert agot[2].format is None and agot[3].format is None
 
 
 def test_extract_features_binary_path(spark):
