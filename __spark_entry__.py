@@ -38,21 +38,23 @@ policy is now DERIVED, not transcribed:
   oldest-first round-robin re-greens every query at most every ceil(N / W)
   rounds. Any 4 consecutive rounds offer 4·W = 200 slots, so the ≤4-round
   staleness bound is satisfiable indefinitely iff N ≤ 200 — enforced as
-  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``. At N = 176
-  (round 12: the 160-query r11 freeze plus 16 new operators spending the
-  headroom VERDICT r11 noted) the steady state still closes: each round
-  greens every query reaching age 4 plus the oldest age-3 cohort; nothing
-  ever exceeds age 4. 24 slots of sustainable capacity remain.
+  ``REGISTRY_CAP`` in ``tests/test_driver_window.py``.
 
-Round-12 window under this policy (self-derived — nothing transcribed):
-the 16 round-12 never-greens (takedown_sweep ... embedding_rp_topk from
-the first batch; bm25_topk, gopher_quality_flags, doc_encoding_anomalies,
-embedding_qc_report, lm_score_bucket_mix, vocab_zipf_slope,
-doc_dedup_lines, lsh_param_planner, kanon_risk_report from the second),
-then the 10 r8-green
-queries that aged out of the round-11 window (orders_pending_backlog ...
-lateral_top_orders), then the oldest r9 cohort fills the remaining 24
-slots in registration order.
+Terminal registry arithmetic (round 13: FROZEN)
+===============================================
+
+The registry is frozen at **N = 179** (``REGISTRY_FROZEN_AT`` in
+``kafkastreamingetl_spark.queries``; the round-13 cohort spent the final
+deliberate slots — quality_classifier_score, batch_contamination_diff,
+source_dedup_trend — per VERDICT r12 item 5). The arithmetic that makes
+179 terminal: W = 50 driver slots/round × a 4-round staleness bound =
+200 evergreen-able queries, ever; at 179, oldest-first rotation re-greens
+every query at most every ceil(179/50) = 4 rounds, exactly at the bound,
+with 21 slots of slack absorbed by the never-green head in any round that
+adds nothing. ``test_registry_is_frozen_at_the_cap`` fails on ANY size
+change, so future additions must retire a query and move the marker
+deliberately. From here, improvement means evidence depth (floors,
+shuffle bytes, scale stress), not query count.
 """
 
 from __future__ import annotations
@@ -148,6 +150,9 @@ def latest_green_rounds() -> dict[str, int]:
 # --- fallback-head:begin ---
 _FALLBACK_FROZEN_AT = 12
 _FALLBACK_HEAD = [
+    "quality_classifier_score",
+    "batch_contamination_diff",
+    "source_dedup_trend",
     "value_percentiles",
     "neardup_pairs_jaccard",
     "neardup_pairs_containment",

@@ -2759,3 +2759,91 @@ def sql_vocab_zipf_slope(
                   AS DOUBLE) AS zipf_slope
     FROM sums
     """
+
+
+# ---------------------------------------------------------------------------
+# per-source dedup-rate trend over ingest days (temporal dataset card)
+# ---------------------------------------------------------------------------
+
+#: synthetic ingest-day count for the registered query: the testdata's
+#: documents carry no ingest date, so the registered lane derives a
+#: deterministic day ``doc_id % 7`` — the same honest-fixture posture as
+#: the eval/train predicate splits. A production corpus passes its real
+#: ingest-date column instead; the operator is day-source-agnostic.
+TREND_DAYS = 7
+
+
+def source_dedup_trend(
+    documents: DataFrame,
+    day: Column | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """(source, ingest_day, n_docs, n_dup, dup_frac): per-source exact-
+    duplicate rate per ingest day AGAINST EVERYTHING INGESTED BEFORE —
+    the temporal twin of :func:`source_audit_report`. A doc counts as a
+    duplicate unless it is the FIRST occurrence of its content hash in
+    (day, doc_id) order, so day d's rate is measured against the
+    accreted index of days < d plus earlier arrivals within d — exactly
+    the number the daily ingest CLI's dedup stage would report, and the
+    trend a curator watches to catch a source going stale (re-crawls
+    rising) before it poisons mixture weights.
+
+    Scale shape: one corpus scan; first-occurrence attribution is a
+    row_number window partitioned by the CONTENT HASH (key-partitioned —
+    never a global window), i.e. one hash shuffle carrying (hash, day,
+    source, id); then one map-side-combined (source, day) aggregate.
+    dup_frac is one double division of exact counts.
+    """
+    if day is None:
+        day = (F.col(id_col) % F.lit(TREND_DAYS)).cast("int")
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    w = Window.partitionBy("_h").orderBy(
+        F.col("ingest_day").asc(), F.col(id_col).asc()
+    )
+    ranked = documents.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        day.alias("ingest_day"),
+        F.md5(text).alias("_h"),
+    ).withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("source", "ingest_day")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("_rn") > 1).cast("bigint")).alias("n_dup"),
+        )
+        .select(
+            "source",
+            "ingest_day",
+            "n_docs",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_docs").cast("double"))
+            .alias("dup_frac"),
+        )
+    )
+
+
+def sql_source_dedup_trend(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    return f"""
+    WITH ranked AS (
+        SELECT source,
+               CAST(doc_id % {TREND_DAYS} AS INT) AS ingest_day,
+               ROW_NUMBER() OVER (
+                   PARTITION BY md5(COALESCE({text_col}, ''))
+                   ORDER BY doc_id % {TREND_DAYS} ASC, doc_id ASC
+               ) AS rn
+        FROM {table}
+    )
+    SELECT source, ingest_day,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_frac
+    FROM ranked
+    GROUP BY 1, 2
+    """

@@ -2653,3 +2653,145 @@ def sql_lsh_param_planner(
                AS is_above_half
     FROM generate_series(1, {grid}) AS g(s)
     """
+
+
+# ---------------------------------------------------------------------------
+# cross-batch contamination DIFF (what leaked in THIS batch vs the index)
+# ---------------------------------------------------------------------------
+
+#: deterministic batch split for the registered query: docs with
+#: ``doc_id % 10 == BATCH_MOD`` are "this batch", the rest the accreted
+#: index — the batch-expressible twin of the streaming neardup-ingest
+#: loop's per-batch report (streaming.py neardup_ingest_sink accretes the
+#: survivor index; this lane answers "what did THIS batch drag in" with
+#: full oracle checkability).
+BATCH_MOD = 9
+
+#: modulus base for the batch split predicate (``doc_id % 10 == 9``).
+BATCH_MOD_BASE = 10
+
+
+def batch_contamination_diff(
+    documents: DataFrame,
+    *,
+    batch_mod: int = BATCH_MOD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = NGRAM_CONTAM_N,
+) -> DataFrame:
+    """Per-batch-document contamination report against the accreted index:
+    (doc_id, n_grams, exact_dup, n_gram_collisions, contaminated) — for
+    every document in the incoming batch, did its EXACT content hash
+    already exist in the index, and how many of its distinct 13-grams
+    collide with any index document (the two lanes a production ingest
+    gate checks before admitting a batch: verbatim re-crawl vs pasted
+    passages).
+
+    Scale shape: ONE corpus scan. The (id, is_batch, content-hash, gram
+    set) projection is persisted and both sides derive from it, so the
+    corpus is never re-scanned per lane. The batch side is ingest-sized:
+    its hash set and gram set BROADCAST to the index side; only MATCHED
+    hashes / COLLIDING grams come back (contamination-sized shuffles —
+    the eval_ngram_contamination posture with the roles reversed: output
+    is per-BATCH-doc, the small side). The index never shuffles its rows
+    or text anywhere.
+    """
+    from .text import shingle_hashes
+
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    base = documents.select(
+        F.col(id_col).alias("doc_id"),
+        ((F.col(id_col) % F.lit(BATCH_MOD_BASE)) == F.lit(batch_mod))
+        .alias("_is_batch"),
+        F.md5(text).alias("_h"),
+        shingle_hashes(text, n).alias("_g"),
+    ).persist()
+    batch = base.filter("_is_batch")
+    index = base.filter("NOT _is_batch")
+
+    batch_hashes = batch.select("_h").distinct()
+    matched_h = (
+        index.join(F.broadcast(batch_hashes), "_h").select("_h").distinct()
+    )
+
+    bg = batch.select(
+        "doc_id", F.size("_g").cast("bigint").alias("n_grams"),
+        F.explode("_g").alias("g"),
+    )
+    batch_grams = bg.select("g").distinct()
+    collided = (
+        index.select(F.explode("_g").alias("g"))
+        .join(F.broadcast(batch_grams), "g")
+        .select("g")
+        .distinct()
+    )
+    gram_hits = (
+        bg.join(F.broadcast(collided), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_gram_collisions"))
+    )
+
+    out = (
+        batch.join(
+            F.broadcast(matched_h.withColumn("_dup", F.lit(True))),
+            "_h",
+            "left",
+        )
+        .join(gram_hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("_g").cast("bigint").alias("n_grams"),
+            F.coalesce(F.col("_dup"), F.lit(False)).alias("exact_dup"),
+            F.coalesce(F.col("n_gram_collisions"), F.lit(0).cast("bigint"))
+            .alias("n_gram_collisions"),
+            (
+                F.coalesce(F.col("_dup"), F.lit(False))
+                | (F.coalesce(F.col("n_gram_collisions"), F.lit(0)) > 0)
+            ).alias("contaminated"),
+        )
+    )
+    return out
+
+
+
+
+def sql_batch_contamination_diff(
+    table: str = "documents",
+    text_col: str = "text",
+    *,
+    n: int = NGRAM_CONTAM_N,
+) -> str:
+    from .text import sql_shingle_hashes_over_w
+
+    grams = sql_shingle_hashes_over_w(n)
+    pred = f"doc_id % {BATCH_MOD_BASE} = {BATCH_MOD}"
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               ({pred}) AS is_batch,
+               md5(COALESCE({text_col}, '')) AS h,
+               string_split(COALESCE({text_col}, ''), ' ') AS w
+        FROM {table}
+    ),
+    g AS (SELECT doc_id, is_batch, h, {grams} AS gs FROM base),
+    idx_h AS (SELECT DISTINCT h FROM g WHERE NOT is_batch),
+    bg AS (
+        SELECT doc_id, len(gs)::BIGINT AS n_grams, unnest(gs) AS gr
+        FROM g WHERE is_batch
+    ),
+    ig AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE NOT is_batch),
+    hits AS (
+        SELECT bg.doc_id, COUNT(*) AS n_gram_collisions
+        FROM bg JOIN ig ON bg.gr = ig.gr
+        GROUP BY 1
+    )
+    SELECT g.doc_id,
+           len(g.gs)::BIGINT AS n_grams,
+           (g.h IN (SELECT h FROM idx_h)) AS exact_dup,
+           CAST(COALESCE(hits.n_gram_collisions, 0) AS BIGINT)
+               AS n_gram_collisions,
+           ((g.h IN (SELECT h FROM idx_h))
+            OR COALESCE(hits.n_gram_collisions, 0) > 0) AS contaminated
+    FROM g LEFT JOIN hits ON g.doc_id = hits.doc_id
+    WHERE g.is_batch
+    """

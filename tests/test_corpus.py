@@ -1020,3 +1020,36 @@ def test_doc_dedup_lines_keeps_first_occurrence(spark):
     assert got[2].n_removed == 0 and got[2].text_clean == "a\nb\nc"
     assert got[3].n_lines == 1 and got[3].n_removed == 0
     assert got[3].text_clean == ""
+
+
+# ---------------------------------------------------------------------------
+# per-source dedup-rate trend (round 13, final cohort)
+# ---------------------------------------------------------------------------
+
+
+def test_source_dedup_trend_first_occurrence_attribution(spark):
+    """A hash's FIRST (day, doc_id) occurrence is clean; every later
+    arrival is a dup — including later arrivals within the same day and
+    re-crawls by a DIFFERENT source on a later day."""
+    from kafkastreamingetl_spark.operators.corpus import source_dedup_trend
+    from pyspark.sql import functions as F
+
+    rows = [
+        # (doc_id, text, source) — day := doc_id % 7
+        (0, "alpha", "s1"),   # day 0: first alpha
+        (7, "alpha", "s1"),   # day 0: same-day dup (later doc_id)
+        (1, "alpha", "s2"),   # day 1: cross-source re-crawl -> dup
+        (2, "beta", "s2"),    # day 2: clean
+        (9, "beta", "s2"),    # day 2: same-day dup
+        (3, "gamma", "s1"),   # day 3: clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    df = df.withColumn("lang", F.lit("en"))
+    got = {
+        (r.source, r.ingest_day): r for r in source_dedup_trend(df).collect()
+    }
+    assert got[("s1", 0)].n_docs == 2 and got[("s1", 0)].n_dup == 1
+    assert got[("s2", 1)].n_dup == 1  # cross-source later-day re-crawl
+    assert got[("s2", 2)].n_docs == 2 and got[("s2", 2)].n_dup == 1
+    assert got[("s1", 3)].n_dup == 0
+    assert abs(got[("s1", 0)].dup_frac - 0.5) < 1e-12

@@ -211,3 +211,24 @@ def test_rotation_policy_properties_hold_for_any_evidence():
         assert not nevers or not greens or max(nevers) < min(greens)
 
     prop()
+
+
+def test_registry_is_frozen_at_the_cap():
+    """Round 13 spent the final deliberate slots (VERDICT r12 item 5) and
+    froze the registry: the committed marker must equal the live count,
+    so ANY future registration fails here and forces an explicit decision
+    to retire something instead — growth is no longer free, because every
+    query past REGISTRY_CAP would age some green row past the staleness
+    bound regardless of rotation order."""
+    from kafkastreamingetl_spark.queries import (
+        QUERIES,
+        REGISTRY_CAP,
+        REGISTRY_FROZEN_AT,
+    )
+
+    assert len(QUERIES) == REGISTRY_FROZEN_AT, (
+        f"registry changed size ({len(QUERIES)} != frozen "
+        f"{REGISTRY_FROZEN_AT}): the registry is FROZEN — retire a query "
+        "for every addition and update REGISTRY_FROZEN_AT deliberately"
+    )
+    assert REGISTRY_FROZEN_AT <= REGISTRY_CAP

@@ -1092,3 +1092,62 @@ def test_lsh_param_planner_matches_python_reference(spark):
     flip = min(i for i in range(1, 101) if got[i].is_above_half)
     assert 1 < flip < 100
     assert abs(flip / 100.0 - s_star) <= 0.10
+
+
+# ---------------------------------------------------------------------------
+# hashed-feature quality classifier (round 13, final cohort)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_matches_python_reference(spark):
+    """The Spark fold must equal a plain-Python replay of the SAME model:
+    md5 bucket -> literal milli-weight -> integer sum -> sign keep."""
+    import math
+
+    from kafkastreamingetl_spark.functions import py_hash60
+    from kafkastreamingetl_spark.operators.text import (
+        QCLF_BUCKETS,
+        QCLF_WEIGHTS_MILLI,
+        quality_classifier_score,
+    )
+
+    docs = [(1, "the quick brown fox"), (2, "zzz"), (3, None)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r for r in quality_classifier_score(df).collect()}
+    for doc_id, text in docs:
+        toks = (text or "").split(" ")
+        score = sum(
+            QCLF_WEIGHTS_MILLI[py_hash60(t) % QCLF_BUCKETS] for t in toks
+        )
+        r = got[doc_id]
+        assert r.n_tokens == len(toks)
+        assert r.score_milli == score
+        z = score / (1000.0 * len(toks))
+        assert r.prob_micro == round(1e6 / (1.0 + math.exp(-z)))
+        assert r.keep is (score >= 0)
+
+
+def test_batch_contamination_diff_planted(spark):
+    """Planted batch (doc_id%10==9): one verbatim index copy, one doc
+    sharing a 13-gram run with an index doc, one clean doc."""
+    from kafkastreamingetl_spark.operators.dedup import (
+        batch_contamination_diff,
+    )
+
+    passage = " ".join(f"w{i}" for i in range(13))  # exactly one 13-gram
+    rows = [
+        (1, "verbatim copy of this exact text"),
+        (2, f"index doc embedding {passage} inside longer prose"),
+        (3, "unrelated index content entirely"),
+        (9, "verbatim copy of this exact text"),          # exact dup
+        (19, f"batch doc quoting {passage} verbatim too"),  # gram collision
+        (29, "completely novel batch material here"),       # clean
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in batch_contamination_diff(df).collect()}
+    assert set(got) == {9, 19, 29}
+    assert got[9].exact_dup is True and got[9].contaminated is True
+    assert got[19].exact_dup is False
+    assert got[19].n_gram_collisions == 1 and got[19].contaminated is True
+    assert got[29].exact_dup is False and got[29].n_gram_collisions == 0
+    assert got[29].contaminated is False
