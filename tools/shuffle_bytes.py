@@ -1,0 +1,145 @@
+"""Per-query shuffle-byte snapshot: the committed network-cost gate
+(VERDICT r12 item 2).
+
+Wall-clock at local[32] cannot proxy the one metric that dominates a
+1000-executor run: how many bytes cross the shuffle. Round 12 measured it
+ad hoc (Spark UI REST, stage-delta shuffle-write bytes) to prove the
+MinHash sketch lane's ~500× reduction; this tool promotes that audit into
+a committed artifact the suite regresses against:
+
+    python tools/shuffle_bytes.py          # writes SHUFFLE_BYTES.json
+
+It measures the shuffle-HEAVIEST registered lanes (picked from
+BENCH_DETAIL.json's io map — the set is pinned below so the artifact is
+stable round-over-round) plus the three sketch lanes NEXT TO their exact
+twins, each cache-cold after the same fit/prewarm split bench.py uses, at
+the driver sf (default /root/testdata/sf0.1).
+
+``tests/test_shuffle_bytes.py`` gates the artifact: shape always; behind
+the ``slow`` marker it re-measures every pinned lane and fails if any
+lane's shuffle write grew past the tolerance band — the regression class
+this catches is the silent one where Catalyst re-inlines an unpersisted
+intermediate or a lost broadcast turns a dim join into a corpus-sized
+exchange (wall may barely move at sf0.1; the bytes double or worse).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from kafkastreamingetl_spark.session import get_test_spark  # noqa: E402
+
+#: The shuffle-heaviest registered lanes by the committed BENCH_DETAIL.json
+#: io map (top of the shuffle_write_mb ranking at sf0.1), PINNED so the
+#: artifact compares like-for-like across rounds. Adding a new heavy lane
+#: to the registry should add it here too (the shape test cross-checks).
+LANES = [
+    "blameless_suppliers",
+    "substring_run_pairs",
+    "hot_ngrams",
+    "strip_boilerplate",
+    "clean_events",
+    "source_overlap_matrix",
+    "dup_ngram_doc_fraction",
+    "neardup_candidates_capped",
+    "events_zorder_layout",
+    "next_event_training_pairs",
+    "daily_dense_series",
+    "tfidf_top_terms",
+    "exact_dedup_documents",
+    "event_transition_matrix",
+    "session_agg",
+    "vocab_top_tokens",
+    "orders_pending_backlog",
+    "time_weighted_value",
+    "incremental_dedup_documents",
+    "simhash_candidates",
+]
+
+#: sketch lane -> exact twin. The committed claim is DIRECTIONAL, not a
+#: point estimate: the sketch's shuffle must stay (near-)flat while the
+#: exact lane's grows with the domain — the round-12 SCALE.md measurement
+#: this artifact now carries per-round.
+SKETCH_PAIRS = {
+    "source_overlap_minhash": "source_overlap_matrix",
+    "user_rfm_segments_approx": "user_rfm_segments",
+    "lm_bucket_mix_approx": "lm_score_bucket_mix",
+}
+
+
+def measure(spark, sf_dir: str) -> dict:
+    """{lane: {shuffle_write_mb, shuffle_read_mb, input_mb, wall_sec}} for
+    every pinned lane + sketch pair member, serving-only (fit/prewarm paid
+    first, exactly bench.py's split)."""
+    from bench import _stage_io_reader
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators import similarity as sim
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+    from __spark_entry__ import queries
+
+    qs = queries()
+    emb = load_table(spark, sf_dir, "embeddings")
+    sim._MODEL_CACHE.clear()
+    sim.fit_label_centroids(emb)
+    sim.fit_kmeans(emb.select("vec_id", "embedding"))
+    for pw in ("neardup_clusters", "embedding_clusters"):
+        spark.catalog.clearCache()
+        qs[pw](spark, sf_dir).count()
+
+    read_io = _stage_io_reader(spark)
+    if read_io is None:
+        raise SystemExit("Spark UI disabled — shuffle metrics unavailable")
+    read_io()  # drain fit/prewarm stages
+
+    out: dict[str, dict] = {}
+    targets = list(dict.fromkeys(
+        LANES + [t for p in SKETCH_PAIRS.items() for t in p]
+    ))
+    for name in targets:
+        fn = APPROX_VARIANTS[name] if name in APPROX_VARIANTS else qs[name]
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        wall = round(time.perf_counter() - t0, 3)
+        stats = None
+        for _ in range(10):  # REST publication can lag the action slightly
+            stats = read_io()
+            if stats and stats["n_stages"]:
+                break
+            time.sleep(0.3)
+        out[name] = {**(stats or {}), "wall_sec": wall}
+    return out
+
+
+def main() -> None:
+    sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_test_spark("kafkastreamingetl_spark_shuffle_bytes")
+    lanes = measure(spark, sf_dir)
+    report = {
+        "sf_dir": sf_dir,
+        "method": (
+            "Spark UI REST stage-delta: sum of shuffleWriteBytes over "
+            "stages newer than the previous probe; serving-only (fit + "
+            "cluster prewarm paid before the loop, cache cleared per lane)"
+        ),
+        "lanes": {n: lanes[n] for n in LANES},
+        "sketch_pairs": {
+            s: {"sketch": lanes[s], "exact_twin": e, "exact": lanes[e]}
+            for s, e in SKETCH_PAIRS.items()
+        },
+    }
+    with open(os.path.join(REPO, "SHUFFLE_BYTES.json"), "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
+    total = sum(v["shuffle_write_mb"] for v in report["lanes"].values())
+    print(json.dumps({"lanes": len(LANES), "total_write_mb": round(total, 2)}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
