@@ -62,6 +62,26 @@ _STICKY_NOTES = {
         "the driver's n=1 capture."
     ),
 
+    "lm_bucket_mix_approx": (
+        "The sketch lane loses wall to the exact lane at EVERY measured "
+        "configuration — x1/x10/x50/x100 replication (0.79-0.92x) AND the "
+        "100-language fan-out fixture (0.72x at sf0.1, 0.87x at x100; "
+        "SCALE_STRESS.json lang_fanout) — refuting round-12's hypothesis "
+        "that language fan-out would flip it. Stage-level decomposition "
+        "at x100 shows why no cut implementation can move wall here: the "
+        "shared doc_lm_score pipeline dominates both lanes 20x (208 MB "
+        "shuffle vs 9.7 MB for the exact cut / 24.6 MB for the sketch "
+        "cut). The lane is kept for exactly one reason, and it is not "
+        "wall: the exact cut's per-language rank window funnels each "
+        "language through ONE reducer (measured: max-task read 1.2 MB = "
+        "the 41%-dominant language's share vs the sketch's flat 0.8 MB "
+        "over 32 even tasks). At a 90%-English 100 TB corpus that is a "
+        "single-task sort of ~90% of the cut table — the same "
+        "state-cliff class as the t-digest note below — while the "
+        "sketch's approx_percentile state stays bounded per language. "
+        "Wall parity priced, cliff avoided."
+    ),
+
     "value_percentiles_tdigest": (
         "The sketch lane loses to the exact lane at every tested scale on "
         "THIS dataset and that is correct, not a bug: events.value is "

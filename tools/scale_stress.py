@@ -124,6 +124,12 @@ HEAVY_QUERIES = [
     # query dictionary and the (query, doc)-keyed combine must stay flat
     # per unit corpus as documents grow xK
     "bm25_topk",
+    # round-13 final-cohort additions whose claims are scale claims: the
+    # contamination diff's shuffles must stay contamination-sized (batch
+    # sets broadcast; only matched hashes / colliding grams return) and
+    # the trend's hash-keyed window must track corpus size linearly
+    "batch_contamination_diff",
+    "source_dedup_trend",
 ]
 
 # Round-11 sketch lanes (VERDICT r11 item 6): their whole reason to exist
@@ -307,6 +313,61 @@ def _planes_at(k: int) -> int:
     return 8 + max(0, round(math.log2(k))) if k > 1 else 8
 
 
+#: languages for the fan-out fixture (VERDICT r12 item 3): the sf corpus is
+#: effectively single-language, so the CCNet bucket sketch's entire lever —
+#: replacing the per-language rank-window SORT with one approx_percentile
+#: aggregation — never shows at any replication scale. ~100 synthetic
+#: languages is the realistic web-corpus shape (CCNet ships 174).
+LANG_FANOUT = 100
+
+
+def build_lang_fanout_dir(spark, scaled_dir: str, n_langs: int = LANG_FANOUT) -> str:
+    """documents from ``scaled_dir`` with ``lang`` deterministically
+    relabeled to ``n_langs`` synthetic values (salted hash of doc_id —
+    the LM scoring and tertile cuts only GROUP by lang, so a relabel is a
+    faithful fan-out fixture; content is untouched). Other tables are not
+    copied: both bucket-mix lanes and quality_percentile_filter read only
+    documents."""
+    out = scaled_dir.rstrip("/") + f"_lang{n_langs}"
+    marker = os.path.join(out, "_COMPLETE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, scaled_dir, "documents")
+    docs = docs.withColumn(
+        "lang",
+        F.concat(F.lit("syn"), F.pmod(F.hash("doc_id", F.lit(41)), F.lit(n_langs))),
+    )
+    docs.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def _time_lang_fanout(spark, qs, scaled_dir: str) -> dict:
+    """Both CCNet bucket-mix lanes + the per-language quality filter on the
+    ``n_langs``-language relabel of the given stress dir, cache-cold. The
+    claim under test: the sketch lane's advantage exists exactly when
+    language cardinality does (its absence on the single-language corpus
+    was round 12's honest 0.71–0.87× note)."""
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS
+
+    fdir = build_lang_fanout_dir(spark, scaled_dir)
+    out: dict[str, float] = {"n_langs": LANG_FANOUT, "base": scaled_dir}
+    for label, fn in (
+        ("exact_sec", qs["lm_score_bucket_mix"]),
+        ("sketch_sec", APPROX_VARIANTS["lm_bucket_mix_approx"]),
+        ("quality_percentile_filter_sec", qs["quality_percentile_filter"]),
+    ):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        fn(spark, fdir).count()
+        out[label] = round(time.perf_counter() - t0, 3)
+    out["speedup"] = round(out["exact_sec"] / max(out["sketch_sec"], 1e-3), 2)
+    return out
+
+
 def main() -> None:
     scales = [
         int(s) for s in os.getenv("SCALES", "10,50").split(",") if s.strip()
@@ -368,6 +429,21 @@ def main() -> None:
             f"worst ratio {max(ratios.values()):.1f}",
             file=sys.stderr,
         )
+
+    # Multi-language fan-out fixture at the LARGEST stress scale (and ×1
+    # for the per-corpus-size contrast): the axis replication can't grow.
+    if scales:
+        big = os.path.join(WORK_DIR, f"x{max(scales)}")
+        report["lang_fanout"] = {
+            "x1": _time_lang_fanout(spark, qs, BASE_DIR),
+            f"x{max(scales)}": _time_lang_fanout(spark, qs, big),
+        }
+        for blk in report["lang_fanout"].values():
+            print(
+                f"lang_fanout {blk['base']}: exact {blk['exact_sec']}s vs "
+                f"sketch {blk['sketch_sec']}s (speedup {blk['speedup']})",
+                file=sys.stderr,
+            )
 
     report["violations"] = violations
     with open(os.path.join(REPO, "SCALE_STRESS.json"), "w") as f:
