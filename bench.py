@@ -62,6 +62,18 @@ _STICKY_NOTES = {
         "the driver's n=1 capture."
     ),
 
+    "r13_host_drift": (
+        "Round-13 benches measure ~1.26x the r10 floor epoch UNIFORMLY "
+        "(totals 142-180 s vs r12's 127 s; frozen_headline_ratio ~1.26, "
+        "zero per-query frozen regressions). Adjudicated as HOST-DAY "
+        "drift, not a code cause, by the r12 playbook's strongest test: "
+        "the UNCHANGED round-12 final tree (commit 16f1b75) re-benched "
+        "on the same day measured 160.2 s vs its committed 127.0 s — "
+        "identical inflation with zero code delta. This is the second "
+        "documented ~20-25% host-day swing (r11 drift was the first); "
+        "cross-tree re-measurement is the standing adjudication method."
+    ),
+
     "lm_bucket_mix_approx": (
         "The sketch lane loses wall to the exact lane at EVERY measured "
         "configuration — x1/x10/x50/x100 replication (0.79-0.92x) AND the "
