@@ -275,3 +275,82 @@ def test_arrow_lane_accepts_non_bigint_ids(spark):
     rows = extract_features_arrow(with_binary_payload(docs)).collect()
     assert {r.doc_id for r in rows} == {1, 2}
     assert all(r.n_bytes == 3 for r in rows)
+
+
+def test_bmp_top_down_negative_height():
+    """biHeight < 0 = top-down storage: px00 must come from the FIRST
+    stored row and means must be identical to the bottom-up twin."""
+    import struct
+
+    top = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    bottom = [(10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    raw = bytearray(_bmp24(3, 2, [top, bottom]))
+    # flip to top-down: negate height and reorder rows to top-first
+    struct.pack_into("<i", raw, 22, -2)
+    stride = 12
+    off = 54
+    rows = bytes(raw[off : off + stride]), bytes(raw[off + stride : off + 2 * stride])
+    raw[off : off + stride] = rows[1]          # top row stored first now
+    raw[off + stride : off + 2 * stride] = rows[0]
+    d_td = decode_image(bytes(raw))
+    d_bu = decode_image(_bmp24(3, 2, [top, bottom]))
+    assert d_td["px00"] == d_bu["px00"] == (255, 0, 0)
+    for k in ("mean_r", "mean_g", "mean_b", "width", "height"):
+        assert d_td[k] == d_bu[k], k
+
+
+def test_wav_stereo_and_8bit():
+    import struct
+
+    from kafkastreamingetl_spark.operators.multimodal import decode_audio
+
+    # stereo 16-bit: 2 frames of (L, R) — n_samples counts FRAMES
+    data = struct.pack("<4h", 100, -100, 300, -300)
+    fmt = struct.pack("<HHIIHH", 1, 2, 44100, 44100 * 4, 4, 16)
+    wav = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    d = decode_audio(wav)
+    assert d["n_channels"] == 2 and d["n_samples"] == 2
+    assert abs(d["mean_abs_amplitude"] - 200.0) < 1e-9
+
+    # 8-bit mono: unsigned with 128 offset
+    data8 = bytes([128, 138, 118, 128])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + len(data8))
+        + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(data8)) + data8
+    )
+    d8 = decode_audio(wav8)
+    assert d8["bits"] == 8 and d8["n_samples"] == 4
+    assert abs(d8["mean_abs_amplitude"] - 5.0) < 1e-9
+
+
+def test_codec_property_roundtrip_random_images():
+    """Property check (seeded, no hypothesis dependency churn): random
+    small PPM and BMP payloads decode to exactly the planted dimensions,
+    means, and top-left pixel."""
+    import random
+
+    rng = random.Random(1313)
+    for trial in range(25):
+        w, h = rng.randint(1, 9), rng.randint(1, 7)
+        px = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+               for _ in range(w)] for _ in range(h)]
+        flat = [c for row in px for p in row for c in p]
+        want_r = sum(p[0] for row in px for p in row) / (w * h)
+        want_b = sum(p[2] for row in px for p in row) / (w * h)
+
+        d = decode_image(_ppm(w, h, flat, comment=trial % 2 == 0))
+        assert (d["width"], d["height"]) == (w, h)
+        assert abs(d["mean_r"] - want_r) < 1e-9
+        assert d["px00"] == px[0][0]
+
+        d2 = decode_image(_bmp24(w, h, px))
+        assert (d2["width"], d2["height"]) == (w, h)
+        assert abs(d2["mean_b"] - want_b) < 1e-9
+        assert d2["px00"] == px[0][0]
+        assert abs(d2["mean_r"] - d["mean_r"]) < 1e-9
