@@ -2708,10 +2708,29 @@ def batch_contamination_diff(
     ).persist()
     batch = base.filter("_is_batch")
     index = base.filter("NOT _is_batch")
+    return contamination_report(
+        batch,
+        index.select("_h"),
+        index.select(F.explode("_g").alias("g")),
+    )
 
+
+def contamination_report(
+    batch: DataFrame, index_hashes: DataFrame, index_grams: DataFrame
+) -> DataFrame:
+    """The shared batch-vs-index contamination assembly: ``batch`` is the
+    projected incoming slice (doc_id, _h, _g), ``index_hashes`` / 
+    ``index_grams`` are the accreted index's (_h) / (g) columns in any
+    physical form (a same-scan filter for the batch operator, parquet
+    index reads for the streaming sink). Broadcast DIRECTION is the
+    contract: the ingest-sized batch's hash/gram sets go OUT to the index
+    side; only MATCHED hashes and COLLIDING grams come back. The index is
+    never shuffled, whatever its size."""
     batch_hashes = batch.select("_h").distinct()
     matched_h = (
-        index.join(F.broadcast(batch_hashes), "_h").select("_h").distinct()
+        index_hashes.join(F.broadcast(batch_hashes), "_h")
+        .select("_h")
+        .distinct()
     )
 
     bg = batch.select(
@@ -2720,8 +2739,7 @@ def batch_contamination_diff(
     )
     batch_grams = bg.select("g").distinct()
     collided = (
-        index.select(F.explode("_g").alias("g"))
-        .join(F.broadcast(batch_grams), "g")
+        index_grams.join(F.broadcast(batch_grams), "g")
         .select("g")
         .distinct()
     )
@@ -2731,7 +2749,7 @@ def batch_contamination_diff(
         .agg(F.count(F.lit(1)).alias("n_gram_collisions"))
     )
 
-    out = (
+    return (
         batch.join(
             F.broadcast(matched_h.withColumn("_dup", F.lit(True))),
             "_h",
@@ -2750,7 +2768,6 @@ def batch_contamination_diff(
             ).alias("contaminated"),
         )
     )
-    return out
 
 
 

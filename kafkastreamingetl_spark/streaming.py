@@ -692,6 +692,127 @@ def neardup_ingest_sink(
     )
 
 
+def contamination_diff_sink(
+    df: DataFrame,
+    report_path: str,
+    index_path: str,
+    checkpoint: str,
+    *,
+    content_col: str = "text",
+    id_col: str = "doc_id",
+    n: int | None = None,
+    available_now: bool = False,
+    trigger_seconds: int | None = 30,
+) -> StreamingQuery:
+    """Streaming form of ``operators.dedup.batch_contamination_diff``: per
+    micro-batch, report what THIS batch dragged in against the accreted
+    index — exact content-hash re-crawls and 13-gram verbatim-passage
+    collisions — then append the batch's own hashes/distinct grams to the
+    index, so batch N+1 is checked against everything batches ≤ N
+    contributed. The report assembly is the SAME function the batch
+    operator runs (``contamination_report`` — broadcast direction: the
+    ingest-sized batch's sets go out, only matches come back; the index
+    parquet is scanned, never shuffled), so streaming == batch by
+    construction.
+
+    State: zero in executors — the loop's whole memory is the parquet
+    index (hashes: (doc_id, _h); grams: distinct (g) bigints per batch —
+    posting-list-shaped, 8 bytes per distinct gram, the same asymptotics
+    as the gram side of the batch operator's corpus scan). Replay
+    discipline matches ``neardup_ingest_sink``: every write partitioned
+    by ``batch_id`` + dynamic partition overwrite, index probe excludes
+    ``batch_id >= current``, index written BEFORE the report (a replayed
+    batch self-heals its own partitions; a report missing one batch is
+    visible and regenerable from the index, the repairable direction).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from .operators.dedup import NGRAM_CONTAM_N, contamination_report
+    from .operators.text import shingle_hashes
+    from .session import ensure_runtime_confs
+
+    width = NGRAM_CONTAM_N if n is None else n
+
+    def diff_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        ensure_runtime_confs(spark)  # dynamic partition overwrite
+        import os
+
+        h_path = os.path.join(index_path, "hashes")
+        g_path = os.path.join(index_path, "grams")
+        text = F.coalesce(F.col(content_col), F.lit(""))
+        proj = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.md5(text).alias("_h"),
+            shingle_hashes(text, width).alias("_g"),
+        ).localCheckpoint(eager=True)  # the index writes below touch the
+        # paths a lazy plan would re-read post-refresh (the ingest-sink trap)
+
+        idx_h = idx_g = None
+        try:
+            idx_h = (
+                spark.read.parquet(h_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .select("_h")
+            )
+            if idx_h.limit(1).isEmpty():
+                idx_h = None
+        except AnalysisException:
+            idx_h = None
+        if idx_h is not None:
+            idx_g = (
+                spark.read.parquet(g_path)
+                .where(F.col("batch_id") < F.lit(batch_id))
+                .select("g")
+            )
+
+        if idx_h is None:
+            # bootstrap: empty index — nothing can be contaminated
+            report = proj.select(
+                "doc_id",
+                F.size("_g").cast("bigint").alias("n_grams"),
+                F.lit(False).alias("exact_dup"),
+                F.lit(0).cast("bigint").alias("n_gram_collisions"),
+                F.lit(False).alias("contaminated"),
+            )
+        else:
+            report = contamination_report(proj, idx_h, idx_g)
+
+        # index first, report second (the repairable crash direction)
+        (
+            proj.select("doc_id", "_h")
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(h_path)
+        )
+        (
+            proj.select(F.explode("_g").alias("g"))
+            .distinct()
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(g_path)
+        )
+        (
+            report.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .partitionBy("batch_id")
+            .parquet(report_path)
+        )
+
+    return foreach_batch_sink(
+        df,
+        diff_batch,
+        checkpoint,
+        available_now=available_now,
+        trigger_seconds=trigger_seconds,
+    )
+
+
 def kafka_round_trip_smoke(
     spark, bootstrap: str, *, n_events: int = 200
 ) -> dict:
