@@ -201,6 +201,80 @@ def cmd_neardup_ingest(args: argparse.Namespace) -> dict:
     }
 
 
+def cmd_contamination_diff(args: argparse.Namespace) -> dict:
+    """The nightly contamination gate as one scheduler command: report
+    what a new document batch drags in against the accreted hash+gram
+    index (exact re-crawls + 13-gram verbatim passages), then append the
+    batch's own hashes/distinct grams so tomorrow's batch is checked
+    against today's. The same ``contamination_report`` assembly the
+    registered batch operator and the streaming sink run; index layout
+    matches ``streaming.contamination_diff_sink`` (hashes/, grams/) with
+    a day tag in place of batch_id. Index FIRST, report second — the
+    repairable crash direction (a report missing one day regenerates
+    from the index; an index missing a day's grams silently under-flags
+    forever after)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import NGRAM_CONTAM_N, contamination_report
+    from .operators.text import shingle_hashes
+
+    spark = _spark("job_contamination_diff")
+    batch = spark.read.parquet(args.batch)
+    text = F.coalesce(F.col("text"), F.lit(""))
+    proj = batch.select(
+        F.col("doc_id"),
+        F.md5(text).alias("_h"),
+        shingle_hashes(text, NGRAM_CONTAM_N).alias("_g"),
+    ).localCheckpoint(eager=True)  # index append below touches read paths
+    n_in = proj.count()
+
+    h_path = os.path.join(args.index, "hashes")
+    g_path = os.path.join(args.index, "grams")
+    bootstrap = not os.path.exists(h_path)
+    if bootstrap:
+        report = proj.select(
+            "doc_id",
+            F.size("_g").cast("bigint").alias("n_grams"),
+            F.lit(False).alias("exact_dup"),
+            F.lit(0).cast("bigint").alias("n_gram_collisions"),
+            F.lit(False).alias("contaminated"),
+        )
+    else:
+        report = contamination_report(
+            proj,
+            spark.read.parquet(h_path).select("_h"),
+            spark.read.parquet(g_path).select("g"),
+        )
+    report = report.withColumn("day", F.lit(args.day)).localCheckpoint(
+        eager=True
+    )
+    n_bad = report.where("contaminated").count()
+    (
+        proj.select("doc_id", "_h")
+        .withColumn("day", F.lit(args.day))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(h_path)
+    )
+    (
+        proj.select(F.explode("_g").alias("g"))
+        .distinct()
+        .withColumn("day", F.lit(args.day))
+        .write.mode("overwrite")
+        .partitionBy("day")
+        .parquet(g_path)
+    )
+    report.write.mode("overwrite").partitionBy("day").parquet(args.out)
+    return {
+        "job": "contamination-diff",
+        "batch_rows": n_in,
+        "contaminated": n_bad,
+        "bootstrapped": bootstrap,
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="kafkastreamingetl_spark.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -251,6 +325,17 @@ def build_parser() -> argparse.ArgumentParser:
     n.add_argument("--out", default=None)
     n.add_argument("--min-jaccard", type=float, default=None)
     n.set_defaults(fn=cmd_neardup_ingest)
+
+    cd = sub.add_parser(
+        "contamination-diff",
+        help="nightly contamination gate: batch vs accreted hash+gram "
+        "index, report + index append-back",
+    )
+    cd.add_argument("--index", required=True)
+    cd.add_argument("--batch", required=True)
+    cd.add_argument("--out", required=True)
+    cd.add_argument("--day", required=True)
+    cd.set_defaults(fn=cmd_contamination_diff)
 
     s = sub.add_parser(
         "kafka-smoke",

@@ -163,3 +163,52 @@ def test_neardup_ingest_index_is_written_before_corpus(
         .select("doc_id").distinct().collect()
     }
     assert ids == {1}
+
+
+def test_contamination_diff_job_cli_two_days(capsys, spark, tmp_path):
+    """Two scheduler runs of the nightly contamination gate: day 1
+    bootstraps (nothing flagged), day 2 flags an exact re-crawl of a
+    day-1 doc and a 13-gram verbatim passage while the fresh doc passes;
+    the report parquet accretes per-day partitions."""
+    schema = "doc_id long, text string"
+    passage = " ".join(f"p{i}" for i in range(13))
+    day1 = spark.createDataFrame(
+        [(1, "source text alpha"), (2, f"prose with {passage} inside")],
+        schema,
+    )
+    day2 = spark.createDataFrame(
+        [
+            (10, "source text alpha"),           # exact re-crawl
+            (11, f"later doc quoting {passage}"),  # gram leak
+            (12, "entirely fresh material"),
+        ],
+        schema,
+    )
+    b1, b2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    day1.write.parquet(b1)
+    day2.write.parquet(b2)
+    index, out = str(tmp_path / "c_index"), str(tmp_path / "reports")
+
+    rc = main([
+        "contamination-diff", "--index", index, "--batch", b1,
+        "--out", out, "--day", "2026-08-15",
+    ])
+    assert rc == 0
+    o1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o1["bootstrapped"] is True and o1["contaminated"] == 0
+
+    rc = main([
+        "contamination-diff", "--index", index, "--batch", b2,
+        "--out", out, "--day", "2026-08-16",
+    ])
+    assert rc == 0
+    o2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o2["bootstrapped"] is False and o2["contaminated"] == 2
+
+    rep = {
+        r.doc_id: (r.exact_dup, r.n_gram_collisions, r.contaminated)
+        for r in spark.read.parquet(out).where("day = '2026-08-16'").collect()
+    }
+    assert rep[10] == (True, 0, True)
+    assert rep[11][0] is False and rep[11][1] == 1 and rep[11][2] is True
+    assert rep[12] == (False, 0, False)
