@@ -221,3 +221,19 @@ def test_lateral_limit_gets_window_group_limit(spark, sf_dir):
     plan = plan_of(QUERIES["lateral_top_orders"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "Cartesian" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_count_action_prunes_windows(spark, sf_dir):
+    """Round-13 finding: a count-only action lets Catalyst eliminate
+    cardinality-preserving Window (and Sort) operators, so count-forced
+    benchmarks under-measure window lanes. Pinned here so the round-14
+    bench-action migration (SPARK_GRAFT_BENCH_ACTION=noop default) is a
+    deliberate method change — if a Spark upgrade ever stops pruning,
+    this fails and the migration note needs rewording."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    df = QUERIES["user_running_totals"](spark, sf_dir)
+    full = df._jdf.queryExecution().executedPlan().toString()
+    counted = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in full
+    assert "Window" not in counted

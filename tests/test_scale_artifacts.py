@@ -91,3 +91,35 @@ def test_sketch_lanes_measured_next_to_exact_twin_at_every_scale():
         for name, entry in lanes.items():
             assert entry["exact_twin"] == SKETCH_LANES[name]
             assert entry["sketch_sec"] > 0 and entry["exact_sec"] > 0
+
+
+def test_window_skew_probe_shows_the_single_reducer_cliff():
+    """WINDOW_SKEW.json (tools/window_skew_probe.py): on a single-language
+    corpus the exact CCNet cut's rank window funnels its WHOLE cut table
+    through one task — linear in corpus size, the 100 TB cliff — while
+    the sketch lane's only funnel is the approx_percentile partial
+    merge, bounded by construction at accuracy × shuffle partitions.
+    The x10→x100 growth contrast is the machine-checked claim behind
+    keeping the wall-losing sketch lane (SCALE.md round-13
+    adjudication)."""
+    with open(os.path.join(REPO, "WINDOW_SKEW.json")) as f:
+        report = json.load(f)
+    scales = report["scales"]
+
+    def max_funnel(scale, lane):
+        funnels = scales[scale][f"{lane}_funnels"]
+        assert funnels, (scale, lane)
+        for fnl in funnels:
+            assert fnl["n_tasks"] == 1 or (
+                fnl["max_task_read_mb"] / fnl["total_read_mb"] > 0.9
+            )
+        return max(f["max_task_read_mb"] for f in funnels)
+
+    e10, e100 = max_funnel("x10", "exact"), max_funnel("x100", "exact")
+    s10, s100 = max_funnel("x10", "sketch"), max_funnel("x100", "sketch")
+    # exact: the funnel is the whole cut table — tracks corpus size
+    assert e100 / e10 > 5, (e10, e100)
+    # sketch: bounded by accuracy x partitions (10k entries x 32 partials)
+    assert s100 < 3.5, s100
+    # and at the big scale the exact funnel carries >2x the sketch's
+    assert e100 > 2 * s100, (e100, s100)
