@@ -13,9 +13,16 @@ BENCH_r03.json recorded ``"parsed": null``):
 and writes the full per-query timing map (exact lane + approx lane +
 regression report) to ``BENCH_DETAIL.json`` next to this script.
 
-Every query is forced with a count-style action (``df.count()``); results are
-never collected to the driver, so the timing measures the distributed plan,
-not driver materialization. Every query is warm-run once at the smallest
+Every query is forced with a FULL-EXECUTION action (a noop-sink write —
+``df.write.format("noop")``) as of round 14; results are never collected
+to the driver, so the timing measures the distributed plan, not driver
+materialization. The pre-r14 action was ``df.count()``, which Catalyst
+exploits to ELIMINATE cardinality-preserving Window/Sort operators — every
+committed window-lane wall before the r14 floor epoch is 1.2–2.4×
+optimistic (sticky note ``count_action_window_pruning``). Floor
+comparisons are ACTION-AWARE: epochs/records measured under one action
+never gate a run under the other (``SPARK_GRAFT_BENCH_ACTION=count``
+reproduces the legacy numbers). Every query is warm-run once at the smallest
 scale factor first, so whole-stage-codegen JIT compilation (seconds for the
 md5/SimHash expression trees) stays out of the timings; the cache is cleared
 between queries so persisted intermediates (dedup shingle features) neither
@@ -72,13 +79,18 @@ _STICKY_NOTES = {
         "stats 1.82x, user_running_totals 1.73x, source_dedup_trend "
         "1.28x, lm_score_bucket_mix 1.20x; aggregate lanes 1.0x "
         "(count cannot prune them). Correctness artifacts are unaffected "
-        "(the oracle collects real rows). Round-13 artifacts keep the "
-        "count action for floor comparability; migration plan = round 14 "
-        "flips SPARK_GRAFT_BENCH_ACTION default to noop, freezes a fresh "
-        "floor epoch measured under BOTH actions as the bridge, and "
-        "regenerates SCALE_STRESS/SHUFFLE_BYTES in the same pass. "
-        "tests/test_plans.py::test_count_action_prunes_windows pins the "
-        "phenomenon."
+        "(the oracle collects real rows). MIGRATION EXECUTED in round 14: "
+        "the default action is now a noop-sink write (full execution); "
+        "BENCH_FLOOR_r14.json freezes the full registry under the noop "
+        "action (n=3 medians) WITH a same-tree single-run count bridge "
+        "block so the r10-r13 count-epoch numbers stay interpretable; "
+        "floor/regression gates are action-aware (count-measured records "
+        "never gate a noop run and vice versa); SCALE_STRESS and "
+        "SHUFFLE_BYTES were regenerated under the noop action in the "
+        "same pass. tests/test_plans.py::test_count_action_prunes_windows "
+        "pins the count phenomenon; "
+        "test_bench_noop_action_executes_window_nodes pins that the live "
+        "default executes Window nodes."
     ),
 
     "r13_host_drift": (
@@ -132,24 +144,34 @@ _STICKY_NOTES = {
 }
 
 
+def _action() -> str:
+    """The bench action for this run: ``noop`` (default since round 14 —
+    full execution through a noop sink) or ``count`` (the pre-r14 legacy,
+    kept as an escape hatch for measuring against the old floor epochs).
+    Any other value is an error — a typo silently reverting the migration
+    would un-fix the window under-measure."""
+    a = os.getenv("SPARK_GRAFT_BENCH_ACTION", "noop")
+    if a not in ("noop", "count"):
+        raise SystemExit(f"SPARK_GRAFT_BENCH_ACTION must be noop|count, got {a!r}")
+    return a
+
+
 def _bench_action(df) -> None:
-    """Force a query for timing. Default remains ``count()`` for round-13
-    floor/epoch comparability, but count() is now a KNOWN UNDER-MEASURE
-    for window lanes: Catalyst eliminates Window (and Sort) operators
-    under a count-only action because they preserve cardinality — the
-    executed count plan of e.g. user_running_totals contains NO Window
-    node, so its committed wall excludes the window exchange + sort
-    entirely (measured at sf0.1 warm: true noop-sink walls are 1.2–2.4×
-    the count-pruned walls on window lanes; identical on aggregate
-    lanes, whose plans count() cannot prune). The sticky note
-    ``count_action_window_pruning`` records the migration plan; set
-    SPARK_GRAFT_BENCH_ACTION=noop to measure full execution today
-    (tests/test_plans.py::test_count_action_prunes_windows pins the
-    phenomenon so the round-14 switch is deliberate, not accidental)."""
-    if os.getenv("SPARK_GRAFT_BENCH_ACTION") == "noop":
-        df.write.format("noop").mode("overwrite").save()
-    else:
+    """Force a query for timing. Default is a noop-sink write — FULL plan
+    execution, every operator runs — because the previous default
+    ``count()`` let Catalyst eliminate cardinality-preserving Window (and
+    Sort) operators: the executed count plan of e.g. user_running_totals
+    contains NO Window node, so its wall excluded the window exchange +
+    sort entirely (measured at sf0.1 warm: noop walls are 1.2–2.4× the
+    count-pruned walls on window lanes; identical on aggregate lanes,
+    whose plans count() cannot prune).
+    tests/test_plans.py::test_count_action_prunes_windows pins the count
+    phenomenon; test_bench_noop_action_executes_window_nodes pins that
+    the noop action does NOT prune."""
+    if _action() == "count":
         df.count()
+    else:
+        df.write.format("noop").mode("overwrite").save()
 
 
 def main() -> None:
@@ -160,6 +182,7 @@ def main() -> None:
     # gate's sf check and compare floors across datasets
     sf = float(m.group(1)) if m else None
 
+    action = _action()
     spark = get_test_spark("kafkastreamingetl_spark_bench")
     qs = queries()
 
@@ -245,7 +268,7 @@ def main() -> None:
         try:
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            qs[pw](spark, sf_dir).count()
+            _bench_action(qs[pw](spark, sf_dir))
             fit[f"prewarm_{pw}"] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             errors[pw] = f"prewarm: {type(e).__name__}: {e}"
@@ -255,10 +278,20 @@ def main() -> None:
         read_io()  # baseline: consume warm-up + fit stages so query 1 starts clean
     timings: dict[str, float] = {}
     io: dict[str, dict] = {}
+    # Serving-only proof (VERDICT r13 item 3): similarity._FIT_LOG appends
+    # on every model-memo MISS. A timed lane that triggers a fit (an input
+    # plan the fit lane didn't prewarm, or an LRU eviction) is SELF-HEALED:
+    # the lane is re-timed immediately (model now hot) and the fit-polluted
+    # first wall is recorded under fit["inline_fit_<name>"] instead — so
+    # main-lane numbers are serving-only regardless of registry order.
+    from kafkastreamingetl_spark.operators import similarity as _sim
+
+    timed_lane_fits: dict[str, list[str]] = {}
     for name, fn in qs.items():
         # clear persisted intermediates (e.g. dedup shingle features) so no
         # query benefits from a predecessor's cache and nothing accumulates
         spark.catalog.clearCache()
+        fit_mark = len(_sim._FIT_LOG)
         t0 = time.perf_counter()
         try:
             _bench_action(fn(spark, sf_dir))
@@ -266,6 +299,19 @@ def main() -> None:
             errors[name] = f"run: {type(e).__name__}: {e}"
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
+        if len(_sim._FIT_LOG) > fit_mark:
+            kinds = [str(k[0]) for k in _sim._FIT_LOG[fit_mark:]]
+            timed_lane_fits[name] = kinds
+            fit[f"inline_fit_{name}"] = timings[name]
+            if read_io:
+                read_io()  # drain the fit-polluted run's stages
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                _bench_action(fn(spark, sf_dir))
+                timings[name] = round(time.perf_counter() - t0, 4)
+            except Exception:  # noqa: BLE001 — keep the first (valid) wall
+                pass
         if read_io:
             stats = read_io()
             if stats is not None:
@@ -294,7 +340,7 @@ def main() -> None:
         try:
             spark.catalog.clearCache()  # memos survive; caches don't
             t0 = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            _bench_action(qs[name](spark, sf_dir))
             warm_serving[name] = round(time.perf_counter() - t0, 4)
         except Exception as e:  # noqa: BLE001
             errors[name] = f"warm: {type(e).__name__}: {e}"
@@ -321,24 +367,70 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
+        "action": action,
         "queries": timings,
         "sf": sf,
         "errors": errors,
         "approx": approx,
         "fit": fit,
         "warm_serving": warm_serving,
+        "timed_lane_fits": timed_lane_fits,
         "io": io,
         "notes": _STICKY_NOTES,
     }
-    detail.update(_regression_report(timings, sf))
+    detail.update(_regression_report(timings, sf, action))
     detail.update(
         _frozen_floor_report(
-            timings, sf, {n: d["sec"] for n, d in approx.items()}
+            timings, sf, {n: d["sec"] for n, d in approx.items()}, action
         )
     )
 
+    # Noise adjudication IN the bench (VERDICT r13 item 2): a lane flagged
+    # by a single-run comparison is re-measured twice in-process, and the
+    # flag survives only if the lane breaches its threshold in >=2 of the
+    # 3 samples — this host's documented ±40% day swing made every r13
+    # single-run flag a phantom (driver/judge flag sets were disjoint
+    # across same-tree runs). Provisional flags keep their samples so the
+    # evidence trail survives.
+    approx_fns = dict(APPROX_VARIANTS)
+
+    def _remeasure(name: str) -> float | None:
+        fn = approx_fns.get(name) or qs.get(name)
+        if fn is None:
+            return None
+        try:
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            _bench_action(fn(spark, sf_dir))
+            return round(time.perf_counter() - t0, 4)
+        except Exception:  # noqa: BLE001 — a failed re-measure confirms nothing
+            return None
+
+    for key, floor_field, min_slip in (
+        ("regressions", "floor", 1.0),
+        ("frozen_regressions", "frozen_floor", 0.5),
+    ):
+        confirmed, provisional = _confirm_flags(
+            detail.get(key, {}), floor_field, min_slip, _remeasure
+        )
+        detail[key] = confirmed
+        if provisional:
+            detail[f"{key}_provisional"] = provisional
+
+    # Median evidence (committed by tools/bench_median.py): when a
+    # matching-(sf, action) BENCH_MEDIAN.json exists, its headline median,
+    # run count and cross-tree control ride along in the detail + summary
+    # so the driver's single-run capture still carries the drift-proof
+    # numbers the gates read.
+    median = _median_evidence(sf, action)
+    if median:
+        detail["median_evidence"] = median
+
     here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+    detail_path = os.getenv(
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
+    )
+    with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
 
     # Compact summary line: keeps the machine-readable contract keys but
@@ -352,6 +444,7 @@ def main() -> None:
         "value": detail["value"],
         "unit": "sec",
         "sf": sf,
+        "action": action,
         "n_queries": len(timings),
         "queries": slowest,
         "detail_file": "BENCH_DETAIL.json",
@@ -360,13 +453,18 @@ def main() -> None:
         "frozen_floor_round": detail.get("frozen_floor_round"),
         "frozen_headline_ratio": detail.get("frozen_headline_ratio"),
         "n_frozen_regressions": len(detail.get("frozen_regressions", {})),
+        "n_provisional_flags": len(detail.get("regressions_provisional", {}))
+        + len(detail.get("frozen_regressions_provisional", {})),
+        "n_timed_lane_fits": len(timed_lane_fits),
         "n_errors": len(errors),
         "n_approx": len(approx),
-        # VERDICT r11 item 2 verdict line — full analysis in
-        # BENCH_DETAIL.json notes.r11_drift_adjudication
-        "r11_drift": "noise (n=3 reruns 105.8-109s, frozen_ratio<1, "
-        "zorder 1.43-1.60s vs 1.49 floor)",
     }
+    if median:
+        summary["headline_median"] = median.get("headline_median")
+        summary["median_n"] = median.get("n")
+        summary["cross_tree_ratio"] = (median.get("cross_tree") or {}).get(
+            "ratio"
+        )
     print(json.dumps(summary))
     spark.stop()
 
@@ -418,17 +516,22 @@ def _stage_io_reader(spark):
     return read_new
 
 
-def _regression_report(timings: dict[str, float], sf: float) -> dict:
+def _regression_report(
+    timings: dict[str, float], sf: float, action: str = "noop"
+) -> dict:
     """Round-over-round regression gate: compare per-query times against the
-    newest prior round's recorded bench at the SAME scale factor
-    (BENCH_r{N}.json, written by the driver). A query is flagged when it
-    runs > 2x its floor AND slipped by > 1.0 s absolute: identical plans
-    measure ±0.2 s run-to-run warm and up to ~2x under machine load
-    (observed: a loaded run flagged three unchanged sub-second queries a
-    clean rerun cleared), so a ratio alone flags noise at sub-second
-    magnitudes — only a multi-second slip evidences a plan change. Extra
-    keys ride along on the single JSON line; the driver's contract keys
-    are untouched.
+    newest prior round's recorded bench at the SAME scale factor AND the
+    same bench action (records predating the r14 action migration carry no
+    "action" key and default to "count" — a count-pruned window wall must
+    never serve as the floor for a full-execution run, or every window
+    lane would flag spuriously on the first noop round). A query is
+    flagged when it runs > 2x its floor AND slipped by > 1.0 s absolute:
+    identical plans measure ±0.2 s run-to-run warm and up to ~2x under
+    machine load (observed: a loaded run flagged three unchanged
+    sub-second queries a clean rerun cleared), so a ratio alone flags
+    noise at sub-second magnitudes — only a multi-second slip evidences a
+    plan change. Extra keys ride along on the single JSON line; the
+    driver's contract keys are untouched.
     """
     here = os.path.dirname(os.path.abspath(__file__))
     if sf is None:
@@ -446,7 +549,11 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
     try:
         with open(os.path.join(here, "BENCH_DETAIL.json")) as f:
             prior = json.load(f)
-        if prior.get("sf") == sf and "queries" in prior:
+        if (
+            prior.get("sf") == sf
+            and prior.get("action", "count") == action
+            and "queries" in prior
+        ):
             return {
                 "baseline_round": "committed-detail",
                 "regressions": _flag(timings, dict(prior["queries"])),
@@ -464,6 +571,8 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
             continue
         if not parsed or parsed.get("sf") != sf or "queries" not in parsed:
             continue
+        if parsed.get("action", "count") != action:
+            continue
         if base_round is None or int(m.group(1)) > base_round:
             base_round = int(m.group(1))
             floors = parsed["queries"]
@@ -473,7 +582,10 @@ def _regression_report(timings: dict[str, float], sf: float) -> dict:
 
 
 def _frozen_floor_report(
-    timings: dict[str, float], sf: float, approx_secs: dict[str, float] | None = None
+    timings: dict[str, float],
+    sf: float,
+    approx_secs: dict[str, float] | None = None,
+    action: str = "noop",
 ) -> dict:
     """Anti-creep gate (VERDICT r10 item 4): the per-round floor refresh
     only proves "no regression vs LAST round", so a slow multi-round creep
@@ -484,8 +596,15 @@ def _frozen_floor_report(
     invisible to the r10 freeze — VERDICT r11 item 7). Flag rule matches
     the per-round gate's noise analysis (>2x AND >0.5 s absolute — the
     headline floors start at 0.3 s where a bare ratio flags timer noise);
-    the aggregate ``frozen_headline_ratio`` (sum now / sum frozen, r10
-    epoch only — the longest lever) is the creep-proof single number.
+    the aggregate ``frozen_headline_ratio`` (sum now / sum frozen, oldest
+    matching epoch — the longest lever) is the creep-proof single number.
+    Epochs are ACTION-AWARE (r14 migration): a file whose ``action``
+    (absent = the pre-r14 "count") differs from this run's action is
+    skipped entirely — count-pruned window walls are 1.2–2.4× lower than
+    full-execution walls, so cross-action comparison would flag phantom
+    regressions on every window lane. Under the noop default the headline
+    therefore pins to the r14 epoch; BENCH_FLOOR_r14.json's count-action
+    bridge block links it to the r10–r13 count history.
     Reported, not raised: a nonzero bench exit loses the whole round's
     numbers (round-5 lesson)."""
     here = os.path.dirname(os.path.abspath(__file__))
@@ -505,6 +624,8 @@ def _frozen_floor_report(
         except (OSError, json.JSONDecodeError):
             continue
         if frozen.get("sf") != sf:
+            continue
+        if frozen.get("action", "count") != action:
             continue
         rnd = frozen.get("frozen_at_round")
         rounds.append(rnd)
@@ -531,6 +652,58 @@ def _frozen_floor_report(
         "frozen_headline_ratio": ratio,
         "frozen_regressions": flagged,
     }
+
+
+def _confirm_flags(
+    flagged: dict[str, dict],
+    floor_field: str,
+    min_slip: float,
+    remeasure,
+) -> tuple[dict, dict]:
+    """Split single-run flags into (confirmed, provisional) by re-measuring
+    each flagged lane twice via ``remeasure(name) -> sec | None`` and
+    keeping the flag only when >=2 of the 3 samples breach the gate's own
+    threshold (>2x floor AND >min_slip s absolute). VERDICT r13 item 2:
+    on a host with a measured ±40% day swing, single-run flag sets were
+    DISJOINT across same-tree runs — every r13 flag was noise — so a flag
+    that doesn't reproduce is evidence of the host, not the code. All
+    samples are recorded on both branches so the adjudication trail is in
+    the artifact, not a narrative."""
+    confirmed: dict[str, dict] = {}
+    provisional: dict[str, dict] = {}
+    for name, info in flagged.items():
+        floor = info[floor_field]
+        samples = [info["now"]]
+        for _ in range(2):
+            t = remeasure(name)
+            if t is not None:
+                samples.append(t)
+        breaches = sum(
+            1 for t in samples if t > 2 * floor and t - floor > min_slip
+        )
+        entry = {**info, "samples": samples, "breaches": breaches}
+        if breaches >= 2 and len(samples) >= 2:
+            confirmed[name] = entry
+        else:
+            provisional[name] = entry
+    return confirmed, provisional
+
+
+def _median_evidence(sf: float, action: str) -> dict | None:
+    """The committed BENCH_MEDIAN.json (tools/bench_median.py: median of
+    n>=3 full bench runs + a cross-tree control re-benching the previous
+    round's final tree), surfaced into this run's detail/summary when its
+    (sf, action) matches — so the driver's single-run capture still
+    carries the drift-proof numbers."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        with open(os.path.join(here, "BENCH_MEDIAN.json")) as f:
+            med = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    if med.get("sf") != sf or med.get("action", "count") != action:
+        return None
+    return med
 
 
 def _flag(timings: dict[str, float], floors: dict[str, float]) -> dict:

@@ -543,9 +543,20 @@ from collections import OrderedDict
 # model kind, hyperparameters) — same bounded-LRU eviction. Entries are
 # model-sized Python lists; nothing is persisted on the cluster, so
 # eviction is pure GC (bounded-memory proof: tests/test_similarity.py
-# churn test).
+# churn test). The cap is sized WELL ABOVE the number of distinct fitted
+# models one bench/session touches (~a dozen keys: each fitter × each
+# input-plan semanticHash it is called with): VERDICT r13 observed
+# 1.7–3.0× wall spreads on kmeans_centroids that tracked registry ORDER —
+# the old cap of 8 let a long run evict a model mid-session and put a
+# silent refit inside a timed lane.
 _MODEL_CACHE: OrderedDict[tuple, list] = OrderedDict()
-_MODEL_CACHE_MAX = 8
+_MODEL_CACHE_MAX = 64
+
+#: Append-only log of memo MISSES (the (kind, *hyperparams) key tail,
+#: minus the applicationId/semanticHash prefix): bench.py snapshots its
+#: length around the timed loop to PROVE no timed lane paid a fit — the
+#: machine-checked form of the "serving-only main lane" claim.
+_FIT_LOG: list[tuple] = []
 
 
 def _memo(key: tuple, build):
@@ -553,6 +564,7 @@ def _memo(key: tuple, build):
     if hit is not None:
         _MODEL_CACHE.move_to_end(key)
         return hit
+    _FIT_LOG.append(key[2:])
     val = build()
     _MODEL_CACHE[key] = val
     while len(_MODEL_CACHE) > _MODEL_CACHE_MAX:

@@ -22,8 +22,12 @@ def _bench_module():
     return mod
 
 
-def _write_floor(tmp_path, rnd, queries=None, approx=None, sf=0.1):
+def _write_floor(
+    tmp_path, rnd, queries=None, approx=None, sf=0.1, action="noop"
+):
     payload = {"frozen_at_round": rnd, "sf": sf, "queries": queries or {}}
+    if action is not None:  # None = simulate a pre-r14 file with no key
+        payload["action"] = action
     if approx is not None:
         payload["approx"] = approx
     with open(tmp_path / f"BENCH_FLOOR_r{rnd}.json", "w") as f:
@@ -69,6 +73,73 @@ def test_sf_mismatch_and_missing_files_degrade_to_empty(tmp_path, monkeypatch):
     _write_floor(tmp_path, 10, queries={"q": 1.0}, sf=0.01)
     assert bench._frozen_floor_report({"q": 9.0}, 0.1, {}) == {}
     assert bench._frozen_floor_report({"q": 9.0}, None, {}) == {}
+
+
+def test_floor_epochs_are_action_aware(tmp_path, monkeypatch):
+    """The r14 migration's bridge rule: a count-measured epoch must never
+    gate a noop (full-execution) run — count-pruned window walls are
+    1.2–2.4× lower, so cross-action comparison flags phantom regressions
+    on every window lane. Files with NO action key are pre-r14 = count."""
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    _write_floor(tmp_path, 10, queries={"q": 1.0}, action=None)  # pre-r14
+    _write_floor(tmp_path, 13, queries={"q": 1.1}, action="count")
+    _write_floor(tmp_path, 14, queries={"q": 1.5}, action="noop")
+    # noop run: only the r14 noop epoch participates
+    rep = bench._frozen_floor_report({"q": 4.0}, 0.1, {}, "noop")
+    assert rep["frozen_floor_rounds"] == [14]
+    assert rep["frozen_floor_round"] == 14
+    assert rep["frozen_headline_ratio"] == round(4.0 / 1.5, 4)
+    # count run: the two count epochs participate, headline pins oldest
+    rep = bench._frozen_floor_report({"q": 4.0}, 0.1, {}, "count")
+    assert rep["frozen_floor_rounds"] == [10, 13]
+    assert rep["frozen_floor_round"] == 10
+
+
+def test_confirm_flags_requires_two_of_three_breaches():
+    """VERDICT r13 item 2: single-run flag sets were disjoint across
+    same-tree runs (all noise), so a flag is only recorded after the lane
+    re-measures slow in >=2 of 3 samples; failed/None re-measures confirm
+    nothing; the samples ride along on both branches."""
+    bench = _bench_module()
+    flags = {"a": {"now": 3.0, "frozen_floor": 1.0}}
+    conf, prov = bench._confirm_flags(
+        flags, "frozen_floor", 0.5, lambda n: 2.9
+    )
+    assert set(conf) == {"a"} and conf["a"]["breaches"] == 3
+    assert conf["a"]["samples"] == [3.0, 2.9, 2.9]
+    # re-measures come back fast -> host hiccup, provisional only
+    conf, prov = bench._confirm_flags(
+        flags, "frozen_floor", 0.5, lambda n: 1.05
+    )
+    assert conf == {} and set(prov) == {"a"} and prov["a"]["breaches"] == 1
+    # re-measure unavailable (lane errored) -> cannot confirm
+    conf, prov = bench._confirm_flags(
+        flags, "frozen_floor", 0.5, lambda n: None
+    )
+    assert conf == {} and set(prov) == {"a"}
+
+
+def test_median_evidence_matches_on_sf_and_action(tmp_path, monkeypatch):
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    assert bench._median_evidence(0.1, "noop") is None  # no file
+    payload = {
+        "sf": 0.1,
+        "action": "noop",
+        "headline_median": 150.0,
+        "n": 3,
+        "cross_tree": {"ratio": 1.1},
+    }
+    with open(tmp_path / "BENCH_MEDIAN.json", "w") as f:
+        json.dump(payload, f)
+    assert bench._median_evidence(0.1, "noop") == payload
+    assert bench._median_evidence(0.01, "noop") is None
+    assert bench._median_evidence(0.1, "count") is None
 
 
 def test_committed_r11_floor_file_is_valid_and_covers_the_sketch_lanes():

@@ -237,3 +237,37 @@ def test_count_action_prunes_windows(spark, sf_dir):
     counted = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
     assert "Window" in full
     assert "Window" not in counted
+
+
+def test_bench_noop_action_executes_window_nodes(spark, sf_dir, monkeypatch):
+    """The round-14 migration's positive half: the bench's LIVE default
+    action (noop-sink write) must execute the Window operator count()
+    prunes — checked against the actually-EXECUTED plan via the UI REST
+    /sql surface, not the pre-execution explain. If a Spark upgrade ever
+    teaches the noop sink a count-style pruning, the committed window
+    walls go optimistic again and this fails."""
+    import json as _json
+    import urllib.request
+
+    import bench
+
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ACTION", raising=False)
+    assert bench._action() == "noop"
+    ui = spark.sparkContext.uiWebUrl
+    if not ui:
+        pytest.skip("Spark UI disabled — executed-plan surface unavailable")
+    df = QUERIES["user_running_totals"](spark, sf_dir)
+    bench._bench_action(df)
+    app = spark.sparkContext.applicationId
+    url = f"{ui}/api/v1/applications/{app}/sql?length=1000"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        execs = _json.loads(r.read())
+    latest = max(execs, key=lambda e: e.get("id", -1))
+    nodes = {n.get("nodeName", "") for n in latest.get("nodes", [])}
+    assert any("Window" in n for n in nodes), sorted(nodes)
+    assert any(
+        "noop" in (latest.get("description") or "").lower()
+        or "OverwriteByExpression" in n
+        or "AppendData" in n
+        for n in nodes | {latest.get("description", "")}
+    )

@@ -1,0 +1,212 @@
+"""Drift-proof bench headline: median of n>=3 runs + a cross-tree control.
+
+Three consecutive rounds (r11 1.15×, r12, r13 1.40×) needed MANUAL
+adjudication of the driver's single-run headline against this host's
+measured ±40% day-to-day swing — each time by the same playbook: rerun
+the bench n times, and re-bench the UNCHANGED previous-round tree to
+show the inflation hits code with zero delta. This tool automates that
+playbook (VERDICT r13 item 2) and commits its output as
+``BENCH_MEDIAN.json``:
+
+    python tools/bench_median.py                    # n=3 + auto control
+    python tools/bench_median.py --runs 3 --control-commit <sha>
+
+Emits ``{headline_median, n, totals, cross_tree: {commit,
+committed_total, measured_total, ratio}, confirmed_regressions, ...}``.
+bench.py folds a matching-(sf, action) BENCH_MEDIAN.json into its own
+detail/summary (``_median_evidence``), so the driver's single-run
+capture carries these fields too, and the gates read them instead of a
+lone wall number.
+
+- **headline_median**: median of the n run totals under the CURRENT
+  default action.
+- **cross_tree**: the previous round's final tree (auto: the newest
+  commit touching BENCH_DETAIL.json that isn't HEAD when HEAD touched
+  it, else HEAD's parent lineage) checked out into a scratch worktree
+  and re-benched ONCE with ITS OWN bench.py — its committed total is
+  read from ``git show <commit>:BENCH_DETAIL.json``. ratio =
+  measured/committed on byte-identical code = pure host drift.
+- **confirmed_regressions**: a lane counts only if bench.py's own
+  confirmed ``frozen_regressions`` (each already 2-of-3 re-measured
+  in-process) flags it in >=2 of the n independent runs.
+
+Every subprocess writes its detail to a scratch path — the committed
+BENCH_DETAIL.json is never dirtied by this tool.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import statistics
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str, cwd: str = REPO) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=cwd, capture_output=True, text=True, check=True
+    ).stdout.strip()
+
+
+def _bench_once(cwd: str, sf_dir: str, env_extra: dict) -> dict:
+    res = subprocess.run(
+        [sys.executable, os.path.join(cwd, "bench.py")],
+        cwd=cwd,
+        env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir, **env_extra},
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(res.stdout.strip().splitlines()[-1])
+
+
+def _auto_control_commit() -> str:
+    """Newest commit that changed BENCH_DETAIL.json strictly before HEAD —
+    the previous round's final benched tree."""
+    shas = _git(
+        "log", "--format=%H", "-n", "5", "HEAD", "--", "BENCH_DETAIL.json"
+    ).splitlines()
+    head = _git("rev-parse", "HEAD")
+    for sha in shas:
+        if sha != head:
+            return sha
+    raise SystemExit("no prior BENCH_DETAIL.json commit to control against")
+
+
+def _control_run(commit: str, sf_dir: str, scratch_dir: str) -> dict:
+    committed = json.loads(_git("show", f"{commit}:BENCH_DETAIL.json"))
+    wt = os.path.join(scratch_dir, "control_tree")
+    _git("worktree", "add", "--detach", wt, commit)
+    try:
+        # The control tree runs ITS OWN bench.py under the action its
+        # committed total was measured with (pre-r14 trees default to
+        # count and ignore the detail-path env; that is fine — the
+        # worktree is scratch and discarded).
+        env = {}
+        action = committed.get("action", "count")
+        env["SPARK_GRAFT_BENCH_ACTION"] = action
+        env["SPARK_GRAFT_BENCH_DETAIL"] = os.path.join(
+            scratch_dir, "control_detail.json"
+        )
+        summary = _bench_once(wt, sf_dir, env)
+    finally:
+        _git("worktree", "remove", "--force", wt)
+    return {
+        "commit": commit,
+        "action": action,
+        "committed_total": committed["value"],
+        "measured_total": summary["value"],
+        "ratio": round(summary["value"] / committed["value"], 4),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--control-commit")
+    ap.add_argument(
+        "--no-control", action="store_true", help="skip the cross-tree run"
+    )
+    args = ap.parse_args()
+    if args.runs < 3:
+        raise SystemExit("--runs must be >=3: a median of fewer proves nothing")
+
+    sf_dir = os.getenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    scratch_dir = tempfile.mkdtemp(prefix="bench_median_")
+    totals: list[float] = []
+    q_samples: dict[str, list[float]] = {}
+    flags_by_run: list[dict] = []
+    action = None
+    sf = None
+    try:
+        for i in range(args.runs):
+            scratch = os.path.join(scratch_dir, f"detail_{i}.json")
+            _bench_once(
+                REPO, sf_dir, {"SPARK_GRAFT_BENCH_DETAIL": scratch}
+            )
+            with open(scratch) as f:
+                detail = json.load(f)
+            totals.append(detail["value"])
+            action = detail.get("action", "count")
+            sf = detail.get("sf")
+            for name, t in detail["queries"].items():
+                q_samples.setdefault(name, []).append(t)
+            flags_by_run.append(detail.get("frozen_regressions", {}))
+            print(
+                f"run {i + 1}/{args.runs}: total {detail['value']}s",
+                file=sys.stderr,
+            )
+
+        counts: dict[str, int] = {}
+        for flags in flags_by_run:
+            for name in flags:
+                counts[name] = counts.get(name, 0) + 1
+        confirmed = {
+            name: {
+                "runs_flagged": c,
+                "of_runs": args.runs,
+                "samples": q_samples.get(name),
+            }
+            for name, c in counts.items()
+            if c >= 2
+        }
+
+        cross_tree = None
+        if not args.no_control:
+            commit = args.control_commit or _auto_control_commit()
+            cross_tree = _control_run(commit, sf_dir, scratch_dir)
+            print(
+                f"control {commit[:9]}: measured "
+                f"{cross_tree['measured_total']}s vs committed "
+                f"{cross_tree['committed_total']}s "
+                f"(ratio {cross_tree['ratio']})",
+                file=sys.stderr,
+            )
+    finally:
+        shutil.rmtree(scratch_dir, ignore_errors=True)
+
+    out = {
+        "sf": sf,
+        "action": action,
+        "n": args.runs,
+        "totals": totals,
+        "headline_median": round(statistics.median(totals), 4),
+        "per_query_median": {
+            n: round(statistics.median(v), 4) for n, v in q_samples.items()
+        },
+        "confirmed_regressions": confirmed,
+        "flagged_by_run": flags_by_run,
+        "cross_tree": cross_tree,
+        "method": (
+            "median of n independent bench.py subprocesses (scratch detail "
+            "paths; committed BENCH_DETAIL.json untouched); a lane is a "
+            "confirmed regression only when the bench's own in-process "
+            "2-of-3 confirmed frozen_regressions flag it in >=2 of the n "
+            "runs; cross_tree re-benches the previous round's final tree "
+            "byte-identical from git under its own committed action — its "
+            "ratio is pure host drift"
+        ),
+    }
+    with open(os.path.join(REPO, "BENCH_MEDIAN.json"), "w") as f:
+        json.dump(out, f, indent=1, sort_keys=True)
+    print(
+        json.dumps(
+            {
+                "headline_median": out["headline_median"],
+                "n": args.runs,
+                "cross_tree_ratio": (cross_tree or {}).get("ratio"),
+                "confirmed_regressions": sorted(confirmed),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

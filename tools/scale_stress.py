@@ -55,6 +55,10 @@ from pyspark.sql import functions as F  # noqa: E402
 from kafkastreamingetl_spark.catalog import load_table  # noqa: E402
 from kafkastreamingetl_spark.session import get_test_spark  # noqa: E402
 from __spark_entry__ import queries  # noqa: E402
+from bench import _bench_action  # noqa: E402  — r14: full-execution action
+# (the old .count() action let Catalyst prune Window/Sort operators, so
+# pre-r14 SCALE_STRESS walls under-measured window lanes 1.2–2.4×; this
+# artifact is regenerated whenever the action changes)
 
 BASE_DIR = "/root/testdata/sf0.1"
 WORK_DIR = "/tmp/spark_graft_scale_stress"
@@ -269,7 +273,7 @@ def _time_queries(spark, qs, sf_dir: str, n_planes: int) -> tuple[dict, dict]:
     ):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _bench_action(fn(spark, sf_dir))
         fit[f"prewarm_{pw}"] = round(time.perf_counter() - t0, 3)
 
     walls: dict[str, float] = {}
@@ -277,9 +281,8 @@ def _time_queries(spark, qs, sf_dir: str, n_planes: int) -> tuple[dict, dict]:
         fn = _clusters if name == "embedding_clusters" else qs[name]
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
+        _bench_action(fn(spark, sf_dir))
         walls[name] = round(time.perf_counter() - t0, 3)
-        assert n >= 0
     return walls, fit
 
 
@@ -298,7 +301,7 @@ def _time_sketch_lanes(spark, qs, sf_dir: str) -> dict:
         ):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
+            _bench_action(fn(spark, sf_dir))
             lanes[label] = round(time.perf_counter() - t0, 3)
         lanes["speedup"] = round(
             lanes["exact_sec"] / max(lanes["sketch_sec"], 1e-3), 2
@@ -362,7 +365,7 @@ def _time_lang_fanout(spark, qs, scaled_dir: str) -> dict:
     ):
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, fdir).count()
+        _bench_action(fn(spark, fdir))
         out[label] = round(time.perf_counter() - t0, 3)
     out["speedup"] = round(out["exact_sec"] / max(out["sketch_sec"], 1e-3), 2)
     return out

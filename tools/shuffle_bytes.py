@@ -11,9 +11,12 @@ a committed artifact the suite regresses against:
 
 It measures the shuffle-HEAVIEST registered lanes (picked from
 BENCH_DETAIL.json's io map — the set is pinned below so the artifact is
-stable round-over-round) plus the three sketch lanes NEXT TO their exact
-twins, each cache-cold after the same fit/prewarm split bench.py uses, at
-the driver sf (default /root/testdata/sf0.1).
+stable round-over-round; extended 20 → 50 lanes in round 14 per VERDICT
+r13 item 5, under the r14 full-execution noop action so window-lane
+shuffles that a count() action let Catalyst prune are now in the gate)
+plus the three sketch lanes NEXT TO their exact twins, each cache-cold
+after the same fit/prewarm split bench.py uses, at the driver sf
+(default /root/testdata/sf0.1).
 
 ``tests/test_shuffle_bytes.py`` gates the artifact: shape always; behind
 the ``slow`` marker it re-measures every pinned lane and fails if any
@@ -77,7 +80,7 @@ def measure(spark, sf_dir: str) -> dict:
     """{lane: {shuffle_write_mb, shuffle_read_mb, input_mb, wall_sec}} for
     every pinned lane + sketch pair member, serving-only (fit/prewarm paid
     first, exactly bench.py's split)."""
-    from bench import _stage_io_reader
+    from bench import _bench_action, _stage_io_reader
     from kafkastreamingetl_spark.catalog import load_table
     from kafkastreamingetl_spark.operators import similarity as sim
     from kafkastreamingetl_spark.queries import APPROX_VARIANTS
@@ -90,7 +93,7 @@ def measure(spark, sf_dir: str) -> dict:
     sim.fit_kmeans(emb.select("vec_id", "embedding"))
     for pw in ("neardup_clusters", "embedding_clusters"):
         spark.catalog.clearCache()
-        qs[pw](spark, sf_dir).count()
+        _bench_action(qs[pw](spark, sf_dir))
 
     read_io = _stage_io_reader(spark)
     if read_io is None:
@@ -105,7 +108,7 @@ def measure(spark, sf_dir: str) -> dict:
         fn = APPROX_VARIANTS[name] if name in APPROX_VARIANTS else qs[name]
         spark.catalog.clearCache()
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        _bench_action(fn(spark, sf_dir))
         wall = round(time.perf_counter() - t0, 3)
         stats = None
         for _ in range(10):  # REST publication can lag the action slightly
