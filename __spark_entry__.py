@@ -148,37 +148,37 @@ def latest_green_rounds() -> dict[str, int]:
 # suite pins it against the records <= _FALLBACK_FROZEN_AT only, so a new
 # driver record never invalidates it mid-round (VERDICT r11 item 1).
 # --- fallback-head:begin ---
-_FALLBACK_FROZEN_AT = 12
+_FALLBACK_FROZEN_AT = 13
 _FALLBACK_HEAD = [
-    "quality_classifier_score",
-    "batch_contamination_diff",
-    "source_dedup_trend",
-    "value_percentiles",
-    "neardup_pairs_jaccard",
-    "neardup_pairs_containment",
-    "simhash_candidates",
-    "embedding_topk",
-    "embedding_ann_topk",
-    "embedding_ann_multiprobe",
-    "embedding_neardup_pairs",
-    "embedding_ivf_topk",
-    "training_set_sample",
-    "multimodal_features",
-    "purchase_attribution",
-    "events_last_purchase",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "top_segments",
-    "literal_dim_enrich",
-    "embedding_pq_topk",
-    "embedding_int8_topk",
-    "embedding_pq_kmeans_topk",
-    "embedding_ivf_kmeans_topk",
-    "cohort_retention",
-    "embedding_label_centroids",
-    "daily_value_trend",
-    "time_weighted_value",
-    "events_value_drift",
+    "quality_percentile_filter",
+    "vocab_top_tokens",
+    "minhash_jaccard_estimate",
+    "embedding_ann_multitable",
+    "embedding_covariance",
+    "error_impact_windows",
+    "kmeans_centroids",
+    "cluster_balanced_sample",
+    "scd2_event_type_history",
+    "campaign_attribution_scd2",
+    "user_daily_streaks",
+    "user_value_ewma",
+    "incremental_daily_rollup",
+    "user_snapshot_diff",
+    "entity_match_suppliers",
+    "winsorized_type_stats",
+    "doc_ngram_novelty",
+    "doc_oov_rate",
+    "embedding_label_drift",
+    "substring_run_pairs",
+    "weighted_doc_sample",
+    "hard_negative_topk",
+    "corpus_snapshot_diff",
+    "bucketed_order_rollup",
+    "frequent_tokens_sketch",
+    "leakage_free_split",
+    "next_event_training_pairs",
+    "daily_volume_cusum",
+    "dedup_disposition",
 ]
 # --- fallback-head:end ---
 
