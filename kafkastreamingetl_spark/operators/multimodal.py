@@ -7,13 +7,14 @@ feature-extract, resize, frame-sample) runs as Arrow-batched Python over
 expressible as Catalyst expressions. The Spark-side contract (schema,
 batch iteration, column pruning before the Python stage) is real and tested.
 
-Codec status (round 13): REAL pure-stdlib decode for the uncompressed
-formats — binary PPM (P6) and 24-bit uncompressed BMP via
-:func:`decode_image`, PCM WAV via :func:`decode_audio` — running inside
-the same Arrow batch loop (:func:`decode_image_features` /
-:func:`decode_audio_features`). COMPRESSED formats (PNG/JPEG/MP3/…)
-remain out of scope in this container (no codec libraries) and raise
-``NotImplementedError`` explicitly. :func:`extract_features` keeps the
+Codec status (round 14): REAL pure-stdlib decode for binary PPM (P6),
+24-bit uncompressed BMP, AND non-interlaced 8-bit RGB/RGBA PNG (stdlib
+``zlib`` inflate + the five per-row filter unapplications) via
+:func:`decode_image`; PCM WAV via :func:`decode_audio` — all running
+inside the same Arrow batch loop (:func:`decode_image_features` /
+:func:`decode_audio_features`). JPEG/MP3/… (formats whose decode is a
+real DCT/psychoacoustic codec, not a chunk walk) remain out of scope in
+this container and raise ``NotImplementedError`` explicitly. :func:`extract_features` keeps the
 deterministic md5-fake lane as the oracle twin (which makes that operator
 oracle-checkable end-to-end — a rare property for a Python-UDF stage);
 the real decoders are differential-tested on planted payloads.
@@ -50,18 +51,22 @@ FEATURE_SCHEMA = (
 def decode_image(payload: bytes) -> dict | None:
     """Decode an uncompressed image payload with stdlib only.
 
-    Supported: binary PPM (``P6``, 8-bit maxval, comment-tolerant header)
-    and BMP (``BM``, BITMAPINFOHEADER, 24-bit, BI_RGB uncompressed,
-    bottom-up or top-down). Returns ``{format, width, height, mean_r,
-    mean_g, mean_b, px00}`` where ``px00`` is the (r, g, b) of the
-    TOP-LEFT pixel — orientation evidence a mean cannot give (BMP rows
-    are stored bottom-up unless height is negative). Returns ``None``
-    for payloads that are not a supported format or fail to parse
-    (truncated pixel data, wrong bit depth, compressed BMP).
+    Supported: binary PPM (``P6``, 8-bit maxval, comment-tolerant header),
+    BMP (``BM``, BITMAPINFOHEADER, 24-bit, BI_RGB uncompressed, bottom-up
+    or top-down), and PNG (8-bit-per-channel truecolor RGB/RGBA,
+    non-interlaced — the deflate stream is stdlib ``zlib``, the five
+    per-row filters are unapplied here; VERDICT r13 item 4 flipped the
+    "needs an image library" claim, which was only ever true for JPEG).
+    Returns ``{format, width, height, mean_r, mean_g, mean_b, px00}``
+    where ``px00`` is the (r, g, b) of the TOP-LEFT pixel — orientation
+    evidence a mean cannot give (BMP rows are stored bottom-up unless
+    height is negative). Returns ``None`` for payloads that are not a
+    supported format or fail to parse (truncated pixel data, wrong bit
+    depth, compressed BMP, palette/16-bit/interlaced PNG).
 
-    Compressed formats are explicitly out of scope here::
+    JPEG is the one remaining explicit boundary::
 
-        PNG/JPEG require codec libraries this container does not have.
+        a DCT codec is genuinely not expressible as a short stdlib walk.
     """
     if payload is None:
         return None
@@ -69,10 +74,12 @@ def decode_image(payload: bytes) -> dict | None:
         return _decode_ppm(payload)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
-    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
-            "PNG/JPEG decoding requires an image library not present in "
-            "this container; only uncompressed PPM/BMP decode here"
+            "JPEG decoding requires a DCT codec library not present in "
+            "this container; PPM/BMP/PNG decode here"
         )
     return None
 
@@ -150,13 +157,16 @@ def _pixel_stats(
     row_stride: int,
     bottom_up: bool,
     bgr: bool = False,
+    channels: int = 3,
 ) -> dict:
+    """RGB stats over interleaved rows; ``channels`` > 3 (RGBA) skips the
+    extra channels — means and px00 are always the RGB triple."""
     sums = [0, 0, 0]
     for y in range(height):
-        row = pixels[y * row_stride : y * row_stride + width * 3]
-        sums[0] += sum(row[0::3])
-        sums[1] += sum(row[1::3])
-        sums[2] += sum(row[2::3])
+        row = pixels[y * row_stride : y * row_stride + width * channels]
+        sums[0] += sum(row[0::channels])
+        sums[1] += sum(row[1::channels])
+        sums[2] += sum(row[2::channels])
     if bgr:
         sums = sums[::-1]
     n = width * height
@@ -172,6 +182,94 @@ def _pixel_stats(
         "mean_b": sums[2] / n,
         "px00": px00,
     }
+
+
+def _decode_png(payload: bytes) -> dict | None:
+    """PNG via stdlib only: signature + big-endian chunk walk (IHDR →
+    IDAT* → IEND), ``zlib.decompress`` of the concatenated IDAT bodies,
+    then the five per-row filters (None/Sub/Up/Average/Paeth, PNG spec
+    §9) unapplied scanline-by-scanline. Supported: bit depth 8, color
+    type 2 (RGB) or 6 (RGBA — alpha ignored for the RGB stats), interlace
+    0. Palette/grayscale/16-bit/Adam7 payloads return ``None`` (a
+    data-quality fact, same contract as a compressed BMP); CRCs are not
+    verified — a decode gate, not an integrity audit."""
+    import struct
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + length]
+        if len(body) < length:
+            return None
+        if ctype == b"IHDR":
+            if length < 13:
+                return None
+            ihdr = struct.unpack_from(">IIBBBBB", body, 0)
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # 4 length + 4 type + body + 4 crc
+    if ihdr is None or not idat:
+        return None
+    width, height, bit_depth, color_type, _comp, _filt, interlace = ihdr
+    if (
+        width <= 0
+        or height <= 0
+        or bit_depth != 8
+        or color_type not in (2, 6)
+        or interlace != 0
+    ):
+        return None
+    n_ch = 3 if color_type == 2 else 4
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    stride = width * n_ch
+    if len(raw) < height * (stride + 1):
+        return None
+    out = bytearray(height * stride)
+    prev = bytearray(stride)
+    for y in range(height):
+        base = y * (stride + 1)
+        ftype = raw[base]
+        line = bytearray(raw[base + 1 : base + 1 + stride])
+        if ftype == 1:  # Sub: + left
+            for i in range(n_ch, stride):
+                line[i] = (line[i] + line[i - n_ch]) & 0xFF
+        elif ftype == 2:  # Up: + above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average: + floor((left + above) / 2)
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth predictor
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                b = prev[i]
+                c = prev[i - n_ch] if i >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return _pixel_stats(
+        "png",
+        width,
+        height,
+        bytes(out),
+        row_stride=stride,
+        bottom_up=False,
+        channels=n_ch,
+    )
 
 
 def decode_audio(payload: bytes) -> dict | None:

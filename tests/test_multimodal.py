@@ -17,13 +17,14 @@ from kafkastreamingetl_spark.operators.multimodal import (
 )
 
 
-def test_compressed_formats_are_explicitly_out_of_scope():
-    """PNG/JPEG need codec libs this container lacks — the boundary is an
-    explicit NotImplementedError, not a silent None."""
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32)
+def test_jpeg_is_the_remaining_explicit_boundary():
+    """JPEG needs a DCT codec this container lacks — the boundary is an
+    explicit NotImplementedError, not a silent None. PNG left this club
+    in round 14 (stdlib zlib decode); a PNG signature over garbage now
+    parses-and-fails to None like any other corrupt payload."""
     with pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    assert decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32) is None
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +330,124 @@ def test_wav_stereo_and_8bit():
     assert abs(d8["mean_abs_amplitude"] - 5.0) < 1e-9
 
 
+def _png(width, height, rows_top_down, *, alpha=False, filters=None,
+         bit_depth=8, color_type=None, interlace=0, split_idat=True):
+    """Planted PNG: per-row filter ENCODE (the inverse of the decoder's
+    unfilter, PNG spec §9), zlib-deflated scanlines, proper CRCs.
+    ``filters[y]`` picks each row's filter so one payload can exercise
+    all five unfilter paths."""
+    import struct
+    import zlib
+
+    n_ch = 4 if alpha else 3
+    ct = color_type if color_type is not None else (6 if alpha else 2)
+
+    def chunk(ctype, body):
+        return (
+            struct.pack(">I", len(body)) + ctype + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, bit_depth, ct, 0, 0,
+                       interlace)
+    stride = width * n_ch
+    raw = bytearray()
+    prev = bytes(stride)
+    filters = filters or [0] * height
+    for y, row in enumerate(rows_top_down):
+        line = bytes(v for px in row for v in px)
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, n_ch - 1, -1):
+                enc[i] = (enc[i] - line[i - n_ch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                enc[i] = (enc[i] - ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - n_ch] if i >= n_ch else 0
+                b = prev[i]
+                c = prev[i - n_ch] if i >= n_ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    idat = zlib.compress(bytes(raw))
+    mid = len(idat) // 2 if split_idat else len(idat)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    out += chunk(b"IDAT", idat[:mid])
+    if split_idat:
+        out += chunk(b"IDAT", idat[mid:])
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_exercises_all_five_filters():
+    """One 3×5 RGB payload, one row per filter type (None/Sub/Up/Average/
+    Paeth) + IDAT split across two chunks: decode must undo every filter
+    and reassemble the stream."""
+    import random
+
+    rng = random.Random(14)
+    px = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(3)] for _ in range(5)]
+    d = decode_image(_png(3, 5, px, filters=[0, 1, 2, 3, 4]))
+    assert (d["format"], d["width"], d["height"]) == ("png", 3, 5)
+    assert d["px00"] == px[0][0]
+    n = 15
+    assert abs(d["mean_r"] - sum(p[0] for r in px for p in r) / n) < 1e-9
+    assert abs(d["mean_g"] - sum(p[1] for r in px for p in r) / n) < 1e-9
+    assert abs(d["mean_b"] - sum(p[2] for r in px for p in r) / n) < 1e-9
+
+
+def test_png_rgba_alpha_ignored_in_rgb_stats():
+    px = [[(10, 20, 30, 255), (40, 50, 60, 0)],
+          [(70, 80, 90, 128), (100, 110, 120, 7)]]
+    d = decode_image(_png(2, 2, px, alpha=True, filters=[0, 4]))
+    assert (d["format"], d["width"], d["height"]) == ("png", 2, 2)
+    assert d["px00"] == (10, 20, 30)
+    assert abs(d["mean_r"] - (10 + 40 + 70 + 100) / 4) < 1e-9
+    assert abs(d["mean_b"] - (30 + 60 + 90 + 120) / 4) < 1e-9
+
+
+def test_png_agrees_with_bmp_and_ppm_on_identical_pixels():
+    """The three decoders are independent code paths over the same pixel
+    semantics — identical planted pixels must yield identical stats."""
+    import random
+
+    rng = random.Random(99)
+    px = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(4)] for _ in range(3)]
+    flat = [c for row in px for p in row for c in p]
+    d_png = decode_image(_png(4, 3, px, filters=[2, 3, 1]))
+    d_ppm = decode_image(_ppm(4, 3, flat))
+    d_bmp = decode_image(_bmp24(4, 3, px))
+    for k in ("width", "height", "mean_r", "mean_g", "mean_b", "px00"):
+        assert d_png[k] == d_ppm[k] == d_bmp[k], k
+
+
+def test_png_unsupported_variants_return_none():
+    """Palette / 16-bit / Adam7 / truncated / corrupt-deflate payloads are
+    data-quality facts (None), not task failures — same contract as the
+    compressed-BMP branch."""
+    px = [[(1, 2, 3)]]
+    assert decode_image(_png(1, 1, px, bit_depth=16)) is None
+    assert decode_image(_png(1, 1, px, interlace=1)) is None
+    assert decode_image(_png(1, 1, px, color_type=3)) is None
+    good = _png(2, 2, [[(0, 0, 0)] * 2] * 2, split_idat=False)
+    assert decode_image(good[:-30]) is None  # truncated mid-IDAT
+    # corrupt the deflate stream body (IHDR is 8+25 bytes in)
+    bad = bytearray(good)
+    bad[8 + 25 + 8 + 2] ^= 0xFF
+    assert decode_image(bytes(bad)) is None
+
+
 def test_codec_property_roundtrip_random_images():
     """Property check (seeded, no hypothesis dependency churn): random
     small PPM and BMP payloads decode to exactly the planted dimensions,
@@ -354,3 +473,12 @@ def test_codec_property_roundtrip_random_images():
         assert abs(d2["mean_b"] - want_b) < 1e-9
         assert d2["px00"] == px[0][0]
         assert abs(d2["mean_r"] - d["mean_r"]) < 1e-9
+
+        d3 = decode_image(
+            _png(w, h, px, filters=[rng.randrange(5) for _ in range(h)],
+                 alpha=False)
+        )
+        assert (d3["width"], d3["height"]) == (w, h)
+        assert abs(d3["mean_r"] - d["mean_r"]) < 1e-9
+        assert abs(d3["mean_b"] - want_b) < 1e-9
+        assert d3["px00"] == px[0][0]
