@@ -212,9 +212,28 @@ def cmd_contamination_diff(args: argparse.Namespace) -> dict:
     a day tag in place of batch_id. Index FIRST, report second — the
     repairable crash direction (a report missing one day regenerates
     from the index; an index missing a day's grams silently under-flags
-    forever after)."""
+    forever after).
+
+    Replay discipline mirrors the streaming sink's strictly-earlier
+    probe (ADVICE r13): index reads exclude ``day >= args.day``, so
+    re-running a crashed day never checks the batch against its own
+    half-written partition (every doc would self-flag as exact_dup), and
+    backfilling an older day never checks it against later days' data.
+    Index existence is probed by READING (AnalysisException = bootstrap),
+    not os.path.exists — a crash between the hashes and grams writes
+    leaves hashes/ present and grams/ missing, which must bootstrap the
+    gram lane instead of wedging the nightly gate; a path-string check
+    also mis-bootstraps on any non-local filesystem.
+
+    BROADCAST-DIRECTION CONTRACT: the batch's hash/gram sets are
+    broadcast to the index side, so the batch must be ingest-sized
+    (one day's crawl), never a backfill of months — ``--max-batch-docs``
+    (default 2,000,000) fails the job loudly before the broadcast can
+    OOM an executor; 0 disables for callers who have re-checked the
+    direction."""
     import os
 
+    from pyspark.errors import AnalysisException
     from pyspark.sql import functions as F
 
     from .operators.dedup import NGRAM_CONTAM_N, contamination_report
@@ -229,10 +248,34 @@ def cmd_contamination_diff(args: argparse.Namespace) -> dict:
         shingle_hashes(text, NGRAM_CONTAM_N).alias("_g"),
     ).localCheckpoint(eager=True)  # index append below touches read paths
     n_in = proj.count()
+    if args.max_batch_docs and n_in > args.max_batch_docs:
+        # RuntimeError, not SystemExit: main()'s scheduler contract turns
+        # job exceptions into exit code 1 + one stderr line
+        raise RuntimeError(
+            f"batch has {n_in} docs > --max-batch-docs "
+            f"{args.max_batch_docs}: this gate BROADCASTS the batch's "
+            "hash/gram sets (the index side never shuffles) — point it at "
+            "one ingest day, not a backfill, or raise/disable the guard "
+            "deliberately"
+        )
 
     h_path = os.path.join(args.index, "hashes")
     g_path = os.path.join(args.index, "grams")
-    bootstrap = not os.path.exists(h_path)
+
+    def _read_index(path: str, col: str):
+        """Strictly-earlier index slice, or None when the side does not
+        exist yet (bootstrap-for-that-side)."""
+        try:
+            df = spark.read.parquet(path).where(
+                F.col("day") < F.lit(args.day)
+            )
+            return None if df.limit(1).isEmpty() else df.select(col)
+        except AnalysisException:
+            return None
+
+    idx_h = _read_index(h_path, "_h")
+    idx_g = _read_index(g_path, "g")
+    bootstrap = idx_h is None
     if bootstrap:
         report = proj.select(
             "doc_id",
@@ -242,11 +285,10 @@ def cmd_contamination_diff(args: argparse.Namespace) -> dict:
             F.lit(False).alias("contaminated"),
         )
     else:
-        report = contamination_report(
-            proj,
-            spark.read.parquet(h_path).select("_h"),
-            spark.read.parquet(g_path).select("g"),
-        )
+        if idx_g is None:
+            # hashes written, grams crash-lost: bootstrap the gram lane
+            idx_g = spark.createDataFrame([], "g bigint")
+        report = contamination_report(proj, idx_h, idx_g)
     report = report.withColumn("day", F.lit(args.day)).localCheckpoint(
         eager=True
     )
@@ -329,12 +371,27 @@ def build_parser() -> argparse.ArgumentParser:
     cd = sub.add_parser(
         "contamination-diff",
         help="nightly contamination gate: batch vs accreted hash+gram "
-        "index, report + index append-back",
+        "index, report + index append-back. The batch side is BROADCAST "
+        "(ingest-sized by contract): point it at one day's crawl, never "
+        "a multi-month backfill — see --max-batch-docs",
     )
     cd.add_argument("--index", required=True)
     cd.add_argument("--batch", required=True)
     cd.add_argument("--out", required=True)
-    cd.add_argument("--day", required=True)
+    cd.add_argument(
+        "--day",
+        required=True,
+        help="ISO date tag for this batch; index probes read strictly "
+        "EARLIER days only, so replays self-heal and backfills never "
+        "compare against the future",
+    )
+    cd.add_argument(
+        "--max-batch-docs",
+        type=int,
+        default=2_000_000,
+        help="fail loudly when the batch exceeds this many docs (its "
+        "hash/gram sets broadcast to the index side); 0 disables",
+    )
     cd.set_defaults(fn=cmd_contamination_diff)
 
     s = sub.add_parser(

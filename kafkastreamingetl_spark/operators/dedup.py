@@ -2671,6 +2671,15 @@ BATCH_MOD = 9
 BATCH_MOD_BASE = 10
 
 
+# Memo of persisted contamination-base projections, same contract as
+# _FEATS_CACHE / _GRAMS_CACHE: one cached frame per (session, input plan,
+# params), LRU-bounded with unpersist-on-evict, re-persists after
+# clearCache. Closes the ADVICE r13 leak: every batch_contamination_diff
+# call persisted a fresh identical projection and never released it.
+_CONTAM_BASE_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_CONTAM_BASE_CACHE_MAX = 4
+
+
 def batch_contamination_diff(
     documents: DataFrame,
     *,
@@ -2694,18 +2703,43 @@ def batch_contamination_diff(
     hashes / COLLIDING grams come back (contamination-sized shuffles —
     the eval_ngram_contamination posture with the roles reversed: output
     is per-BATCH-doc, the small side). The index never shuffles its rows
-    or text anywhere.
+    or text anywhere. The persisted projection is MEMOIZED per (session,
+    input plan, params) with unpersist-on-evict — the _FEATS_CACHE
+    contract — so repeated invocations (the 179-lane bench, oracle
+    differentials) hold one cached projection, not one leak per call
+    (ADVICE r13).
     """
+    from pyspark import StorageLevel
+
     from .text import shingle_hashes
 
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    base = documents.select(
-        F.col(id_col).alias("doc_id"),
-        ((F.col(id_col) % F.lit(BATCH_MOD_BASE)) == F.lit(batch_mod))
-        .alias("_is_batch"),
-        F.md5(text).alias("_h"),
-        shingle_hashes(text, n).alias("_g"),
-    ).persist()
+    key = (
+        documents.sparkSession.sparkContext.applicationId,
+        documents.semanticHash(),
+        batch_mod,
+        id_col,
+        text_col,
+        n,
+    )
+    base = _CONTAM_BASE_CACHE.get(key)
+    if base is None:
+        text = F.coalesce(F.col(text_col), F.lit(""))
+        base = documents.select(
+            F.col(id_col).alias("doc_id"),
+            ((F.col(id_col) % F.lit(BATCH_MOD_BASE)) == F.lit(batch_mod))
+            .alias("_is_batch"),
+            F.md5(text).alias("_h"),
+            shingle_hashes(text, n).alias("_g"),
+        )
+        _CONTAM_BASE_CACHE[key] = base
+        while len(_CONTAM_BASE_CACHE) > _CONTAM_BASE_CACHE_MAX:
+            _, evicted = _CONTAM_BASE_CACHE.popitem(last=False)
+            evicted.unpersist()
+    else:
+        _CONTAM_BASE_CACHE.move_to_end(key)
+    sl = base.storageLevel
+    if not (sl.useMemory or sl.useDisk):
+        base.persist(StorageLevel.MEMORY_AND_DISK)
     batch = base.filter("_is_batch")
     index = base.filter("NOT _is_batch")
     return contamination_report(

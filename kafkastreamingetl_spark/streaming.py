@@ -763,11 +763,17 @@ def contamination_diff_sink(
         except AnalysisException:
             idx_h = None
         if idx_h is not None:
-            idx_g = (
-                spark.read.parquet(g_path)
-                .where(F.col("batch_id") < F.lit(batch_id))
-                .select("g")
-            )
+            try:
+                idx_g = (
+                    spark.read.parquet(g_path)
+                    .where(F.col("batch_id") < F.lit(batch_id))
+                    .select("g")
+                )
+            except AnalysisException:
+                # hashes written, grams crash-lost between the two index
+                # writes: bootstrap the gram lane instead of wedging the
+                # stream (ADVICE r13, CLI twin has the same rule)
+                idx_g = spark.createDataFrame([], "g bigint")
 
         if idx_h is None:
             # bootstrap: empty index — nothing can be contaminated

@@ -212,3 +212,111 @@ def test_contamination_diff_job_cli_two_days(capsys, spark, tmp_path):
     assert rep[10] == (True, 0, True)
     assert rep[11][0] is False and rep[11][1] == 1 and rep[11][2] is True
     assert rep[12] == (False, 0, False)
+
+
+def test_contamination_diff_replayed_day_self_heals(capsys, spark, tmp_path):
+    """ADVICE r13 (medium): a crashed day's re-run must not read its own
+    half-written index partition — the strictly-earlier day probe means a
+    replay reports exactly what the first run reported (every doc would
+    otherwise self-flag as exact_dup against itself)."""
+    day1 = spark.createDataFrame(
+        [(1, "alpha text one"), (2, "beta text two")], "doc_id long, text string"
+    )
+    b1 = str(tmp_path / "d1")
+    day1.write.parquet(b1)
+    index, out = str(tmp_path / "idx"), str(tmp_path / "rep")
+    argv = [
+        "contamination-diff", "--index", index, "--batch", b1,
+        "--out", out, "--day", "2026-08-15",
+    ]
+    assert main(argv) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # replay the SAME day (simulates crash-after-index-write rerun):
+    # the index now holds day-2026-08-15 partitions, which the probe
+    # must exclude
+    assert main(argv) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["contaminated"] == first["contaminated"] == 0
+    rows = spark.read.parquet(out).where("day = '2026-08-15'").collect()
+    assert all(not r.exact_dup and not r.contaminated for r in rows)
+
+
+def test_contamination_diff_backfill_ignores_later_days(capsys, spark, tmp_path):
+    """Backfilling an OLDER day must not flag its docs against data the
+    index only learned on later days — probe is day < args.day."""
+    later = spark.createDataFrame(
+        [(1, "shared corpus text")], "doc_id long, text string"
+    )
+    older = spark.createDataFrame(
+        [(9, "shared corpus text")], "doc_id long, text string"
+    )
+    bl, bo = str(tmp_path / "later"), str(tmp_path / "older")
+    later.write.parquet(bl)
+    older.write.parquet(bo)
+    index, out = str(tmp_path / "idx"), str(tmp_path / "rep")
+    assert main([
+        "contamination-diff", "--index", index, "--batch", bl,
+        "--out", out, "--day", "2026-08-16",
+    ]) == 0
+    capsys.readouterr()
+    assert main([
+        "contamination-diff", "--index", index, "--batch", bo,
+        "--out", out, "--day", "2026-08-10",
+    ]) == 0
+    o = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # identical text exists in the index, but only under a LATER day
+    assert o["contaminated"] == 0
+
+
+def test_contamination_diff_missing_grams_side_bootstraps(
+    capsys, spark, tmp_path
+):
+    """ADVICE r13 (low): hashes/ present but grams/ missing (crash between
+    the two index writes) must bootstrap the gram lane, not raise an
+    unhandled AnalysisException that wedges the nightly gate. The exact
+    lane still works off the surviving hashes."""
+    import shutil
+
+    day1 = spark.createDataFrame(
+        [(1, "alpha text one")], "doc_id long, text string"
+    )
+    day2 = spark.createDataFrame(
+        [(2, "alpha text one")], "doc_id long, text string"  # exact re-crawl
+    )
+    b1, b2 = str(tmp_path / "d1"), str(tmp_path / "d2")
+    day1.write.parquet(b1)
+    day2.write.parquet(b2)
+    index, out = str(tmp_path / "idx"), str(tmp_path / "rep")
+    assert main([
+        "contamination-diff", "--index", index, "--batch", b1,
+        "--out", out, "--day", "2026-08-15",
+    ]) == 0
+    capsys.readouterr()
+    shutil.rmtree(str(tmp_path / "idx" / "grams"))  # the crash window
+    assert main([
+        "contamination-diff", "--index", index, "--batch", b2,
+        "--out", out, "--day", "2026-08-16",
+    ]) == 0
+    o = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert o["bootstrapped"] is False
+    assert o["contaminated"] == 1  # exact-hash lane survived the gram loss
+
+
+def test_contamination_diff_max_batch_docs_guard(capsys, spark, tmp_path):
+    """The broadcast-direction contract is enforced, not narrated: a batch
+    above --max-batch-docs fails loudly before any broadcast; 0 disables."""
+    batch = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    b = str(tmp_path / "big")
+    batch.write.parquet(b)
+    index, out = str(tmp_path / "idx"), str(tmp_path / "rep")
+    argv = [
+        "contamination-diff", "--index", index, "--batch", b,
+        "--out", out, "--day", "2026-08-15", "--max-batch-docs", "5",
+    ]
+    assert main(argv) == 1
+    err = capsys.readouterr().err
+    assert "max-batch-docs" in err and "BROADCAST" in err.upper()
+    argv[-1] = "0"  # disabled: the same batch runs
+    assert main(argv) == 0

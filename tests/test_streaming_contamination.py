@@ -146,3 +146,27 @@ def test_replayed_batch_self_heals(spark, paths):
     assert rep[1] == (False, 0, False, 0)
     idx_rows = spark.read.parquet(index + "/hashes").count()
     assert idx_rows == 1  # overwritten, not double-appended
+
+
+def test_missing_grams_side_bootstraps_not_wedges(spark, paths, tmp_path):
+    """ADVICE r13: a crash between the hashes and grams index writes
+    leaves hashes/ present, grams/ absent. The next batch must bootstrap
+    the gram lane (AnalysisException probe) instead of dying — the exact
+    lane still flags the re-crawl off the surviving hashes."""
+    import shutil
+
+    src, report, index, ckpt = paths
+    _docs(spark, [(1, "original corpus document alpha")]).write.parquet(src)
+    _run(spark, src, report, index, ckpt)
+    shutil.rmtree(index + "/grams")  # the crash window
+
+    # same source + same checkpoint -> the new files arrive as batch 1,
+    # so the strictly-earlier probe reads batch 0's surviving hashes
+    _docs(spark, [(10, "original corpus document alpha")]).write.mode(
+        "append"
+    ).parquet(src)
+    _run(spark, src, report, index, ckpt)
+    rep = _report(spark, report)
+    assert rep[10][0] is True and rep[10][2] is True  # exact lane survived
+    assert rep[10][1] == 0  # gram lane bootstrapped empty, no collisions
+    assert rep[10][3] == 1  # really was a later batch, not a replay
