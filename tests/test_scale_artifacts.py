@@ -40,6 +40,13 @@ def test_all_scales_present_including_x100():
     )
 
 
+def test_artifact_measured_under_the_full_execution_action():
+    """r14 migration: the committed scale walls must be full-execution
+    (noop action) — a count-measured regeneration would silently restore
+    the 1.2–2.4× window-lane under-measure."""
+    assert _load().get("action") == "noop"
+
+
 def test_every_stressed_query_sublinear_at_every_scale():
     report = _load()
     base = set(report["scales"]["x1"]["wall_sec"])

@@ -50,6 +50,8 @@ def test_artifact_covers_every_pinned_lane():
     tool = _tool()
     report = _load()
     assert set(report["lanes"]) == set(tool.LANES)
+    assert len(tool.LANES) >= 50  # VERDICT r13 item 5: 20 → ≥50 lanes
+    assert report.get("action") == "noop"  # full execution (r14 migration)
     assert set(report["sketch_pairs"]) == set(tool.SKETCH_PAIRS)
     for name, entry in report["lanes"].items():
         assert entry["shuffle_write_mb"] >= 0, name

@@ -378,7 +378,9 @@ def main() -> None:
     spark = get_test_spark("kafkastreamingetl_spark_scale_stress")
     qs = queries()
 
-    report: dict = {"base_dir": BASE_DIR, "scales": {}, "criterion": (
+    from bench import _action
+
+    report: dict = {"base_dir": BASE_DIR, "action": _action(), "scales": {}, "criterion": (
         "wall(xK) < K * wall(x1) per query and per fit/prewarm (a "
         "superlinear blowup in candidate volume or state would blow past "
         "K); every run completing on the test heap is the no-OOM evidence"
