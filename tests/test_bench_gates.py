@@ -142,6 +142,49 @@ def test_median_evidence_matches_on_sf_and_action(tmp_path, monkeypatch):
     assert bench._median_evidence(0.1, "count") is None
 
 
+def test_committed_r14_floor_epoch_full_registry_with_count_bridge():
+    """The r14 migration epoch: full registry frozen under the noop
+    action (n=3 medians) plus the same-tree count bridge that links it to
+    the r10–r13 count history. The bridge must actually EVIDENCE the
+    pruning bias the migration fixed — window lanes measurably cheaper
+    under count."""
+    with open(os.path.join(REPO, "BENCH_FLOOR_r14.json")) as f:
+        floor = json.load(f)
+    assert floor["frozen_at_round"] == 14 and floor["sf"] == 0.1
+    assert floor["action"] == "noop"
+    from kafkastreamingetl_spark.queries import APPROX_VARIANTS, QUERIES
+
+    assert set(floor["queries"]) == set(QUERIES)
+    assert set(floor["approx"]) == set(APPROX_VARIANTS)
+    bridge = floor["bridge"]
+    assert bridge["action"] == "count"
+    assert set(bridge["queries"]) == set(QUERIES)
+    for lane in ("windowed_agg_sliding", "windowed_agg_tumbling"):
+        assert floor["queries"][lane] > 2 * bridge["queries"][lane], lane
+
+
+def test_committed_bench_median_evidence_is_current_and_merged():
+    """BENCH_MEDIAN.json (tools/bench_median.py): n>=3 totals, a
+    cross-tree control with a committed/measured ratio, and bench.py's
+    merge of the evidence into the committed BENCH_DETAIL.json — the
+    fields the drift gates read instead of a lone wall number."""
+    with open(os.path.join(REPO, "BENCH_MEDIAN.json")) as f:
+        med = json.load(f)
+    assert med["n"] >= 3 and len(med["totals"]) == med["n"]
+    assert med["action"] == "noop" and med["sf"] == 0.1
+    assert med["headline_median"] > 0
+    assert len(med["per_query_median"]) >= 179
+    ct = med["cross_tree"]
+    assert ct["ratio"] > 0 and ct["committed_total"] > 0 and ct["commit"]
+    assert isinstance(med["confirmed_regressions"], dict)
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        det = json.load(f)
+    assert det.get("action") == "noop"
+    merged = det.get("median_evidence", {})
+    assert merged.get("headline_median") == med["headline_median"]
+    assert (merged.get("cross_tree") or {}).get("ratio") == ct["ratio"]
+
+
 def test_committed_r11_floor_file_is_valid_and_covers_the_sketch_lanes():
     with open(os.path.join(REPO, "BENCH_FLOOR_r11.json")) as f:
         floor = json.load(f)
