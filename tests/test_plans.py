@@ -239,6 +239,24 @@ def test_count_action_prunes_windows(spark, sf_dir):
     assert "Window" not in counted
 
 
+def test_count_action_prunes_unreferenced_projections(spark, sf_dir):
+    """The round-14 bridge's sharper finding: count()'s bias was never
+    just Window/Sort — Catalyst column-prunes ENTIRE expensive
+    projections under a count-only action. doc_fingerprint's executed
+    count plan scans ``ReadSchema: struct<>`` (zero columns — the whole
+    rolling-hash expression never runs; bridge-measured 4.5× wall bias,
+    BENCH_FLOOR_r14.json). Pinned beside the Window twin so the
+    migration's full rationale stays machine-checked."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    df = QUERIES["doc_fingerprint"](spark, sf_dir)
+    full = df._jdf.queryExecution().executedPlan().toString()
+    counted = df.groupBy().count()._jdf.queryExecution().executedPlan().toString()
+    assert "md5" in full
+    assert "md5" not in counted
+    assert "ReadSchema: struct<>" in counted
+
+
 def test_bench_noop_action_executes_window_nodes(spark, sf_dir, monkeypatch):
     """The round-14 migration's positive half: the bench's LIVE default
     action (noop-sink write) must execute the Window operator count()
