@@ -539,6 +539,17 @@ def _regression_report(
         return {"baseline_round": None, "regressions": {}}
     floors: dict[str, float] = {}
     base_round = None
+    # Floor-base preference order (most robust first): the committed
+    # BENCH_MEDIAN.json per-query medians (n>=3 runs — immune to the
+    # single fast/slow hour the last detail rewrite happened to land in),
+    # then the committed BENCH_DETAIL.json single-run map, then the
+    # newest driver-captured BENCH_r*.json. All action-gated.
+    med = _median_evidence(sf, action)
+    if med and med.get("per_query_median"):
+        return {
+            "baseline_round": "committed-median",
+            "regressions": _flag(timings, dict(med["per_query_median"])),
+        }
     # The committed BENCH_DETAIL.json from the previous round carries the
     # full per-query map and is always newer than any driver-captured
     # BENCH_r*.json (it is rewritten at the end of every round) — when it

@@ -142,6 +142,40 @@ def test_median_evidence_matches_on_sf_and_action(tmp_path, monkeypatch):
     assert bench._median_evidence(0.1, "count") is None
 
 
+def test_regression_floors_prefer_median_over_single_run(
+    tmp_path, monkeypatch
+):
+    """Round-over-round floors use the n>=3 per-query medians when a
+    matching BENCH_MEDIAN.json exists — a committed detail rewritten in
+    an unusually fast hour must not become next round's phantom-flag
+    floor."""
+    bench = _bench_module()
+    monkeypatch.setattr(
+        os.path, "dirname", lambda p: str(tmp_path), raising=True
+    )
+    with open(tmp_path / "BENCH_MEDIAN.json", "w") as f:
+        json.dump(
+            {
+                "sf": 0.1,
+                "action": "noop",
+                "per_query_median": {"q": 2.0},
+            },
+            f,
+        )
+    with open(tmp_path / "BENCH_DETAIL.json", "w") as f:
+        json.dump(
+            {"sf": 0.1, "action": "noop", "queries": {"q": 0.9}}, f
+        )
+    # 3.2s: >2x and >1s over the 0.9 single-run floor, but NOT >2x the
+    # 2.0 median floor -> median wins, no flag
+    rep = bench._regression_report({"q": 3.2}, 0.1, "noop")
+    assert rep["baseline_round"] == "committed-median"
+    assert rep["regressions"] == {}
+    # count-action run ignores the noop median AND the noop detail
+    rep = bench._regression_report({"q": 3.2}, 0.1, "count")
+    assert rep["baseline_round"] is None
+
+
 def test_committed_r14_floor_epoch_full_registry_with_count_bridge():
     """The r14 migration epoch: full registry frozen under the noop
     action (n=3 medians) plus the same-tree count bridge that links it to
