@@ -58,6 +58,22 @@ def test_artifact_covers_every_pinned_lane():
         assert entry["wall_sec"] > 0, name
 
 
+def test_artifact_covers_the_full_frozen_registry():
+    """Round 14 extended coverage past the top-50: lanes + tail_lanes
+    together must measure every registered query — shuffle bytes are the
+    one per-lane scale metric immune to this host's wall drift, so the
+    whole registry carries one."""
+    from kafkastreamingetl_spark.queries import QUERIES
+
+    report = _load()
+    covered = set(report["lanes"]) | set(report.get("tail_lanes", {}))
+    missing = set(QUERIES) - covered
+    assert not missing, sorted(missing)
+    for name, entry in report.get("tail_lanes", {}).items():
+        assert entry["shuffle_write_mb"] >= 0, name
+        assert entry["wall_sec"] > 0, name
+
+
 def test_sketch_lanes_hold_their_shuffle_claim():
     """The overlap sketch's whole reason to exist: fixed k×|sources|
     MinHash state crossing the wire instead of the distinct shingle
@@ -87,8 +103,9 @@ def test_no_lane_regressed_past_the_shuffle_band(spark):
     if not os.path.isdir(sf_dir):
         pytest.skip(f"artifact sf dir {sf_dir} not present")
     measured = tool.measure(spark, sf_dir)
+    committed_all = {**report.get("tail_lanes", {}), **report["lanes"]}
     bad = {}
-    for name, committed in report["lanes"].items():
+    for name, committed in committed_all.items():
         got = measured[name]["shuffle_write_mb"]
         limit = 2.0 * committed["shuffle_write_mb"] + 1.0
         if got > limit:
