@@ -148,37 +148,37 @@ def latest_green_rounds() -> dict[str, int]:
 # suite pins it against the records <= _FALLBACK_FROZEN_AT only, so a new
 # driver record never invalidates it mid-round (VERDICT r11 item 1).
 # --- fallback-head:begin ---
-_FALLBACK_FROZEN_AT = 13
+_FALLBACK_FROZEN_AT = 14
 _FALLBACK_HEAD = [
-    "quality_percentile_filter",
-    "vocab_top_tokens",
-    "minhash_jaccard_estimate",
-    "embedding_ann_multitable",
-    "embedding_covariance",
-    "error_impact_windows",
-    "kmeans_centroids",
-    "cluster_balanced_sample",
-    "scd2_event_type_history",
-    "campaign_attribution_scd2",
-    "user_daily_streaks",
-    "user_value_ewma",
-    "incremental_daily_rollup",
-    "user_snapshot_diff",
-    "entity_match_suppliers",
-    "winsorized_type_stats",
-    "doc_ngram_novelty",
-    "doc_oov_rate",
-    "embedding_label_drift",
-    "substring_run_pairs",
-    "weighted_doc_sample",
-    "hard_negative_topk",
-    "corpus_snapshot_diff",
-    "bucketed_order_rollup",
-    "frequent_tokens_sketch",
-    "leakage_free_split",
-    "next_event_training_pairs",
-    "daily_volume_cusum",
-    "dedup_disposition",
+    "tfidf_top_terms",
+    "doc_regex_token_stats",
+    "doc_pack_bins",
+    "doc_fingerprint",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "neardup_candidates",
+    "neardup_clusters",
+    "dedup_documents_neardup",
+    "embedding_clusters",
+    "dedup_embeddings_semantic",
+    "embedding_quantize_int8",
+    "events_zorder_layout",
+    "corpus_shuffle_shards",
+    "doc_repetition_stats",
+    "rolling_distinct_users",
+    "event_transition_matrix",
+    "token_budget_sample",
+    "bloom_prefilter_join",
+    "latest_user_state",
+    "neardup_cluster_sizes",
+    "stratified_language_sample",
+    "ann_recall_report",
+    "lsh_band_load_profile",
+    "incremental_neardup_documents",
+    "neardup_pagerank",
+    "user_interarrival_stats",
+    "doc_char_entropy",
+    "bigram_pmi_collocations",
 ]
 # --- fallback-head:end ---
 
