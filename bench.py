@@ -8,10 +8,15 @@ BENCH_r03.json recorded ``"parsed": null``):
 
     {"metric": "total_query_wall_sec", "value": N, "unit": "sec",
      "sf": 0.1, "n_queries": 73, "queries": {...slowest 5...},
-     "detail_file": "BENCH_DETAIL.json"}
+     "detail_file": "BENCH_DETAIL_LAST_RUN.json"}
 
 and writes the full per-query timing map (exact lane + approx lane +
-regression report) to ``BENCH_DETAIL.json`` next to this script.
+regression report) to ``BENCH_DETAIL_LAST_RUN.json`` next to this script
+(gitignored scratch; override with ``SPARK_GRAFT_BENCH_DETAIL``). The
+COMMITTED ``BENCH_DETAIL.json`` is written only by
+``tools/bench_median.py`` — it is the detail of the median of n>=3 runs
+with the fresh median evidence embedded — so a driver-initiated or ad-hoc
+bench run can never dirty or replace the committed evidence.
 
 Every query is forced with a FULL-EXECUTION action (a noop-sink write —
 ``df.write.format("noop")``) as of round 14; results are never collected
@@ -52,6 +57,12 @@ from kafkastreamingetl_spark.queries import (  # noqa: E402
     APPROX_VARIANTS,
 )
 from __spark_entry__ import queries  # noqa: E402
+
+# Where a run's full detail lands when SPARK_GRAFT_BENCH_DETAIL is unset.
+# Deliberately NOT "BENCH_DETAIL.json": that file is committed evidence
+# (written only by tools/bench_median.py from the median of n>=3 runs),
+# and this default is gitignored so no ad-hoc run can dirty the tree.
+DEFAULT_DETAIL_BASENAME = "BENCH_DETAIL_LAST_RUN.json"
 
 # Measured findings that explain counter-intuitive lane timings; emitted
 # into BENCH_DETAIL.json so they survive regeneration.
@@ -310,8 +321,14 @@ def main() -> None:
             try:
                 _bench_action(fn(spark, sf_dir))
                 timings[name] = round(time.perf_counter() - t0, 4)
-            except Exception:  # noqa: BLE001 — keep the first (valid) wall
-                pass
+            except Exception as e:  # noqa: BLE001
+                # The only wall we have is fit-polluted (already recorded
+                # under fit["inline_fit_<name>"]); a serving-only number
+                # does not exist for this lane, so drop it to errors
+                # rather than publish the polluted one (VERDICT r14 #2).
+                timings.pop(name, None)
+                errors[name] = f"retime-after-inline-fit: {type(e).__name__}: {e}"
+                continue
         if read_io:
             stats = read_io()
             if stats is not None:
@@ -393,29 +410,32 @@ def main() -> None:
     # across same-tree runs). Provisional flags keep their samples so the
     # evidence trail survives.
     approx_fns = dict(APPROX_VARIANTS)
+    confirm_errors: list[str] = []
 
     def _remeasure(name: str) -> float | None:
         fn = approx_fns.get(name) or qs.get(name)
         if fn is None:
-            return None
-        try:
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            _bench_action(fn(spark, sf_dir))
-            return round(time.perf_counter() - t0, 4)
-        except Exception:  # noqa: BLE001 — a failed re-measure confirms nothing
-            return None
+            return None  # unknown lane: no sample, but not an error
+        # exceptions propagate: _confirm_flags counts them per-lane
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        _bench_action(fn(spark, sf_dir))
+        return round(time.perf_counter() - t0, 4)
 
     for key, floor_field, min_slip in (
         ("regressions", "floor", 1.0),
         ("frozen_regressions", "frozen_floor", 0.5),
     ):
-        confirmed, provisional = _confirm_flags(
+        confirmed, provisional, cerrs = _confirm_flags(
             detail.get(key, {}), floor_field, min_slip, _remeasure
         )
         detail[key] = confirmed
         if provisional:
             detail[f"{key}_provisional"] = provisional
+        confirm_errors.extend(cerrs)
+    detail["n_confirm_errors"] = len(confirm_errors)
+    if confirm_errors:
+        detail["confirm_errors"] = confirm_errors
 
     # Median evidence (committed by tools/bench_median.py): when a
     # matching-(sf, action) BENCH_MEDIAN.json exists, its headline median,
@@ -427,8 +447,13 @@ def main() -> None:
         detail["median_evidence"] = median
 
     here = os.path.dirname(os.path.abspath(__file__))
+    # Default to an UNTRACKED scratch file (gitignored): the committed
+    # BENCH_DETAIL.json is written only by tools/bench_median.py (the
+    # median evidence run) or an explicit SPARK_GRAFT_BENCH_DETAIL
+    # override, so an ad-hoc or driver-initiated bench run can never dirty
+    # or clobber the committed evidence (VERDICT r14 #1).
     detail_path = os.getenv(
-        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, "BENCH_DETAIL.json")
+        "SPARK_GRAFT_BENCH_DETAIL", os.path.join(here, DEFAULT_DETAIL_BASENAME)
     )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=True)
@@ -447,7 +472,7 @@ def main() -> None:
         "action": action,
         "n_queries": len(timings),
         "queries": slowest,
-        "detail_file": "BENCH_DETAIL.json",
+        "detail_file": os.path.basename(detail_path),
         "baseline_round": detail.get("baseline_round"),
         "n_regressions": len(detail.get("regressions", {})),
         "frozen_floor_round": detail.get("frozen_floor_round"),
@@ -456,6 +481,7 @@ def main() -> None:
         "n_provisional_flags": len(detail.get("regressions_provisional", {}))
         + len(detail.get("frozen_regressions_provisional", {})),
         "n_timed_lane_fits": len(timed_lane_fits),
+        "n_confirm_errors": len(confirm_errors),
         "n_errors": len(errors),
         "n_approx": len(approx),
     }
@@ -670,7 +696,7 @@ def _confirm_flags(
     floor_field: str,
     min_slip: float,
     remeasure,
-) -> tuple[dict, dict]:
+) -> tuple[dict, dict, list[str]]:
     """Split single-run flags into (confirmed, provisional) by re-measuring
     each flagged lane twice via ``remeasure(name) -> sec | None`` and
     keeping the flag only when >=2 of the 3 samples breach the gate's own
@@ -679,14 +705,25 @@ def _confirm_flags(
     DISJOINT across same-tree runs — every r13 flag was noise — so a flag
     that doesn't reproduce is evidence of the host, not the code. All
     samples are recorded on both branches so the adjudication trail is in
-    the artifact, not a narrative."""
+    the artifact, not a narrative.
+
+    A ``remeasure`` call that RAISES contributes no sample (a crash
+    confirms nothing) but is counted in the returned ``confirm_errors``
+    list (VERDICT r14 #3): a lane whose confirmation re-measure crashes
+    must not silently become unconfirmable — the counter is emitted into
+    the detail and summary so the gap is visible in the artifact."""
     confirmed: dict[str, dict] = {}
     provisional: dict[str, dict] = {}
+    confirm_errors: list[str] = []
     for name, info in flagged.items():
         floor = info[floor_field]
         samples = [info["now"]]
         for _ in range(2):
-            t = remeasure(name)
+            try:
+                t = remeasure(name)
+            except Exception:  # noqa: BLE001 — counted, not silenced
+                confirm_errors.append(name)
+                t = None
             if t is not None:
                 samples.append(t)
         breaches = sum(
@@ -697,7 +734,7 @@ def _confirm_flags(
             confirmed[name] = entry
         else:
             provisional[name] = entry
-    return confirmed, provisional
+    return confirmed, provisional, confirm_errors
 
 
 def _median_evidence(sf: float, action: str) -> dict | None:

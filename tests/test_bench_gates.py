@@ -105,21 +105,76 @@ def test_confirm_flags_requires_two_of_three_breaches():
     nothing; the samples ride along on both branches."""
     bench = _bench_module()
     flags = {"a": {"now": 3.0, "frozen_floor": 1.0}}
-    conf, prov = bench._confirm_flags(
+    conf, prov, cerrs = bench._confirm_flags(
         flags, "frozen_floor", 0.5, lambda n: 2.9
     )
     assert set(conf) == {"a"} and conf["a"]["breaches"] == 3
     assert conf["a"]["samples"] == [3.0, 2.9, 2.9]
+    assert cerrs == []
     # re-measures come back fast -> host hiccup, provisional only
-    conf, prov = bench._confirm_flags(
+    conf, prov, cerrs = bench._confirm_flags(
         flags, "frozen_floor", 0.5, lambda n: 1.05
     )
     assert conf == {} and set(prov) == {"a"} and prov["a"]["breaches"] == 1
-    # re-measure unavailable (lane errored) -> cannot confirm
-    conf, prov = bench._confirm_flags(
+    # re-measure unavailable (unknown lane) -> cannot confirm, NOT an error
+    conf, prov, cerrs = bench._confirm_flags(
         flags, "frozen_floor", 0.5, lambda n: None
     )
+    assert conf == {} and set(prov) == {"a"} and cerrs == []
+
+
+def test_confirm_flags_counts_crashed_remeasures():
+    """VERDICT r14 #3: a re-measure that CRASHES contributes no breach
+    (it confirms nothing) but must not vanish — it is counted per attempt
+    in the returned confirm_errors list, which bench.py emits as
+    n_confirm_errors in the detail and summary, so a regression whose
+    confirmation crashed is visible in the artifact, not silently
+    unconfirmed."""
+    bench = _bench_module()
+    flags = {"a": {"now": 3.0, "frozen_floor": 1.0}}
+
+    def _boom(name):
+        raise RuntimeError("executor lost")
+
+    conf, prov, cerrs = bench._confirm_flags(flags, "frozen_floor", 0.5, _boom)
+    # only the single-run sample remains -> flag cannot confirm
     assert conf == {} and set(prov) == {"a"}
+    assert prov["a"]["samples"] == [3.0]
+    assert cerrs == ["a", "a"]  # both re-measure attempts crashed
+
+    # mixed: first attempt crashes, second breaches -> 2 of 2 samples
+    # breach, flag confirms, and the crash is still counted
+    calls = {"n": 0}
+
+    def _flaky(name):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient")
+        return 2.9
+
+    conf, prov, cerrs = bench._confirm_flags(
+        flags, "frozen_floor", 0.5, _flaky
+    )
+    assert set(conf) == {"a"} and conf["a"]["samples"] == [3.0, 2.9]
+    assert cerrs == ["a"]
+
+
+def test_default_detail_path_is_untracked_scratch():
+    """VERDICT r14 #1: the committed BENCH_DETAIL.json is written only by
+    tools/bench_median.py; bench.py's default detail path is a gitignored
+    scratch file, so a driver-initiated or ad-hoc run leaves the working
+    tree clean and can never replace the committed median evidence."""
+    bench = _bench_module()
+    assert bench.DEFAULT_DETAIL_BASENAME != "BENCH_DETAIL.json"
+    import subprocess
+
+    res = subprocess.run(
+        ["git", "check-ignore", "-q", bench.DEFAULT_DETAIL_BASENAME],
+        cwd=REPO,
+    )
+    assert res.returncode == 0, (
+        f"{bench.DEFAULT_DETAIL_BASENAME} must be gitignored"
+    )
 
 
 def test_median_evidence_matches_on_sf_and_action(tmp_path, monkeypatch):

@@ -30,8 +30,15 @@ lone wall number.
   confirmed ``frozen_regressions`` (each already 2-of-3 re-measured
   in-process) flags it in >=2 of the n independent runs.
 
-Every subprocess writes its detail to a scratch path — the committed
-BENCH_DETAIL.json is never dirtied by this tool.
+Every subprocess writes its detail to a scratch path. Since round 15 this
+tool is also the ONLY writer of the committed ``BENCH_DETAIL.json``: the
+detail of the run whose total IS the median (n odd → an actual sample)
+is re-stamped with the fresh median evidence and written to the repo
+root. bench.py's default detail path is the gitignored
+``BENCH_DETAIL_LAST_RUN.json``, so no other run — driver-initiated or
+ad-hoc — can dirty or replace the committed evidence (VERDICT r14 #1),
+and ``tests/test_bench_gates.py`` pins that the committed detail's
+headline equals the committed median (silent divergence fails a test).
 """
 
 from __future__ import annotations
@@ -122,6 +129,7 @@ def main() -> int:
     totals: list[float] = []
     q_samples: dict[str, list[float]] = {}
     flags_by_run: list[dict] = []
+    details: list[dict] = []
     action = None
     sf = None
     try:
@@ -132,6 +140,7 @@ def main() -> int:
             )
             with open(scratch) as f:
                 detail = json.load(f)
+            details.append(detail)
             totals.append(detail["value"])
             action = detail.get("action", "count")
             sf = detail.get("sf")
@@ -195,6 +204,23 @@ def main() -> int:
     }
     with open(os.path.join(REPO, "BENCH_MEDIAN.json"), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+
+    # The committed BENCH_DETAIL.json = the median run's full detail,
+    # re-stamped with the evidence just written (its own median_evidence
+    # block was read from the PREVIOUS round's file before these runs).
+    # n is odd-or-better >=3, so the median of totals is an actual sample;
+    # pick the run closest to it to be robust to float rounding.
+    median_run = min(
+        details, key=lambda d: abs(d["value"] - out["headline_median"])
+    )
+    median_run["median_evidence"] = out
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(median_run, f, indent=1, sort_keys=True)
+    print(
+        f"committed BENCH_DETAIL.json <- median run "
+        f"({median_run['value']}s of {totals})",
+        file=sys.stderr,
+    )
     print(
         json.dumps(
             {
