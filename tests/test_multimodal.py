@@ -17,13 +17,11 @@ from kafkastreamingetl_spark.operators.multimodal import (
 )
 
 
-def test_jpeg_is_the_remaining_explicit_boundary():
-    """JPEG needs a DCT codec this container lacks — the boundary is an
-    explicit NotImplementedError, not a silent None. PNG left this club
-    in round 14 (stdlib zlib decode); a PNG signature over garbage now
-    parses-and-fails to None like any other corrupt payload."""
-    with pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+def test_corrupt_signatures_return_none_not_crash():
+    """A JPEG or PNG signature over garbage parses-and-fails to None like
+    any other corrupt payload — round 15 retired the last
+    NotImplementedError (baseline JPEG decodes for real below)."""
+    assert decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32) is None
     assert decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 32) is None
 
 
@@ -482,3 +480,393 @@ def test_codec_property_roundtrip_random_images():
         assert abs(d3["mean_r"] - d["mean_r"]) < 1e-9
         assert abs(d3["mean_b"] - want_b) < 1e-9
         assert d3["px00"] == px[0][0]
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round 15): planted-payload encoder (T.81 Annex K tables,
+# all-ones quant) differential against the stdlib decoder
+# ---------------------------------------------------------------------------
+
+# Standard Huffman tables from T.81 Annex K.3 — public spec constants.
+_DC_LUM = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+           list(range(12)))
+_DC_CHR = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+           list(range(12)))
+_AC_LUM = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+_AC_CHR = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+])
+
+
+def _zigzag_diagonal_walk():
+    """Independent derivation of the zigzag scan order (anti-diagonal
+    walk) — transcription-error check against the module constant."""
+    order = []
+    for s in range(15):
+        rows = list(range(max(0, s - 7), min(s, 7) + 1))
+        for r in (rows if s % 2 == 1 else reversed(rows)):
+            order.append(r * 8 + (s - r))
+    return order
+
+
+_ZZ = _zigzag_diagonal_walk()
+
+
+def _enc_huff(counts, symbols):
+    """symbol -> (code, length), canonical assignment (T.81 Annex C)."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[symbols[k]] = (code, length)
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code, length):
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self):
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad with 1s
+
+
+def _fdct_quant1(samples):
+    """Level-shift + float FDCT + round (quant all ones), raster in,
+    zigzag out. Textbook DCT-II — independent of the decoder's basis."""
+    import math
+
+    shifted = [s - 128 for s in samples]
+    F = []
+    for v in range(8):
+        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+        for u in range(8):
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            acc = 0.0
+            for y in range(8):
+                for x in range(8):
+                    acc += (
+                        shifted[y * 8 + x]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            F.append(int(round(acc * cu * cv / 4.0)))
+    return [F[i] for i in _ZZ]
+
+
+def _enc_block(bw, zz, pred, dc_tab, ac_tab):
+    diff = zz[0] - pred
+    s = abs(diff).bit_length()
+    code, ln = dc_tab[s]
+    bw.put(code, ln)
+    if s:
+        bw.put(diff if diff > 0 else diff + (1 << s) - 1, s)
+    last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+    run = 0
+    for k in range(1, last_nz + 1):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_tab[0xF0]
+            bw.put(code, ln)
+            run -= 16
+        s = abs(v).bit_length()
+        code, ln = ac_tab[(run << 4) | s]
+        bw.put(code, ln)
+        bw.put(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        code, ln = ac_tab[0x00]
+        bw.put(code, ln)
+    return zz[0]
+
+
+def _plane_block(plane, pw, ph, ox, oy):
+    """8x8 raster samples at (ox, oy), edge-replicated beyond bounds."""
+    return [
+        plane[min(oy + y, ph - 1) * pw + min(ox + x, pw - 1)]
+        for y in range(8)
+        for x in range(8)
+    ]
+
+
+def _jpeg(width, height, rows_top_down, *, gray=False, subsample=(1, 1),
+          restart=0):
+    """Planted baseline JPEG: all-ones quant tables, Annex K Huffman
+    tables, luma sampling = ``subsample`` ((1,1)=4:4:4, (2,1)=4:2:2,
+    (2,2)=4:2:0; chroma 1x1 box-averaged), optional restart interval."""
+    import struct
+
+    hs, vs = (1, 1) if gray else subsample
+    # full-res Y/Cb/Cr planes from the planted RGB
+    Y, Cb, Cr = [], [], []
+    for row in rows_top_down:
+        for (r, g, b) in row:
+            Y.append(min(255, max(0, round(0.299 * r + 0.587 * g + 0.114 * b))))
+            Cb.append(min(255, max(0, round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b))))
+            Cr.append(min(255, max(0, round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b))))
+    cw, chh = -(-width // hs), -(-height // vs)
+    if not gray and (hs, vs) != (1, 1):
+        # chroma box-average with edge clamp
+        def down(plane):
+            out = []
+            for cy in range(chh):
+                for cx in range(cw):
+                    acc = n = 0
+                    for dy in range(vs):
+                        for dx in range(hs):
+                            x, y = cx * hs + dx, cy * vs + dy
+                            if x < width and y < height:
+                                acc += plane[y * width + x]
+                                n += 1
+                    out.append(round(acc / n))
+            return out
+        Cb, Cr = down(Cb), down(Cr)
+
+    mcux, mcuy = -(-width // (8 * hs)), -(-height // (8 * vs))
+    dc_l, ac_l = _enc_huff(*_DC_LUM), _enc_huff(*_AC_LUM)
+    dc_c, ac_c = _enc_huff(*_DC_CHR), _enc_huff(*_AC_CHR)
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xDB, bytes([0x00]) + bytes([1] * 64))  # DQT 0: all ones
+    if not gray:
+        out += seg(0xDB, bytes([0x01]) + bytes([1] * 64))
+    for tc_th, (counts, syms) in (
+        ((0x00, _DC_LUM), (0x10, _AC_LUM)) if gray
+        else ((0x00, _DC_LUM), (0x10, _AC_LUM), (0x01, _DC_CHR),
+              (0x11, _AC_CHR))
+    ):
+        out += seg(0xC4, bytes([tc_th]) + bytes(counts) + bytes(syms))
+    if restart:
+        out += seg(0xDD, struct.pack(">H", restart))
+    if gray:
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+            [1, 1, 0x11, 0]
+        )
+        sos_comps = bytes([1, 1, 0x00])
+    else:
+        sof = bytes([8]) + struct.pack(">HH", height, width) + bytes(
+            [3, 1, (hs << 4) | vs, 0, 2, 0x11, 1, 3, 0x11, 1]
+        )
+        sos_comps = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11])
+    out += seg(0xC0, sof)
+    out += seg(0xDA, sos_comps + bytes([0, 63, 0]))
+
+    comps = [(Y, width, height, hs, vs, dc_l, ac_l)]
+    if not gray:
+        if (hs, vs) == (1, 1):
+            comps += [(Cb, width, height, 1, 1, dc_c, ac_c),
+                      (Cr, width, height, 1, 1, dc_c, ac_c)]
+        else:
+            comps += [(Cb, cw, chh, 1, 1, dc_c, ac_c),
+                      (Cr, cw, chh, 1, 1, dc_c, ac_c)]
+
+    bw = _JpegBitWriter()
+    preds = [0] * len(comps)
+    rst = 0
+    total = mcux * mcuy
+    for mcu in range(total):
+        if restart and mcu and mcu % restart == 0:
+            bw.flush()
+            out += bw.out
+            bw = _JpegBitWriter()
+            out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            preds = [0] * len(comps)
+        my, mx = divmod(mcu, mcux)
+        for ci, (plane, pw, ph, ch, cv, dct, act) in enumerate(comps):
+            for by in range(cv):
+                for bx in range(ch):
+                    block = _plane_block(
+                        plane, pw, ph, (mx * ch + bx) * 8, (my * cv + by) * 8
+                    )
+                    preds[ci] = _enc_block(
+                        bw, _fdct_quant1(block), preds[ci], dct, act
+                    )
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_zigzag_constant_matches_diagonal_walk():
+    from kafkastreamingetl_spark.operators.multimodal import _JPEG_ZIGZAG
+
+    assert list(_JPEG_ZIGZAG) == _ZZ
+    assert sorted(_JPEG_ZIGZAG) == list(range(64))
+
+
+def test_jpeg_flat_color_roundtrips_within_rounding():
+    """Flat color -> DC-only blocks: the q=1 DCT round-trip is exact and
+    only the YCbCr<->RGB integer rounding remains (<=2 per channel)."""
+    px = [[(200, 60, 120)] * 16 for _ in range(8)]
+    d = decode_image(_jpeg(16, 8, px))
+    assert d["format"] == "jpeg"
+    assert (d["width"], d["height"]) == (16, 8)
+    for got, want in zip(d["px00"], (200, 60, 120)):
+        assert abs(got - want) <= 2
+    for mean, want in ((d["mean_r"], 200), (d["mean_g"], 60),
+                       (d["mean_b"], 120)):
+        assert abs(mean - want) <= 2
+
+
+def test_jpeg_444_random_pixels_close_everywhere():
+    """4:4:4 q=1: per-pixel error budget = DCT rounding (~+-2) + color
+    rounding (~+-2). Random (worst-case spectral) content, non-multiple-
+    of-8 dims to exercise edge-replication padding."""
+    import random
+
+    rng = random.Random(15)
+    w, h = 13, 11
+    px = [[(rng.randrange(256), rng.randrange(256), rng.randrange(256))
+           for _ in range(w)] for _ in range(h)]
+    d = decode_image(_jpeg(w, h, px))
+    assert (d["width"], d["height"]) == (w, h)
+    for got, want in zip(d["px00"], px[0][0]):
+        assert abs(got - want) <= 8
+    for mean, ch in ((d["mean_r"], 0), (d["mean_g"], 1), (d["mean_b"], 2)):
+        want = sum(p[ch] for row in px for p in row) / (w * h)
+        assert abs(mean - want) <= 3
+
+
+def test_jpeg_420_subsampling_with_restart_markers():
+    """4:2:0 with DRI=1 (a restart marker after every MCU): two flat
+    16px-aligned color bands, 20x13 canvas (exercises MCU padding on
+    both axes and chroma that never straddles a band)."""
+    left, right = (40, 180, 90), (220, 30, 160)
+    px = [[left] * 16 + [right] * 4 for _ in range(13)]
+    d = decode_image(_jpeg(20, 13, px, subsample=(2, 2), restart=1))
+    assert (d["width"], d["height"]) == (20, 13)
+    for got, want in zip(d["px00"], left):
+        assert abs(got - want) <= 3
+    for mean, ch in ((d["mean_r"], 0), (d["mean_g"], 1), (d["mean_b"], 2)):
+        want = (16 * left[ch] + 4 * right[ch]) / 20
+        assert abs(mean - want) <= 4
+
+
+def test_jpeg_422_subsampling():
+    px = [[(10, 250, 125)] * 10 for _ in range(6)]
+    d = decode_image(_jpeg(10, 6, px, subsample=(2, 1)))
+    assert (d["width"], d["height"]) == (10, 6)
+    for got, want in zip(d["px00"], (10, 250, 125)):
+        assert abs(got - want) <= 3
+
+
+def test_jpeg_grayscale_single_component():
+    """1-component scan: r=g=b=Y; a horizontal ramp catches block-grid
+    or orientation mistakes the flat cases cannot."""
+    w, h = 9, 5
+    px = [[(x * 28, x * 28, x * 28) for x in range(w)] for _ in range(h)]
+    d = decode_image(_jpeg(w, h, px, gray=True))
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_r"] == d["mean_g"] == d["mean_b"]
+    for got, want in zip(d["px00"], px[0][0]):
+        assert abs(got - want) <= 3
+    want_mean = sum(p[0] for row in px for p in row) / (w * h)
+    assert abs(d["mean_r"] - want_mean) <= 3
+
+
+def test_jpeg_agrees_with_png_on_identical_pixels():
+    """Cross-codec differential: the same planted pixels through the
+    lossless PNG path and the q=1 JPEG path must give near-identical
+    stats — catches any systematic bias (orientation, channel swap,
+    level shift) in either codec."""
+    import random
+
+    rng = random.Random(151)
+    w, h = 8, 8
+    px = [[(rng.randrange(256),) * 3 for _ in range(w)] for _ in range(h)]
+    d_png = decode_image(_png(w, h, px))
+    d_jpg = decode_image(_jpeg(w, h, px))
+    assert abs(d_png["mean_r"] - d_jpg["mean_r"]) <= 2
+    assert abs(d_png["mean_b"] - d_jpg["mean_b"]) <= 2
+    assert all(abs(a - b) <= 6 for a, b in zip(d_png["px00"], d_jpg["px00"]))
+
+
+def test_jpeg_unsupported_variants_and_truncation_return_none():
+    import struct
+
+    px = [[(100, 150, 200)] * 8 for _ in range(8)]
+    good = _jpeg(8, 8, px)
+    assert decode_image(good) is not None
+    # truncated mid-entropy-data
+    assert decode_image(good[: len(good) // 2]) is None
+    # progressive (SOF2) rejected
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_image(prog) is None
+    # 12-bit precision rejected: patch SOF precision byte
+    idx = good.index(b"\xff\xc0")
+    twelve = good[: idx + 4] + bytes([12]) + good[idx + 5 :]
+    assert decode_image(twelve) is None
+    # restart interval declared but markers absent -> truncated -> None
+    # (needs a MULTI-MCU image: a single-MCU scan never reaches an
+    # interval boundary, so DRI=1 there is legitimately marker-free)
+    big = _jpeg(16, 16, [[(100, 150, 200)] * 16 for _ in range(16)])
+    assert decode_image(big) is not None
+    dri = big[:2] + struct.pack(">BBHH", 0xFF, 0xDD, 4, 1) + big[2:]
+    assert decode_image(dri) is None
