@@ -147,12 +147,14 @@ def test_decode_features_spark_lane_matches_local_decoder(spark):
     )
 
     px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    jpeg_px = [[(90, 160, 40)] * 8 for _ in range(8)]
     payloads = [
         (1, _ppm(2, 2, px)),
         (2, _bmp24(3, 2, [[(255, 0, 0), (0, 255, 0), (0, 0, 255)],
                           [(10, 20, 30), (40, 50, 60), (70, 80, 90)]])),
         (3, b"not an image"),
         (4, None),
+        (5, _jpeg(8, 8, jpeg_px)),
     ]
     df = spark.createDataFrame(payloads, "doc_id long, payload binary")
     got = {r.doc_id: r for r in decode_image_features(df).collect()}
@@ -163,6 +165,10 @@ def test_decode_features_spark_lane_matches_local_decoder(spark):
     assert got[2].format == "bmp" and got[2].px00_rgb == "ff0000"
     assert got[3].format is None and got[3].width is None
     assert got[4].format is None
+    ref5 = decode_image(payloads[4][1])
+    assert got[5].format == "jpeg" and got[5].width == 8
+    assert abs(got[5].mean_g - ref5["mean_g"]) < 1e-9
+    assert got[5].px00_rgb == "%02x%02x%02x" % ref5["px00"]
 
     wav_rows = [(1, _wav16(16000, [100, -200, 300])), (2, b"junk"), (3, None)]
     adf = spark.createDataFrame(wav_rows, "doc_id long, payload binary")
@@ -480,6 +486,20 @@ def test_codec_property_roundtrip_random_images():
         assert abs(d3["mean_r"] - d["mean_r"]) < 1e-9
         assert abs(d3["mean_b"] - want_b) < 1e-9
         assert d3["px00"] == px[0][0]
+
+        # lossy leg: q=1 JPEG round trip, tolerance not exactness, every
+        # subsampling mode exercised across the trials
+        sub = ((1, 1), (2, 1), (2, 2))[trial % 3]
+        d4 = decode_image(_jpeg(w, h, px, subsample=sub))
+        assert (d4["format"], d4["width"], d4["height"]) == ("jpeg", w, h)
+        if sub == (1, 1):
+            # full-res chroma: per-pixel error is just DCT+color rounding
+            assert all(
+                abs(a - b) <= 4 for a, b in zip(d4["px00"], px[0][0])
+            )
+        # means survive chroma box-averaging even on noise (averaging is
+        # mean-preserving up to edge clamping): tight on every mode
+        assert abs(d4["mean_r"] - want_r) <= 4
 
 
 # ---------------------------------------------------------------------------
