@@ -272,6 +272,13 @@ def test_committed_bench_median_evidence_is_current_and_merged():
     merged = det.get("median_evidence", {})
     assert merged.get("headline_median") == med["headline_median"]
     assert (merged.get("cross_tree") or {}).get("ratio") == ct["ratio"]
+    # Since r15 the committed detail IS one of the median-evidence runs
+    # (the median one — bench_median.py is its only writer), so a stray
+    # single-run rewrite of the committed detail can no longer diverge
+    # silently from the median evidence: this fails loudly instead.
+    assert det["value"] in med["totals"]
+    assert det["value"] == med["headline_median"]
+    assert set(det["queries"]) == set(med["per_query_median"])
 
 
 def test_committed_r11_floor_file_is_valid_and_covers_the_sketch_lanes():
@@ -285,3 +292,45 @@ def test_committed_r11_floor_file_is_valid_and_covers_the_sketch_lanes():
     from kafkastreamingetl_spark.queries import APPROX_VARIANTS
 
     assert set(floor["approx"]) <= set(APPROX_VARIANTS)
+
+
+def test_host_attribution_demotes_control_breaching_flags():
+    """tools/bench_median.py (round 15): the n median runs share one
+    machine-day, so a day-level systematic can confirm the same flag in
+    >=2 runs — observed live in r15 when minhash/simhash/neardup lanes
+    ran 2-3x slow across a whole bench_median session and at floor speed
+    in isolated probes minutes later. The cross-tree control is
+    byte-identical old code on the same day: if IT breaches the lane's
+    frozen floor too (same 2x + 0.5 s rule), the flag is demoted to
+    host_attributed with the control measurement attached."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_median_under_test", os.path.join(REPO, "tools", "bench_median.py")
+    )
+    bm = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bm)
+
+    confirmed = {
+        "lane_host": {"runs_flagged": 3, "of_runs": 3, "samples": [4.0, 4.2]},
+        "lane_code": {"runs_flagged": 2, "of_runs": 3, "samples": [3.8, 3.9]},
+    }
+    flags_by_run = [
+        {"lane_host": {"now": 4.0, "frozen_floor": 1.5},
+         "lane_code": {"now": 3.8, "frozen_floor": 1.5}},
+        {"lane_host": {"now": 4.2, "frozen_floor": 1.5}},
+    ]
+    # control: lane_host breaches (4.1 > 2*1.5, slip > 0.5) -> host;
+    # lane_code at floor speed on old code -> stays confirmed (real)
+    control = {"lane_host": 4.1, "lane_code": 1.6}
+    still, host = bm.demote_host_attributed(confirmed, flags_by_run, control)
+    assert set(still) == {"lane_code"}
+    assert set(host) == {"lane_host"}
+    assert host["lane_host"]["control_now"] == 4.1
+    assert host["lane_host"]["frozen_floor"] == 1.5
+    assert host["lane_host"]["samples"] == [4.0, 4.2]  # evidence retained
+
+    # missing control measurement (lane errored there) -> cannot
+    # attribute to host, flag stays confirmed
+    still2, host2 = bm.demote_host_attributed(confirmed, flags_by_run, {})
+    assert set(still2) == {"lane_host", "lane_code"} and host2 == {}

@@ -28,7 +28,12 @@ lone wall number.
   measured/committed on byte-identical code = pure host drift.
 - **confirmed_regressions**: a lane counts only if bench.py's own
   confirmed ``frozen_regressions`` (each already 2-of-3 re-measured
-  in-process) flags it in >=2 of the n independent runs.
+  in-process) flags it in >=2 of the n independent runs, AND the lane
+  does not also breach its frozen floor on the control tree the same
+  day (the n runs share one machine-day, so a day-level systematic can
+  reproduce across all of them; byte-identical old code breaching too
+  proves host, and the flag is demoted to **host_attributed_flags**
+  with the control measurement attached).
 
 Every subprocess writes its detail to a scratch path. Since round 15 this
 tool is also the ONLY writer of the committed ``BENCH_DETAIL.json``: the
@@ -73,6 +78,30 @@ def _bench_once(cwd: str, sf_dir: str, env_extra: dict) -> dict:
     return json.loads(res.stdout.strip().splitlines()[-1])
 
 
+def demote_host_attributed(
+    confirmed: dict, flags_by_run: list[dict], control_queries: dict
+) -> tuple[dict, dict]:
+    """Split multi-run-confirmed flags into (still_confirmed,
+    host_attributed): a lane whose byte-identical control-tree run also
+    breaches its frozen floor (same 2x + 0.5 s rule as the bench gate)
+    cannot be a code regression — the n runs share one machine-day, and
+    the control proves the day, not the diff, is slow. Pure function so
+    the adjudication rule is unit-testable."""
+    still = dict(confirmed)
+    host: dict[str, dict] = {}
+    for name in list(still):
+        flag = next((fl[name] for fl in flags_by_run if name in fl), {})
+        floor = flag.get("frozen_floor")
+        ctrl = control_queries.get(name)
+        if floor and ctrl is not None and ctrl > 2 * floor and ctrl - floor > 0.5:
+            host[name] = {
+                **still.pop(name),
+                "frozen_floor": floor,
+                "control_now": ctrl,
+            }
+    return still, host
+
+
 def _auto_control_commit() -> str:
     """Newest commit that changed BENCH_DETAIL.json strictly before HEAD —
     the previous round's final benched tree."""
@@ -98,10 +127,14 @@ def _control_run(commit: str, sf_dir: str, scratch_dir: str) -> dict:
         env = {}
         action = committed.get("action", "count")
         env["SPARK_GRAFT_BENCH_ACTION"] = action
-        env["SPARK_GRAFT_BENCH_DETAIL"] = os.path.join(
-            scratch_dir, "control_detail.json"
-        )
+        control_detail_path = os.path.join(scratch_dir, "control_detail.json")
+        env["SPARK_GRAFT_BENCH_DETAIL"] = control_detail_path
         summary = _bench_once(wt, sf_dir, env)
+        try:
+            with open(control_detail_path) as f:
+                control_queries = json.load(f).get("queries", {})
+        except (OSError, json.JSONDecodeError):
+            control_queries = {}
     finally:
         _git("worktree", "remove", "--force", wt)
     return {
@@ -110,6 +143,7 @@ def _control_run(commit: str, sf_dir: str, scratch_dir: str) -> dict:
         "committed_total": committed["value"],
         "measured_total": summary["value"],
         "ratio": round(summary["value"] / committed["value"], 4),
+        "queries": control_queries,
     }
 
 
@@ -167,6 +201,7 @@ def main() -> int:
         }
 
         cross_tree = None
+        host_attributed: dict[str, dict] = {}
         if not args.no_control:
             commit = args.control_commit or _auto_control_commit()
             cross_tree = _control_run(commit, sf_dir, scratch_dir)
@@ -177,6 +212,16 @@ def main() -> int:
                 f"(ratio {cross_tree['ratio']})",
                 file=sys.stderr,
             )
+            confirmed, host_attributed = demote_host_attributed(
+                confirmed, flags_by_run, cross_tree.get("queries") or {}
+            )
+            for name, info in host_attributed.items():
+                print(
+                    f"demoted {name}: control tree shows "
+                    f"{info['control_now']}s vs floor "
+                    f"{info['frozen_floor']}s — host, not code",
+                    file=sys.stderr,
+                )
     finally:
         shutil.rmtree(scratch_dir, ignore_errors=True)
 
@@ -190,16 +235,20 @@ def main() -> int:
             n: round(statistics.median(v), 4) for n, v in q_samples.items()
         },
         "confirmed_regressions": confirmed,
+        "host_attributed_flags": host_attributed,
         "flagged_by_run": flags_by_run,
         "cross_tree": cross_tree,
         "method": (
             "median of n independent bench.py subprocesses (scratch detail "
-            "paths; committed BENCH_DETAIL.json untouched); a lane is a "
-            "confirmed regression only when the bench's own in-process "
-            "2-of-3 confirmed frozen_regressions flag it in >=2 of the n "
-            "runs; cross_tree re-benches the previous round's final tree "
-            "byte-identical from git under its own committed action — its "
-            "ratio is pure host drift"
+            "paths); a lane is a confirmed regression only when the "
+            "bench's own in-process 2-of-3 confirmed frozen_regressions "
+            "flag it in >=2 of the n runs AND the same lane does not also "
+            "breach its frozen floor on the cross-tree control (byte-"
+            "identical previous-round code, same day) — a control breach "
+            "attributes the slip to the host and demotes the flag to "
+            "host_attributed_flags with the evidence retained; cross_tree "
+            "re-benches the previous round's final tree from git under "
+            "its own committed action, so its ratio is pure host drift"
         ),
     }
     with open(os.path.join(REPO, "BENCH_MEDIAN.json"), "w") as f:
@@ -228,6 +277,7 @@ def main() -> int:
                 "n": args.runs,
                 "cross_tree_ratio": (cross_tree or {}).get("ratio"),
                 "confirmed_regressions": sorted(confirmed),
+                "host_attributed_flags": sorted(host_attributed),
             }
         )
     )
