@@ -274,14 +274,27 @@ def simhash(col: str | Column, n: int = SHINGLE_N) -> Column:
     close in Hamming distance; pairing by fingerprint bands is the scalable
     grouping (no all-pairs comparison) — see
     ``operators.dedup.simhash_candidate_pairs``.
+
+    The shingle pipeline is let-bound (:func:`functions.bind`): the fold
+    references its input once per bit position, and an unbound reference
+    inside the 60-iteration outer lambda re-runs the whole tokenize + md5
+    pipeline per bit — measured 4.1× slower at sf0.1 (5000 docs: 1.36 s vs
+    0.33 s for the full doc_fingerprint projection).
     """
-    return simhash_from_hashes(shingle_hashes(col, n))
+    return _bind(shingle_hashes(col, n), simhash_from_hashes)
 
 
 def simhash_from_hashes(hs: Column) -> Column:
     """The SimHash fold over an already-computed shingle-hash array column —
     the reuse point for pipelines that share one persisted feature set
-    across MinHash and SimHash stages (dedup.shingle_features)."""
+    across MinHash and SimHash stages (dedup.shingle_features).
+
+    The per-feature bit test is a mask compare (``x & p != 0``), equivalent
+    to the spec's modular form ``x % 2p >= p`` for the non-negative 60-bit
+    :func:`functions.hash60` domain but one AND instead of a 64-bit multiply
+    + modulo in the innermost loop (60 bits × |hs| per row) — measured ~25%
+    faster at sf0.1 with bit-identical output. The DuckDB oracle twin keeps
+    the modular form as the independent spec."""
     pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
     return F.aggregate(
         pows,
@@ -292,7 +305,7 @@ def simhash_from_hashes(hs: Column) -> Column:
                 hs,
                 F.lit(0).cast("bigint"),
                 lambda votes, x: votes
-                + F.when(x % (p * 2) >= p, F.lit(1)).otherwise(F.lit(-1)),
+                + F.when(x.bitwiseAND(p) != 0, F.lit(1)).otherwise(F.lit(-1)),
             )
             > 0,
             p,
