@@ -1230,38 +1230,68 @@ def source_overlap(
     mixing decision, and the oracle uses the same hash so the differential
     is still exact.
 
-    Shape: distinct (source, shingle) pairs — one map-side-combinable
-    aggregate that collapses within-source repetition first; per-source
-    set sizes are a |sources|-row aggregate, broadcast back twice; the
-    hash self-equi-join fans out ≤ |sources choose 2| rows per shared
-    shingle (bounded by the source count, NOT document count). Pairs with
-    zero overlap produce no row (inner join — absence means disjoint).
+    Shape: one hash shuffle of (source, shingle) occurrences into
+    per-shingle sorted source sets (collect_set dedups within and across
+    documents, partial sets merge map-side); source pairs are generated
+    in-row from each set — ≤ |sources choose 2| rows per shared shingle,
+    bounded by the source count, NOT document count — and per-source set
+    sizes fall out of the same persisted frame. Pairs with zero overlap
+    produce no row (absence means disjoint).
     """
-    # persisted (memory-and-disk, the shingle_features discipline): hs
-    # feeds both self-join sides and both per-source size lookups, and
-    # without the persist Catalyst re-inlined the whole explode+distinct
-    # pipeline per consumer — four corpus scans where one suffices
-    # (round-11 scan audit). The cached table is the distinct
-    # (source, shingle) set: shingle-vocabulary-scale, far below corpus
-    # bytes, exactly what the near-dup pipeline already caches.
-    hs = (
-        documents.filter(
-            F.col(source_col).isNotNull() & F.col(content_col).isNotNull()
+    # ONE hash-shuffle of the feature table: raw (src, shingle) occurrences
+    # aggregate straight to per-shingle sorted source sets (collect_set
+    # dedups, ObjectHashAggregate merges partial sets map-side), and the
+    # source pairs are generated IN-ROW from each set — bounded by
+    # |sources|² per shingle, never a self-join. The earlier shape paid a
+    # distinct exchange, then a hash self-equi-join whose build side was
+    # the whole shingle-vocabulary table (AQE broadcast it at bench scale;
+    # at corpus scale it is two more full-table exchanges + a sort), plus
+    # the per-source size aggregate evaluated once per join side. The
+    # persisted frame (per-shingle source sets) feeds the size lookup and
+    # the pair census; it is the same shingle-vocabulary scale the old
+    # distinct table was, far below corpus bytes (round-11 scan audit
+    # discipline).
+    grouped = (
+        ensure_parallelism(
+            documents.filter(
+                F.col(source_col).isNotNull() & F.col(content_col).isNotNull()
+            )
         )
         .select(
             F.col(source_col).alias("src"),
             F.explode(shingle_hashes(F.col(content_col))).alias("h"),
         )
-        .distinct()
+        .groupBy("h")
+        .agg(F.array_sort(F.collect_set("src")).alias("ss"))
         .persist()
     )
-    sizes = hs.groupBy("src").agg(F.count(F.lit(1)).alias("n"))
-    a = hs.select(F.col("src").alias("source_a"), "h")
-    b = hs.select(F.col("src").alias("source_b"), "h")
+    sizes = (
+        grouped.select(F.explode("ss").alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    ss = F.col("ss")
+    # ordered pairs (x, y) with x < y from the sorted set: element i with
+    # every element after it (slice is 1-based; i is the 0-based lambda
+    # index, so the tail starts at 1-based position i + 2)
+    pair_structs = F.flatten(
+        F.transform(
+            ss,
+            lambda x, i: F.transform(
+                F.slice(ss, i + F.lit(2), F.size(ss)),
+                lambda y: F.struct(
+                    x.alias("source_a"), y.alias("source_b")
+                ),
+            ),
+        )
+    )
     shared = (
-        a.join(b, "h")
-        .filter(F.col("source_a") < F.col("source_b"))
-        .groupBy("source_a", "source_b")
+        grouped.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.source_a").alias("source_a"),
+            F.col("p.source_b").alias("source_b"),
+        )
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
     sa = sizes.select(F.col("src").alias("source_a"), F.col("n").alias("n_a"))
@@ -1592,7 +1622,15 @@ def substring_run_pairs(
         .filter(F.col("gram_df") <= max_gram_docs)
         .select("gh")
     )
-    g = g.join(keep, "gh")
+    # persisted: the cap-filtered gram table feeds BOTH self-join sides,
+    # and without the materialization barrier Catalyst inlines the whole
+    # document-frequency pipeline (two exchanges, the count_distinct
+    # two-phase aggregate, and a broadcast build of the surviving-gram
+    # set) once per side — measured as the duplicated subplan dominating
+    # this lane's wall at sf0.1 (round-15 stage profile).
+    from pyspark import StorageLevel
+
+    g = g.join(keep, "gh").persist(StorageLevel.MEMORY_AND_DISK)
     a = g.select(
         F.col("doc_id").alias("doc_a"), F.col("pos").alias("pos_a"), "gh"
     )
