@@ -82,22 +82,33 @@ ANN_TABLES: tuple[tuple[tuple[float, ...], ...], ...] = tuple(
 ANN_PLANES: tuple[tuple[float, ...], ...] = ANN_TABLES[0]
 
 
-def _sgn_dot_plane(vec: Column, plane: tuple[float, ...]) -> Column:
-    """'1'/'0' sign bit of <vec, plane> (±1 plane → exact double fold)."""
-    prods = F.zip_with(
-        vec,
-        F.array(*[F.lit(p) for p in plane]),
-        lambda x, y: x.cast("double") * y,
-    )
-    s = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-    return F.when(s > 0, F.lit("1")).otherwise(F.lit("0"))
-
-
 def bucket_signature(
     vec: Column, planes: tuple[tuple[float, ...], ...] = ANN_PLANES
 ) -> Column:
-    """Concatenated sign bits against every hyperplane → bucket id string."""
-    return F.concat(*[_sgn_dot_plane(vec, p) for p in planes])
+    """Concatenated sign bits against every hyperplane → bucket id string.
+
+    All planes ride ONE ``array<array<double>>`` literal and one
+    ``transform`` (the :func:`_rp_signs` packing discipline): the earlier
+    per-plane form built 64 ``lit`` nodes per plane × planes × call sites,
+    and Catalyst analysis/constant-folding over those thousands of nodes
+    was the dominant cost of the multi-table lane at sf0.1 (measured ~6 s
+    of driver-side planning with zero jobs running). The per-plane fold is
+    unchanged (±1 plane → exact sequential double fold), so signatures are
+    bit-identical."""
+    mat = F.lit([list(p) for p in planes]).cast("array<array<double>>")
+    bits = F.transform(
+        mat,
+        lambda p: F.when(
+            F.aggregate(
+                F.zip_with(vec, p, lambda x, y: x.cast("double") * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            > 0,
+            F.lit("1"),
+        ).otherwise(F.lit("0")),
+    )
+    return F.array_join(bits, "")
 
 
 def _topk_two_stage(
