@@ -9,6 +9,7 @@ here are the entry point for the SQL door (reference spark/app.py:140-156).
 from __future__ import annotations
 
 import os
+from collections import OrderedDict
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,19 +62,56 @@ def _normalize_timestamps(df: DataFrame, name: str) -> DataFrame:
     return df
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# Per-session memo of table HANDLES (lazy logical plans — never results or
+# cached blocks): building a parquet relation costs a py4j round-trip plus
+# file listing, footer schema read and the timestamp-normalization casts
+# (~0.14 s measured), and every registered query pays it 1-3 times per
+# invocation — ~30 s of the 179-lane bench headline was catalog chatter,
+# not computation. DataFrames are immutable, so handing every caller the
+# same plan object is semantically identical; each action still scans
+# parquet from disk. Keyed by applicationId so a new session never sees a
+# stale handle. The file LISTING is pinned at first construction — callers
+# reading a path whose contents mutate within one session (no registered
+# query or test does) must pass ``refresh=True``.
+_SCAN_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_SCAN_CACHE_MAX = 64
+
+
+def _cached_scan(
+    spark: SparkSession, path: str, name: str | None, *, refresh: bool = False
+) -> DataFrame:
+    """Memoized parquet relation; ``name`` keys the per-table timestamp
+    normalization (None = raw, no normalization)."""
+    key = (spark.sparkContext.applicationId, os.path.abspath(path), name)
+    if not refresh:
+        df = _SCAN_CACHE.get(key)
+        if df is not None:
+            _SCAN_CACHE.move_to_end(key)
+            return df
+    df = spark.read.parquet(path)
+    if name is not None:
+        df = _normalize_timestamps(df, name)
+    _SCAN_CACHE[key] = df
+    while len(_SCAN_CACHE) > _SCAN_CACHE_MAX:
+        _SCAN_CACHE.popitem(last=False)
+    return df
+
+
+def load_table(
+    spark: SparkSession, sf_dir: str, name: str, *, refresh: bool = False
+) -> DataFrame:
     """Parquet scan with partition discovery (reference analogue: S6).
 
     NOTE: applies the engine's runtime session confs (UTC timezone,
     nanosAsLong — see session.RUNTIME_CONFS) to the caller's session, because
     correctness of timestamps/window boundaries depends on them even when the
     session was built elsewhere (e.g. the driver's). This is a deliberate,
-    documented session-wide side effect.
+    documented session-wide side effect. The returned handle is memoized per
+    (session, path) — see :data:`_SCAN_CACHE`.
     """
     ensure_runtime_confs(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
-    return _normalize_timestamps(df, name)
+    return _cached_scan(spark, path, name, refresh=refresh)
 
 
 def load_events(
@@ -99,7 +137,7 @@ def load_events(
     from datetime import datetime, timezone
 
     ensure_runtime_confs(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    df = _cached_scan(spark, os.path.join(sf_dir, "events.parquet"), None)
     raw_type = dict(df.dtypes).get("ts")
     raw_ns = raw_type == "bigint"
 
