@@ -117,6 +117,34 @@ def bind(value: Column, f) -> Column:
     return F.element_at(F.transform(F.array(value), f), 1)
 
 
+def array_lit(values, sql_type: str) -> Column:
+    """A (possibly nested) numeric array literal in ONE py4j round trip.
+
+    ``F.lit(list)`` decomposes into one JVM call per element (PySpark
+    builds nested literals as ``array(lit(x), ...)`` recursively) — a
+    16×64 matrix literal costs 1,000+ py4j round trips ≈ 2 s of driver
+    wall per call site (measured on rp_project). Rendering the literal as
+    a single SQL ``array(...)`` expression string moves the whole
+    construction into one parser call. ``sql_type`` is ``"bigint"`` or
+    ``"double"``; doubles render via ``repr`` (shortest round-trip form,
+    parsed back to the identical IEEE value) wrapped in a foldable CAST so
+    scientific notation and specials survive the SQL parser.
+    """
+
+    def fmt(v) -> str:
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(fmt(x) for x in v) + ")"
+        if sql_type == "double":
+            return f"CAST('{float(v)!r}' AS DOUBLE)"
+        if sql_type == "bigint":
+            return f"{int(v)}L"
+        if sql_type == "int":
+            return str(int(v))
+        raise ValueError(f"unsupported array_lit element type {sql_type!r}")
+
+    return F.expr(fmt(values))
+
+
 def hash60(col: str | Column) -> Column:
     """Deterministic 60-bit non-negative hash of a string column."""
     c = F.col(col) if isinstance(col, str) else col

@@ -33,7 +33,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions import bind, cosine, dsum, ensure_parallelism
+from ..functions import array_lit, bind, cosine, dsum, ensure_parallelism
 
 # Deterministic ±1 hyperplanes (module-level so Spark literals and oracle SQL
 # derive from the same values; Python's Mersenne Twister is seed-stable).
@@ -95,7 +95,7 @@ def bucket_signature(
     of driver-side planning with zero jobs running). The per-plane fold is
     unchanged (±1 plane → exact sequential double fold), so signatures are
     bit-identical."""
-    mat = F.lit([list(p) for p in planes]).cast("array<array<double>>")
+    mat = array_lit([list(p) for p in planes], "double")
     bits = F.transform(
         mat,
         lambda p: F.when(
@@ -2517,13 +2517,15 @@ def rp_project(vec: Column, d_in: int = 64) -> Column:
         [int(signs[j][i]) for j in range(len(signs))]
         for i in range(d_in)
     ]
-    # ONE array<array<bigint>> literal (not per-row CreateArray of 1024
-    # lit nodes — that alone was ~4 s/5k rows interpreted)
-    sign_cols = F.lit(cols).cast("array<array<bigint>>")
+    # ONE array<array<bigint>> literal in ONE py4j round trip (not per-row
+    # CreateArray of 1024 lit nodes — that alone was ~4 s/5k rows
+    # interpreted; and not F.lit(nested list), which PySpark decomposes
+    # into 1,000+ element-wise JVM calls ≈ 2 s of driver wall per call)
+    sign_cols = array_lit(cols, "bigint")
     qv = F.transform(
         vec, lambda x: F.round(x.cast("double") * RP_QUANT).cast("bigint")
     )
-    zeros = F.lit([0] * len(signs)).cast("array<bigint>")
+    zeros = array_lit([0] * len(signs), "bigint")
     return F.aggregate(
         F.zip_with(qv, sign_cols, lambda q, srow: F.transform(srow, lambda s: s * q)),
         zeros,

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions import bind, dsum, ensure_parallelism, hash60, sql_dsum, sql_hash60
+from ..functions import array_lit, bind, dsum, ensure_parallelism, hash60, sql_dsum, sql_hash60
 
 # Documents tokenize on single spaces (testdata `documents.text` is
 # single-space-separated lowercase ASCII; verified in TESTDATA probes). A
@@ -295,7 +295,7 @@ def simhash_from_hashes(hs: Column) -> Column:
     + modulo in the innermost loop (60 bits × |hs| per row) — measured ~25%
     faster at sf0.1 with bit-identical output. The DuckDB oracle twin keeps
     the modular form as the independent spec."""
-    pows = F.array(*[F.lit(1 << b).cast("bigint") for b in range(SIMHASH_BITS)])
+    pows = array_lit([1 << b for b in range(SIMHASH_BITS)], "bigint")
     return F.aggregate(
         pows,
         F.lit(0).cast("bigint"),
@@ -1233,7 +1233,9 @@ def quality_classifier_score(
     UDF; 2M buckets would ride a broadcast join against a weights table
     instead, same single-scan shape.
     """
-    w_lit = F.array(*[F.lit(int(w)) for w in QCLF_WEIGHTS_MILLI])
+    # "int" keeps the element type the old per-element F.lit(int) form
+    # produced, so downstream sum/schema types are unchanged
+    w_lit = array_lit([int(w) for w in QCLF_WEIGHTS_MILLI], "int")
     text = F.coalesce(F.col(text_col), F.lit(""))
     score = bind(
         tokens(text),
