@@ -2472,7 +2472,7 @@ def eval_ngram_contamination(
     from .text import shingle_hashes
 
     text = F.coalesce(F.col(text_col), F.lit(""))
-    tg = train.select(
+    tg = ensure_parallelism(train).select(
         F.col(id_col).alias("train_doc"),
         shingle_hashes(text, n).alias("_g"),
     )

@@ -660,6 +660,7 @@ def doc_repetition_stats(docs: DataFrame, *, text_col: str = "text") -> DataFram
     """
     from ..functions import bind
 
+    docs = ensure_parallelism(docs)
     items = bind(
         tokens(text_col),
         lambda t: F.concat(
