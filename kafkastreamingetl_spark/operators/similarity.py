@@ -998,6 +998,29 @@ def _explode_sub(df: DataFrame, idc: str, vc: str, out_id: str) -> DataFrame:
     )
 
 
+# Per-session memo of model FRAMES: createDataFrame of a collected model
+# costs a few hundred ms of Python->JVM conversion per call, and the
+# models themselves are already memoized (_MODEL_CACHE) — rebuilding the
+# same 8-128-row LocalRelation every query construction is pure driver
+# chatter. DataFrames are immutable lazy plans; keyed by applicationId +
+# frozen model content, same discipline as catalog._SCAN_CACHE.
+_MODEL_DF_CACHE: OrderedDict[tuple, DataFrame] = OrderedDict()
+_MODEL_DF_CACHE_MAX = 64
+
+
+def _model_df_memo(spark, kind: str, frozen: tuple, build) -> DataFrame:
+    key = (spark.sparkContext.applicationId, kind, frozen)
+    hit = _MODEL_DF_CACHE.get(key)
+    if hit is not None:
+        _MODEL_DF_CACHE.move_to_end(key)
+        return hit
+    df = build()
+    _MODEL_DF_CACHE[key] = df
+    while len(_MODEL_DF_CACHE) > _MODEL_DF_CACHE_MAX:
+        _MODEL_DF_CACHE.popitem(last=False)
+    return df
+
+
 def _cbl_df(spark, cb: list[tuple[int, int, list[float]]]) -> DataFrame:
     """The collected codebook as a broadcast-able (s, code, cvl) frame.
 
@@ -1006,9 +1029,17 @@ def _cbl_df(spark, cb: list[tuple[int, int, list[float]]]) -> DataFrame:
     compile per fitted model (measured: the compile dominated the query at
     sf0.1) and is the known Catalyst large-literal-plan pathology at scale;
     a 128-row broadcast join compiles one generic kernel, ever."""
-    return spark.createDataFrame(
-        [(int(s), int(code), [float(v) for v in cvl]) for s, code, cvl in cb],
-        schema="s int, code int, cvl array<double>",
+    frozen = tuple(
+        (int(s), int(code), tuple(float(v) for v in cvl)) for s, code, cvl in cb
+    )
+    return _model_df_memo(
+        spark,
+        "cbl",
+        frozen,
+        lambda: spark.createDataFrame(
+            [(s, code, list(cvl)) for s, code, cvl in frozen],
+            schema="s int, code int, cvl array<double>",
+        ),
     )
 
 
@@ -1509,10 +1540,19 @@ KM_ITER = 2
 
 def _km_df(spark, model: list[tuple[int, list[float]]]) -> DataFrame:
     """The collected centroid model as a broadcast-able (cl, cvl) frame —
-    same relational-model rationale as :func:`_cbl_df`."""
-    return spark.createDataFrame(
-        [(int(cl), [float(v) for v in cvl]) for cl, cvl in model],
-        schema="cl int, cvl array<double>",
+    same relational-model rationale (and per-session memo) as
+    :func:`_cbl_df`."""
+    frozen = tuple(
+        (int(cl), tuple(float(v) for v in cvl)) for cl, cvl in model
+    )
+    return _model_df_memo(
+        spark,
+        "km",
+        frozen,
+        lambda: spark.createDataFrame(
+            [(cl, list(cvl)) for cl, cvl in frozen],
+            schema="cl int, cvl array<double>",
+        ),
     )
 
 
