@@ -1,7 +1,7 @@
 """Targeted per-lane probe: median-of-N noop-sink walls for named lanes.
 
 Usage: python tools/lane_probe.py [-n 3] [--sf-dir DIR] lane1 lane2 ...
-Prints one JSON line: {"lane": {"median": s, "samples": [...], "stages": n}}.
+Prints one JSON line: {"lane": {"median": s, "samples": [...]}}.
 
 Methodology matches bench.py (the driver's bench): warm each lane once at
 sf0.001 (JIT), clearCache between samples, noop-sink action, fitted-model
@@ -65,10 +65,13 @@ def main() -> None:
         for name in lanes:
             samples[name].append(round(run(name), 4))
 
+    import statistics
+
     out = {}
     for name, ss in samples.items():
-        ss_sorted = sorted(ss)
-        out[name] = {"median": ss_sorted[len(ss_sorted) // 2], "samples": ss}
+        # true median (even n averages the middle pair — matches
+        # bench_median.py's methodology; ADVICE r15)
+        out[name] = {"median": round(statistics.median(ss), 4), "samples": ss}
     print(json.dumps(out))
 
 
