@@ -253,11 +253,24 @@ def exact_dedup_streaming(
 # ---------------------------------------------------------------------------
 
 
-def _minhash_col(hs: Column, a: int, b: int) -> Column:
-    """min over the feature set of (a·(x mod P) + b) mod P; null if empty."""
-    return F.array_min(
-        F.transform(hs, lambda x: (F.lit(a) * (x % MINHASH_P) + F.lit(b)) % MINHASH_P)
+def _minhash_sql(hs_expr: str, a: int, b: int) -> str:
+    """Spark-SQL text of min over the feature set of (a·(x mod P) + b)
+    mod P; null if empty. Rendered as TEXT so callers can concatenate all
+    12 functions into ONE ``F.expr`` parse: the Column-composition form
+    (``F.transform`` + lambda + ``F.array_min``) costs ~22 ms of py4j
+    round trips per function — 0.27 s per signature build, paid 1-2x by
+    every lane in the dedup family (measured r16). Unsuffixed integer
+    literals parse to the same int/bigint types ``F.lit`` produced, so
+    the arithmetic (including 64-bit wraparound behavior) is unchanged."""
+    return (
+        f"array_min(transform({hs_expr}, x -> "
+        f"({a} * (x % {MINHASH_P}) + {b}) % {MINHASH_P}))"
     )
+
+
+def _minhash_col(hs_expr: str, a: int, b: int) -> Column:
+    """One minhash function as a Column (single SQL parse)."""
+    return F.expr(_minhash_sql(hs_expr, a, b))
 
 
 def shingle_features(
@@ -341,15 +354,19 @@ def minhash_signatures(
     :func:`shingle_features`).
     """
     feats = feats if feats is not None else shingle_features(df, text_col, id_col)
-    mh = [_minhash_col(F.col("_hs"), a, b) for a, b in MINHASH_COEFFS]
-    bands = F.array(
-        *[
-            F.concat_ws(
-                "-", *[c.cast("string") for c in mh[k * LSH_ROWS : (k + 1) * LSH_ROWS]]
-            )
-            for k in range(LSH_BANDS)
-        ]
-    )
+    # The whole 4-band × 3-row signature array as ONE SQL parse (see
+    # _minhash_sql) — node-identical to the previous F.array/F.concat_ws
+    # composition, ~0.3 s less driver wall per construction.
+    band_sqls = [
+        "concat_ws('-', "
+        + ", ".join(
+            f"cast({_minhash_sql('_hs', a, b)} as string)"
+            for a, b in MINHASH_COEFFS[k * LSH_ROWS : (k + 1) * LSH_ROWS]
+        )
+        + ")"
+        for k in range(LSH_BANDS)
+    ]
+    bands = F.expr("array(" + ", ".join(band_sqls) + ")")
     return feats.select(F.col(id_col), F.posexplode(bands).alias("band", "sig")).filter(
         F.col("sig") != ""
     )
@@ -1141,7 +1158,11 @@ def minhash_jaccard_estimate(
     feats = feats if feats is not None else shingle_features(df, text_col, id_col)
     cands = lsh_candidate_pairs(df, text_col, id_col, feats=feats)
     n_mh = len(MINHASH_COEFFS)
-    mh_arr = F.array(*[_minhash_col(F.col("_hs"), a, b) for a, b in MINHASH_COEFFS])
+    mh_arr = F.expr(
+        "array("
+        + ", ".join(_minhash_sql("_hs", a, b) for a, b in MINHASH_COEFFS)
+        + ")"
+    )
     sig = feats.select(F.col(id_col), F.col("_hs"), mh_arr.alias("_mh"))
     a = sig.select(
         F.col(id_col).alias("doc_a"),
