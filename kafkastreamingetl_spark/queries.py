@@ -3339,14 +3339,16 @@ def q_user_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     de-weaking user_ltv_deciles got in round 7), with user_id tie-breaks
     so both engines cut identically."""
     u = _rfm_user_base(spark, sf_dir)
-    u = rank_ops.with_exact_ntile(
-        u, 4, ["last_us", "user_id"], bucket_col="r_bucket"
-    )
-    u = rank_ops.with_exact_ntile(
-        u, 4, ["n_events", "user_id"], bucket_col="f_bucket"
-    )
-    u = rank_ops.with_exact_ntile(
-        u, 4, ["ltv", "user_id"], bucket_col="m_bucket"
+    # one persisted base + one bounds job + one exact-counts job for all
+    # three quartile cuts (r16: exact_ntile_cuts replaced three chained
+    # localCheckpoint-barriered cuts — same ntile semantics, linear plan)
+    u = rank_ops.exact_ntile_cuts(
+        u,
+        [
+            (4, ["last_us", "user_id"], "r_bucket"),
+            (4, ["n_events", "user_id"], "f_bucket"),
+            (4, ["ltv", "user_id"], "m_bucket"),
+        ],
     )
     return u.groupBy("r_bucket", "f_bucket", "m_bucket").agg(
         F.count(F.lit(1)).alias("n_users"), dsum("ltv", "total_ltv")

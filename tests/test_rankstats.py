@@ -82,8 +82,13 @@ def test_exact_ntile_bit_equal_across_widths(spark):
 
 
 def test_exact_ntile_default_width_tracks_session(spark):
-    """The default exchange width is read from the session's
-    spark.sql.shuffle.partitions at call time, not hardcoded."""
+    """The default cut width is read from the session's
+    spark.sql.shuffle.partitions at call time, not hardcoded. (The
+    PHYSICAL partition count of the output is AQE's business since the
+    r16 deterministic-bounds redesign — the semantic width shows up as
+    the number of quantile bounds the cut derives.)"""
+    from kafkastreamingetl_spark.operators import rankstats
+
     df = spark.range(50).select(
         F.col("id").alias("v"), F.col("id").alias("uid")
     )
@@ -91,10 +96,10 @@ def test_exact_ntile_default_width_tracks_session(spark):
     try:
         spark.conf.set("spark.sql.shuffle.partitions", "7")
         ranked = with_exact_ntile(df, 5, ["v", "uid"])
-        # the range exchange is hidden behind the checkpoint's ExistingRDD
-        # scan, so probe the width via the materialized partition count
-        # (broadcast join preserves the left side's partitioning)
-        assert ranked.rdd.getNumPartitions() == 7
+        assert rankstats.last_width == 7
+        # and the answer is still exact at that width
+        expected = _reference_ntile(df, 5, ["v", "uid"])
+        assert expected.exceptAll(ranked).count() == 0
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
 
@@ -106,11 +111,12 @@ def test_exact_ntile_rejects_helper_column_collisions(spark):
 
 
 def test_exact_ntile_plan_has_no_window_operator_at_all(spark):
-    """The whole point: the physical plan contains NO window operator —
-    the data-sized sort is a range exchange + in-partition sorts, the
-    offsets come from a P×P broadcast self-join. An empty-partition
-    windowspec anywhere would be the single-task funnel (and would emit
-    Spark's 'No Partition Defined' warning in the driver's bench tail)."""
+    """Single-cut (checkpoint) strategy: the physical plan contains NO
+    window operator — the data-sized sort is a range exchange +
+    in-partition sorts, the offsets come from a P×P broadcast self-join.
+    An empty-partition windowspec anywhere would be the single-task
+    funnel (and would emit Spark's 'No Partition Defined' warning in the
+    driver's bench tail)."""
     df = spark.range(500).select(
         (F.col("id") % 97).alias("v"), F.col("id").alias("uid")
     )
@@ -120,11 +126,44 @@ def test_exact_ntile_plan_has_no_window_operator_at_all(spark):
     assert "ntile" not in plan.lower()
 
 
+def test_exact_ntile_cuts_matches_window_ntile_and_plan_is_linear(spark):
+    """Multi-cut (deterministic-bounds) strategy: bit-equal to three
+    chained window ntiles; every window spec in the plan is PARTITIONED
+    (by the deterministic range-bound _pid) and there is no checkpoint
+    barrier (no ExistingRDD scan) and no broadcast offsets join — the
+    offsets are literals."""
+    from test_plan_shapes import _unpartitioned_window_specs
+
+    from kafkastreamingetl_spark.operators.rankstats import exact_ntile_cuts
+
+    df = spark.range(997).select(
+        (F.col("id") * 37 % 53).alias("v"),
+        (F.col("id") * 11 % 17).alias("w"),
+        F.col("id").alias("uid"),
+    )
+    got = exact_ntile_cuts(
+        df, [(10, ["v", "uid"], "bv"), (4, ["w", "uid"], "bw")]
+    )
+    expected = df
+    for n, cols, name in ((10, ["v", "uid"], "bv"), (4, ["w", "uid"], "bw")):
+        w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
+        expected = expected.withColumn(name, F.ntile(n).over(w).cast("int"))
+    assert expected.exceptAll(got).count() == 0
+    assert got.exceptAll(expected).count() == 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert not _unpartitioned_window_specs(plan)
+    assert "ntile" not in plan.lower()
+    assert "ExistingRDD" not in plan
+
+
 def test_registered_decile_and_zorder_lanes_use_rankstats(spark, sf_dir):
-    """The two queries VERDICT r6 flagged as scale-weak now route through
-    with_exact_ntile: no window operator anywhere in either plan — the
-    checkpointed rank frame shows as an ExistingRDD scan joined to a
-    broadcast offsets side."""
+    """The two single-cut queries VERDICT r6 flagged as scale-weak route
+    through with_exact_ntile (checkpoint strategy): no window operator
+    anywhere — the checkpointed rank frame shows as an ExistingRDD scan
+    joined to a broadcast offsets side. The multi-cut RFM lane rides
+    exact_ntile_cuts: partitioned windows only, no checkpoint barrier."""
+    from test_plan_shapes import _unpartitioned_window_specs
+
     from kafkastreamingetl_spark.queries import QUERIES
 
     for name in ("user_ltv_deciles", "events_zorder_layout"):
@@ -133,6 +172,11 @@ def test_registered_decile_and_zorder_lanes_use_rankstats(spark, sf_dir):
         assert "windowspecdefinition" not in plan, name
         assert "ntile" not in plan.lower(), name
         assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan, name
+    rfm = QUERIES["user_rfm_segments"](spark, sf_dir)
+    plan = rfm._jdf.queryExecution().executedPlan().toString()
+    assert not _unpartitioned_window_specs(plan)
+    assert "ntile" not in plan.lower()
+    assert "ExistingRDD" not in plan
 
 
 def test_rfm_segments_match_window_ntile_differential(spark, sf_dir):
