@@ -2125,15 +2125,27 @@ def neardup_pagerank(
     construction, so there are no dangling-mass corrections.
     """
     pairs = lsh_candidate_pairs(df, text_col, id_col)
+    # Both directions of every pair via ONE explode, not a unionAll of
+    # two selects: the union form inlined the whole signature + self-join
+    # pipeline once per side — twice the planning work at construction
+    # (this is the checkpoint's subplan) and twice the execution at
+    # materialization. Same multiset of (src, dst) rows.
     edges = (
         pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"),
+                        F.col("doc_b").alias("dst"),
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"),
+                        F.col("doc_a").alias("dst"),
+                    ),
+                )
+            ).alias("_e")
         )
-        .unionAll(
-            pairs.select(
-                F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
-            )
-        )
+        .select("_e.src", "_e.dst")
         .localCheckpoint(eager=False)
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
