@@ -456,6 +456,7 @@ def neardup_pairs(
     id_col: str = "doc_id",
     *,
     min_jaccard: float = 0.0,
+    feats: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates with exact shingle-set Jaccard similarity.
 
@@ -466,7 +467,9 @@ def neardup_pairs(
     all-pairs. Jaccard is |A∩B| / |A∪B| over distinct shingle hashes: one
     double division of two exact ints, bit-identical across engines.
     """
-    feats = shingle_features(df, text_col, id_col)
+    feats = (
+        feats if feats is not None else shingle_features(df, text_col, id_col)
+    )
     cands = lsh_candidate_pairs(df, text_col, id_col, feats=feats)
     fa = feats.select(F.col(id_col).alias("doc_a"), F.col("_hs").alias("hs_a"))
     fb = feats.select(F.col(id_col).alias("doc_b"), F.col("_hs").alias("hs_b"))
@@ -518,6 +521,8 @@ def eval_contamination(
     id_col: str = "doc_id",
     *,
     min_jaccard: float = DECON_MIN_JACCARD,
+    train_feats: DataFrame | None = None,
+    eval_feats: DataFrame | None = None,
 ) -> DataFrame:
     """(train_doc, eval_doc, jaccard): benchmark decontamination — training
     documents that near-duplicate an evaluation set. The training-pipeline
@@ -532,9 +537,24 @@ def eval_contamination(
     construction: no self-pairs, no a<b dedup needed — each (train, eval)
     candidate surfaces once per band hit and is collapsed by
     dropDuplicates before verification.
+
+    ``train_feats`` / ``eval_feats``: callers whose train and eval sides
+    are predicate-split slices of ONE table should pass filtered views of
+    that table's single :func:`shingle_features` frame — one corpus
+    shingle pass and one persisted cache instead of two (r16; the default
+    builds a separate feature set per side, correct for genuinely
+    distinct tables).
     """
-    tf = shingle_features(train, text_col, id_col)
-    ef = shingle_features(eval_df, text_col, id_col)
+    tf = (
+        train_feats
+        if train_feats is not None
+        else shingle_features(train, text_col, id_col)
+    )
+    ef = (
+        eval_feats
+        if eval_feats is not None
+        else shingle_features(eval_df, text_col, id_col)
+    )
     tsig = minhash_signatures(train, text_col, id_col, feats=tf)
     esig = minhash_signatures(eval_df, text_col, id_col, feats=ef)
     cands = (
@@ -1995,6 +2015,8 @@ def incremental_neardup(
     id_col: str = "doc_id",
     *,
     min_jaccard: float = NEARDUP_MIN_JACCARD,
+    base_feats: DataFrame | None = None,
+    inc_feats: DataFrame | None = None,
 ) -> DataFrame:
     """The production shape of NEAR-dup dedup: a new batch deduped against
     an already-deduplicated base without re-clustering the base — the
@@ -2019,7 +2041,11 @@ def incremental_neardup(
     can be persisted once (build-index form) so daily cost tracks the
     increment.
     """
-    feats_b = shingle_features(base, text_col, id_col)
+    feats_b = (
+        base_feats
+        if base_feats is not None
+        else shingle_features(base, text_col, id_col)
+    )
     sigs_b = minhash_signatures(base, text_col, id_col, feats=feats_b)
     return _incremental_neardup_against(
         increment,
@@ -2028,6 +2054,7 @@ def incremental_neardup(
         text_col,
         id_col,
         min_jaccard,
+        inc_feats=inc_feats,
     )
 
 
@@ -2310,11 +2337,18 @@ def _incremental_neardup_against(
     text_col: str,
     id_col: str,
     min_jaccard: float,
+    inc_feats: DataFrame | None = None,
 ) -> DataFrame:
     """Shared core of :func:`incremental_neardup` and its index form:
     survivors of ``increment`` against a base given as (band, sig, id)
-    signatures + (id, shingle-set) features."""
-    feats_i = shingle_features(increment, text_col, id_col)
+    signatures + (id, shingle-set) features. ``inc_feats``: precomputed
+    feature view of the increment (see :func:`eval_contamination`'s
+    split-table note)."""
+    feats_i = (
+        inc_feats
+        if inc_feats is not None
+        else shingle_features(increment, text_col, id_col)
+    )
     sigs_i = minhash_signatures(
         increment, text_col, id_col, feats=feats_i
     ).select(F.col(id_col).alias("inc_id"), "band", "sig")
@@ -2343,7 +2377,13 @@ def _incremental_neardup_against(
         .distinct()
     )
     dup_within = (
-        neardup_pairs(increment, text_col, id_col, min_jaccard=min_jaccard)
+        neardup_pairs(
+            increment,
+            text_col,
+            id_col,
+            min_jaccard=min_jaccard,
+            feats=feats_i,
+        )
         .select(F.col("doc_b").alias(id_col))
         .distinct()
     )

@@ -1770,11 +1770,16 @@ def q_eval_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval set (LSH band candidates against BROADCAST eval signatures, exact
     Jaccard verify) — the report that keeps eval numbers honest
     (operators/dedup.py eval_contamination). The eval set here is a
-    deterministic 10% id slice so both engines carve identical sides."""
+    deterministic 10% id slice so both engines carve identical sides.
+    Train and eval are slices of ONE table, so both sides filter a single
+    shared shingle-feature frame — one corpus shingle pass, not two."""
     docs = _t(spark, sf_dir, "documents")
+    feats = dedup_ops.shingle_features(docs)
     return dedup_ops.eval_contamination(
         docs.filter(F.col("doc_id") % 10 != 0),
         docs.filter(F.col("doc_id") % 10 == 0),
+        train_feats=feats.filter(F.col("doc_id") % 10 != 0),
+        eval_feats=feats.filter(F.col("doc_id") % 10 == 0),
     )
 
 
@@ -1798,8 +1803,12 @@ def q_decontaminated_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     eval_contamination + left_anti, declared as one plan."""
     docs = _t(spark, sf_dir, "documents")
     train = docs.filter(F.col("doc_id") % 10 != 0)
+    feats = dedup_ops.shingle_features(docs)
     report = dedup_ops.eval_contamination(
-        train, docs.filter(F.col("doc_id") % 10 == 0)
+        train,
+        docs.filter(F.col("doc_id") % 10 == 0),
+        train_feats=feats.filter(F.col("doc_id") % 10 != 0),
+        eval_feats=feats.filter(F.col("doc_id") % 10 == 0),
     )
     losers = report.select(F.col("train_doc").alias("doc_id")).distinct()
     return train.join(losers, "doc_id", "left_anti").select("doc_id", "source")
@@ -3691,9 +3700,15 @@ def q_incremental_neardup_documents(
     docs = _t(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % 2 == 0)
     inc = docs.filter(F.col("doc_id") % 2 == 1)
-    return dedup_ops.incremental_neardup(base, inc).select(
-        "doc_id", "lang", "source"
-    )
+    # base and increment are slices of ONE table: share a single
+    # shingle-feature frame across both sides (one corpus pass, not two)
+    feats = dedup_ops.shingle_features(docs)
+    return dedup_ops.incremental_neardup(
+        base,
+        inc,
+        base_feats=feats.filter(F.col("doc_id") % 2 == 0),
+        inc_feats=feats.filter(F.col("doc_id") % 2 == 1),
+    ).select("doc_id", "lang", "source")
 
 
 @query(
