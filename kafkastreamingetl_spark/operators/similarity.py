@@ -2309,15 +2309,107 @@ def embedding_covariance(
     anisotropy checks (embedding spaces collapse toward dominant
     directions; the covariance spectrum is how a pipeline notices).
 
-    Relational shape: each vector fans out to its (i, j) dimension pairs
-    inside the row (one nested transform — no self-join, no shuffle
-    before aggregation), then one map-side-combined aggregation computes
-    decimal-exact Σx_i·x_j, Σx_i, Σx_j per cell; cov = E[xy] − E[x]E[y]
-    evaluated in the same expression order both engines. The d² fan-out
-    per row is the cost knob (``n_dims``); at 100 TB the same statistic
-    comes from per-partition numpy outer-product partials via
-    ``mapInPandas`` merged in one reduce — the relational form stays as
-    the oracle."""
+    Execution (r16): per-partition ``mapInPandas`` partials — each task
+    folds its rows into d² exact integer micro-unit sums (Σq(x_i·x_j),
+    Σq(x_i), row count; bounded state: d² cells per task), and one tiny
+    reduce merges the partials. No d²-row fan-out ever crosses an
+    exchange — the A/B against the relational explode form measured
+    2.15 → 1.16 s at sf0.1 and the partial state is what makes the shape
+    honest at 100 TB. Guide §4 discipline: only ``vec_col`` crosses the
+    Python boundary, Arrow-batched, zero row-at-a-time UDFs.
+
+    EXACTNESS is the load-bearing subtlety. The oracle contract sums
+    ``CAST(x_i*x_j AS DECIMAL(18,4))`` — Spark casts double→decimal via
+    the double's SHORTEST DECIMAL string (``Double.toString``) rounded
+    HALF_UP to 4 places. Python's ``repr(float)`` yields the same
+    shortest-decimal value, so ``Decimal(repr(p)).quantize(4, HALF_UP)``
+    reproduces the cast bit-for-bit; partial sums are exact Python ints
+    (serialized as strings — 38-digit headroom beats int64 at corpus
+    scale), merged as DECIMAL(38,0), and the final cov evaluates in the
+    same expression order as the oracle. Pinned bit-identical against
+    the relational twin (:func:`_embedding_covariance_relational`) in
+    tests/test_similarity.py."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    d = n_dims
+
+    def partials(batches):
+        import pandas as pd
+
+        q4 = Decimal("0.0001")
+        sxy: dict[tuple[int, int], int] = {}
+        sx: dict[int, int] = {}
+        n = 0
+        for pdf in batches:
+            for vec in pdf[vec_col]:
+                xs = [float(v) for v in vec[:d]]
+                n += 1
+                for i in range(d):
+                    xi = xs[i]
+                    sx[i] = sx.get(i, 0) + int(
+                        Decimal(repr(xi)).quantize(q4, ROUND_HALF_UP).scaleb(4)
+                    )
+                    for j in range(d):
+                        p = xi * xs[j]
+                        sxy[(i, j)] = sxy.get((i, j), 0) + int(
+                            Decimal(repr(p))
+                            .quantize(q4, ROUND_HALF_UP)
+                            .scaleb(4)
+                        )
+        rows = [
+            (
+                i + 1,
+                j + 1,
+                str(sxy.get((i, j), 0)),
+                str(sx.get(i, 0)),
+                str(sx.get(j, 0)),
+                n,
+            )
+            for i in range(d)
+            for j in range(d)
+        ]
+        yield pd.DataFrame(
+            rows, columns=["dim_i", "dim_j", "sxy", "sx", "sy", "n"]
+        )
+
+    part = ensure_parallelism(embeddings.select(vec_col)).mapInPandas(
+        partials,
+        "dim_i int, dim_j int, sxy string, sx string, sy string, n long",
+    )
+    agg = part.groupBy("dim_i", "dim_j").agg(
+        F.sum(F.col("sxy").cast("decimal(38,0)")).alias("sxy"),
+        F.sum(F.col("sx").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("sy").cast("decimal(38,0)")).alias("sy"),
+        F.sum("n").alias("n"),
+    )
+    return agg.select(
+        "dim_i",
+        "dim_j",
+        (
+            (F.col("sxy").cast("decimal(38,4)") / 10000).cast("double")
+            / F.col("n")
+            - (
+                (F.col("sx").cast("decimal(38,4)") / 10000).cast("double")
+                / F.col("n")
+            )
+            * (
+                (F.col("sy").cast("decimal(38,4)") / 10000).cast("double")
+                / F.col("n")
+            )
+        ).alias("cov"),
+    )
+
+
+def _embedding_covariance_relational(
+    embeddings: DataFrame,
+    *,
+    n_dims: int = COV_DIMS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The pre-r16 relational execution (in-row d² fan-out + one
+    map-side-combined decimal aggregation) — kept as the JVM-side twin
+    the parity test pins :func:`embedding_covariance` against, mirroring
+    the oracle SQL shape expression-for-expression."""
     pairs = F.explode(
         F.transform(
             F.sequence(F.lit(1), F.lit(n_dims)),

@@ -248,6 +248,30 @@ def test_embedding_covariance_symmetric_positive_diagonal(spark):
             assert abs(cells[(i, j)] - cells[(j, i)]) < 1e-9  # symmetry
 
 
+def test_embedding_covariance_mapinpandas_bit_equals_relational(spark):
+    """The r16 mapInPandas partials execution must reproduce the
+    relational d²-explode twin (= the oracle SQL shape) BIT-for-bit:
+    Python's Decimal(repr(x)).quantize(4, HALF_UP) is the same value as
+    Spark's double→DECIMAL(18,4) cast (both round the double's shortest
+    decimal form), partial sums are exact ints, and the final cov
+    evaluates in the same expression order."""
+    from kafkastreamingetl_spark.catalog import load_table
+    from kafkastreamingetl_spark.operators.similarity import (
+        _embedding_covariance_relational,
+        embedding_covariance,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    got = embedding_covariance(emb)
+    twin = _embedding_covariance_relational(emb)
+    # dtypes, not full schema: mapInPandas output fields are nullable by
+    # declaration while the explode's cast indices are not — the driver's
+    # compare (and the oracle gate) key on names + types
+    assert got.dtypes == twin.dtypes
+    assert got.exceptAll(twin).count() == 0
+    assert twin.exceptAll(got).count() == 0
+
+
 def test_neardup_blocking_width_dial(spark):
     """The near-dup blocking width (n_planes) is the scale dial found by
     tools/scale_stress.py: widening the signature must (a) extend, never
