@@ -148,48 +148,73 @@ def latest_green_rounds() -> dict[str, int]:
 # suite pins it against the records <= _FALLBACK_FROZEN_AT only, so a new
 # driver record never invalidates it mid-round (VERDICT r11 item 1).
 # --- fallback-head:begin ---
-_FALLBACK_FROZEN_AT = 14
+_FALLBACK_FROZEN_AT = 15
 _FALLBACK_HEAD = [
-    "tfidf_top_terms",
-    "doc_regex_token_stats",
-    "doc_pack_bins",
-    "doc_fingerprint",
-    "exact_dedup_documents",
-    "minhash_signatures",
-    "neardup_candidates",
-    "neardup_clusters",
-    "dedup_documents_neardup",
-    "embedding_clusters",
-    "dedup_embeddings_semantic",
-    "embedding_quantize_int8",
-    "events_zorder_layout",
-    "corpus_shuffle_shards",
-    "doc_repetition_stats",
-    "rolling_distinct_users",
-    "event_transition_matrix",
-    "token_budget_sample",
-    "bloom_prefilter_join",
-    "latest_user_state",
-    "neardup_cluster_sizes",
-    "stratified_language_sample",
-    "ann_recall_report",
-    "lsh_band_load_profile",
-    "incremental_neardup_documents",
-    "neardup_pagerank",
-    "user_interarrival_stats",
-    "doc_char_entropy",
-    "bigram_pmi_collocations",
+    "value_histogram",
+    "daily_counts_unpivot",
+    "value_quartiles_by_type",
+    "orders_pending_backlog",
+    "semantic_eval_contamination",
+    "recursive_daily_series",
+    "daily_autocorr",
+    "events_key_skew_profile",
+    "blameless_suppliers",
+    "token_posting_lists",
+    "source_overlap_matrix",
+    "user_rfm_segments",
+    "lateral_top_orders",
+    "takedown_sweep",
+    "doc_length_buckets",
+    "source_audit_report",
+    "neardup_quality_survivors",
+    "eval_ngram_contamination",
+    "neardup_candidates_capped",
+    "embedding_rp_topk",
+    "bm25_topk",
+    "gopher_quality_flags",
+    "doc_encoding_anomalies",
+    "embedding_qc_report",
+    "lm_score_bucket_mix",
+    "vocab_zipf_slope",
+    "doc_dedup_lines",
+    "lsh_param_planner",
+    "kanon_risk_report",
 ]
 # --- fallback-head:end ---
+
+
+# Lanes whose OPERATOR CODE was algorithmically restructured in the most
+# recent optimization round but whose latest green driver row PREDATES the
+# change (VERDICT r15 item 7: green-age rotation alone let restructured
+# lanes wait several rounds for ground-truth verification). These sort
+# immediately after the never-green tier, ahead of ordinary green-age
+# rotation, so the next driver window re-verifies them first. Maintained
+# at round close by the optimizer; a name here that is already freshly
+# green costs one window slot, never correctness. Current entries: the
+# r15 restructures the r15 window missed (substring_run_pairs) plus the
+# r16 restructures outside the natural r16 window (mapInPandas
+# covariance, shared-feats incremental near-dup, pagerank edge explode,
+# one-parse minhash signatures).
+_CHANGED_PRIORITY = (
+    "substring_run_pairs",
+    "embedding_covariance",
+    "incremental_neardup_documents",
+    "neardup_pagerank",
+    "minhash_jaccard_estimate",
+    "neardup_pairs_jaccard",
+)
 
 
 def rotation_order(
     names: list[str], latest: dict[str, int] | None = None
 ) -> list[str]:
-    """The policy: never-green first (registration order), then green
+    """The policy: never-green first (registration order), then greens on
+    the changed-lane priority tier (``_CHANGED_PRIORITY`` — operator code
+    restructured more recently than their last green row), then green
     ascending by latest-green round (oldest first), ties on registration
-    order. Pure function of (names, committed CORRECTNESS files) —
-    deterministic, and a permutation of ``names`` by construction.
+    order. Pure function of (names, committed CORRECTNESS files, the
+    committed priority tier) — deterministic, and a permutation of
+    ``names`` by construction.
     """
     if latest is None:
         latest = latest_green_rounds()
@@ -197,7 +222,14 @@ def rotation_order(
         head = [n for n in _FALLBACK_HEAD if n in set(names)]
         return head + [n for n in names if n not in set(head)]
     reg = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (latest.get(n, -1), reg[n]))
+    changed = set(_CHANGED_PRIORITY)
+    return sorted(
+        names,
+        key=lambda n: (
+            latest.get(n, -1) if n not in changed or n not in latest else 0,
+            reg[n],
+        ),
+    )
 
 
 def _ordered(mapping: dict) -> dict:

@@ -56,11 +56,21 @@ def _independent_latest_green() -> tuple[dict[str, int], int]:
 
 
 def test_order_is_exactly_the_policy():
+    import __spark_entry__ as e
+
     names = list(queries())
     latest, _ = _independent_latest_green()
     reg_names = list(queries.__globals__["QUERIES"])
     reg = {n: i for i, n in enumerate(reg_names)}
-    expected = sorted(names, key=lambda n: (latest.get(n, -1), reg[n]))
+    changed = set(e._CHANGED_PRIORITY)
+
+    def key(n):
+        eff = latest.get(n, -1)
+        if n in changed and n in latest:
+            eff = 0  # changed-lane tier: after never-green, before greens
+        return (eff, reg[n])
+
+    expected = sorted(names, key=key)
     assert names == expected
     # module's own evidence reader agrees with the independent one
     assert latest_green_rounds() == latest
@@ -173,7 +183,11 @@ def test_fallback_head_survives_future_driver_records(tmp_path):
     # policy invariants hold under the synthetic evidence
     assert sorted(order) == sorted(reg_names)
     reg = {n: i for i, n in enumerate(reg_names)}
-    keys = [(future.get(n, -1), reg[n]) for n in order]
+    changed = set(e._CHANGED_PRIORITY)
+    keys = [
+        (0 if n in changed and n in future else future.get(n, -1), reg[n])
+        for n in order
+    ]
     assert keys == sorted(keys)
     # and the frozen fallback constants are untouched by evidence drift:
     # they are plain committed data, not recomputed from live records
@@ -191,6 +205,10 @@ def test_rotation_policy_properties_hold_for_any_evidence():
     reg_names = list(queries.__globals__["QUERIES"])
     reg = {n: i for i, n in enumerate(reg_names)}
 
+    import __spark_entry__ as e
+
+    changed = set(e._CHANGED_PRIORITY)
+
     @settings(max_examples=50, deadline=None)
     @given(
         st.dictionaries(
@@ -204,7 +222,15 @@ def test_rotation_policy_properties_hold_for_any_evidence():
         if order is None:
             return  # empty evidence exercises the fallback path, tested above
         assert sorted(order) == sorted(reg_names)
-        keys = [(latest.get(n, -1), reg[n]) for n in order]
+        keys = [
+            (
+                0
+                if n in changed and n in latest
+                else latest.get(n, -1),
+                reg[n],
+            )
+            for n in order
+        ]
         assert keys == sorted(keys)
         greens = [i for i, n in enumerate(order) if n in latest]
         nevers = [i for i, n in enumerate(order) if n not in latest]
