@@ -120,9 +120,17 @@ def load_events(
     *,
     ts_start: str | None = None,
     ts_end: str | None = None,
+    refresh: bool = False,
 ) -> DataFrame:
     """Events scan with an optional half-open ``[ts_start, ts_end)`` slice
     that actually reaches the parquet reader.
+
+    The underlying relation handle is memoized per (session, path) — the
+    file LISTING is pinned at first construction (see :data:`_SCAN_CACHE`).
+    A caller that rewrites ``{sf_dir}/events.parquet`` mid-session must
+    pass ``refresh=True`` or it will silently read the stale listing
+    (ADVICE r15; no registered query or test writes a path it re-reads
+    through this function).
 
     The nanos→timestamp conversion in :func:`load_table` is an expression,
     so a predicate on the *converted* column cannot push down (the scan
@@ -137,7 +145,9 @@ def load_events(
     from datetime import datetime, timezone
 
     ensure_runtime_confs(spark)
-    df = _cached_scan(spark, os.path.join(sf_dir, "events.parquet"), None)
+    df = _cached_scan(
+        spark, os.path.join(sf_dir, "events.parquet"), None, refresh=refresh
+    )
     raw_type = dict(df.dtypes).get("ts")
     raw_ns = raw_type == "bigint"
 

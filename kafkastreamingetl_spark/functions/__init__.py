@@ -45,7 +45,25 @@ def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> Data
     correctness input.
     """
     n = min_partitions or df.sparkSession.sparkContext.defaultParallelism
-    key = (df.sparkSession.sparkContext.applicationId, df.semanticHash(), n)
+    # The probe result also depends on the session's file-split confs
+    # (ADVICE r15): fold them into the key so a mid-session conf change
+    # re-probes instead of returning a stale partition count.
+    conf = df.sparkSession.conf
+    split_confs = tuple(
+        conf.get(c, None)
+        for c in (
+            "spark.sql.files.maxPartitionBytes",
+            "spark.sql.files.minPartitionNum",
+            "spark.sql.files.openCostInBytes",
+            "spark.sql.shuffle.partitions",
+        )
+    )
+    key = (
+        df.sparkSession.sparkContext.applicationId,
+        df.semanticHash(),
+        n,
+        split_confs,
+    )
     got = _PAR_PROBE_CACHE.get(key)
     if got is None:
         got = df.rdd.getNumPartitions()
@@ -153,6 +171,10 @@ def array_lit(values, sql_type: str) -> Column:
 
     def fmt(v) -> str:
         if isinstance(v, (list, tuple)):
+            if not v:
+                # array() types as array<null>, silently breaking the
+                # element-type contract (ADVICE r15) — refuse instead
+                raise ValueError("array_lit: empty (sub)array has no type")
             return "array(" + ",".join(fmt(x) for x in v) + ")"
         if sql_type == "double":
             return f"CAST('{float(v)!r}' AS DOUBLE)"
